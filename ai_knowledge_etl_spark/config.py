@@ -1,0 +1,98 @@
+"""Engine limits & scoring weights.
+
+These re-specify the reference's public configuration surface
+(reference: config/limits.yaml, config/security.yaml,
+skills/relevance-scorer/SKILL.md) as plain Python constants. All regexes are
+written in the common subset of Java regex (Spark `rlike`) and RE2 (DuckDB) —
+no lookaround, no backreferences — so every filter is expressible identically
+in both engines for differential testing.
+"""
+
+from __future__ import annotations
+
+# --- relevance scoring weights (reference: skills/relevance-scorer/SKILL.md:92-119,
+#     config/limits.yaml:112-119) ---
+LINK_URL_WEIGHT = 3  # +3 when the URL matches the topic
+LINK_ANCHOR_WEIGHT = 5  # +5 when the anchor text matches
+LINK_CONTEXT_WEIGHT = 2  # +2 when the surrounding context matches
+SCORE_CAP = 10
+
+# page scoring (reference: skills/relevance-scorer/SKILL.md:69-86,123-155)
+PAGE_TITLE_WEIGHT = 3  # +3 title match
+PAGE_HEADING_WEIGHT = 2  # +2 per heading match, max 2 headings counted
+PAGE_HEADING_MAX = 2
+# density bonus: >=10 mentions -> +3, >=5 -> +2, >=2 -> +1
+PAGE_DENSITY_TIERS = ((10, 3), (5, 2), (2, 1))
+
+# queue priority parent bonus (reference: skills/relevance-scorer/SKILL.md:193-211)
+PARENT_BONUS_HIGH = (8, 3)  # parent relevance >= 8 -> +3
+PARENT_BONUS_MED = (5, 1)  # parent relevance >= 5 -> +1
+
+# traversal banding (reference: skills/relevance-scorer/SKILL.md:157-189)
+BAND_DFS_MIN = 8  # >=8: DFS deep-dive
+BAND_BFS_MIN = 5  # 5-7: BFS
+SKIP_THRESHOLD = 5  # <5: prune; also the enqueue threshold
+MAX_DEPTH = 3
+
+# crawl caps (reference: config/limits.yaml:101-106)
+MAX_PAGES_DEFAULT = 20
+MAX_PAGES_HARD = 50
+REQUEST_INTERVAL_SECONDS = 2.0
+
+# --- URL filtering (reference: scripts/crawler-queue.sh:199-218,
+#     config/limits.yaml:187-202) ---
+URL_SKIP_EXT_RE = (
+    r"\.(pdf|zip|tar|gz|rar|7z|exe|dmg|pkg|iso|mp4|mp3|avi|mov|mkv|wav"
+    r"|woff|woff2|ttf|eot|otf|css|js|map|ico)([?#]|$)"
+)
+URL_SKIP_PATH_RE = (
+    r"(login|signin|sign-in|signup|sign-up|register|logout|password"
+    r"|cart|checkout|payment|account|profile|settings"
+    r"|privacy|terms|legal|cookie"
+    r"|/static/|/assets/|/cdn/|/fonts/)"
+)
+
+# --- image filtering (reference: commands/extract.md:474-489,
+#     config/limits.yaml:56-74) ---
+IMAGE_MIN_WIDTH = 100
+IMAGE_MIN_HEIGHT = 100
+IMAGE_SKIP_RE = (
+    r"(icon|logo|avatar|badge|button|sprite|spacer|pixel|tracking|banner|ad[sv]?[-_./])"
+)
+IMAGES_PER_PAGE_CAP = 5
+IMAGES_PER_SESSION_CAP = 15
+
+# --- security routing (reference: config/security.yaml:17-104) ---
+INTERNAL_DOMAIN_RE = r"(\.internal\.|\.corp\.|\.intranet\.|localhost)"
+PRIVATE_IP_RE = (
+    r"(https?://)(127\.|10\.|192\.168\.|172\.(1[6-9]|2[0-9]|3[01])\.)"
+)
+SENSITIVE_KEYWORD_RE = r"(token=|secret=|api_key=|apikey=|password=)"
+
+# --- obstacle detection (reference: DESIGN.md:798-852) ---
+OBSTACLE_MIN_CHARS = 100
+OBSTACLE_LOGIN_RE = r"(log in|sign in|login required|authentication required)"
+OBSTACLE_CAPTCHA_RE = r"(captcha|recaptcha|are you a robot|unusual traffic)"
+OBSTACLE_ANTIBOT_RE = r"(cloudflare|access denied|rate limit|403 forbidden)"
+
+# --- text pipeline (reference: config/limits.yaml:86-95,143-170) ---
+MAX_TOTAL_OUTPUT_CHARS = 50_000
+# kept newline-free so the identical literal is embeddable in Spark and
+# DuckDB SQL (escape-sequence handling differs between the dialects)
+TRUNCATE_NOTICE = " [... content truncated ...]"
+SUMMARY_MAX_CHARS = 500
+CHUNK_CHARS = 10_000  # udtf-chunk-text fixed chunk size
+RAG_CHUNK_MIN = 500
+RAG_CHUNK_MAX = 1000
+RAG_CHUNK_OVERLAP = 100
+RAG_CHUNKS_PER_FILE_CAP = 50
+
+# --- strategy thresholds (reference: DESIGN.md:647-724) ---
+STRATEGY_DIRECT_MAX = 10_000  # chars: read directly
+STRATEGY_CHUNK_MAX = 100_000  # chars: chunked read
+# beyond CHUNK_MAX: summary-only
+BATCH_MAX_FILES = 5
+BATCH_MAX_BYTES = 1_000_000
+TRANSFORM_INDEX_ONLY_PAGES = 10  # pages>10 -> index_only
+TRANSFORM_SUMMARIZE_PAGES = 5  # pages>5 or chars>30k -> summarize_first
+TRANSFORM_SUMMARIZE_CHARS = 30_000

@@ -1,0 +1,59 @@
+"""Query registry — the driver correctness contract.
+
+Every operator from SURVEY.md §2 registers here as a `QueryDef`:
+a PySpark callable `(spark, sf_dir) -> DataFrame` plus (where
+SQL-expressible) a DuckDB oracle SQL string computing the identical result
+on the same parquet tables. `__spark_entry__.py` re-exports this registry.
+
+Parity rules (see also sources/synthetic.py):
+  - alias every computed column identically in Spark and SQL;
+  - deterministic ordering for any LIMIT (explicit tiebreak column);
+  - cast oracle aggregate types to BIGINT/DOUBLE (DuckDB sums are HUGEINT);
+  - round floating aggregates to 2 decimals on BOTH sides (summation order
+    differs between engines);
+  - regexes in the Java-regex ∩ RE2 subset.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str  # op id from SURVEY.md §2
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL twin; None -> driver rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: register a (spark, sf_dir) -> DataFrame callable."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query id {name!r}")
+        REGISTRY[name] = QueryDef(name=name, spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+def _load_all() -> None:
+    # import for side effects: each module registers its queries
+    from ai_knowledge_etl_spark.registry import (  # noqa: F401
+        crawl,
+        northstar,
+        relational,
+        streaming,
+        text_pipeline,
+    )
+
+
+_load_all()

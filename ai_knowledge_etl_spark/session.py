@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for this engine.
+
+Engine code never creates sessions implicitly — operators take ``spark`` or
+DataFrames as arguments. This factory is for tests, ``bench.py`` and the
+driver entry point.
+
+Scale posture (100 TB readiness, tested on local[32]):
+  - AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+    dynamic broadcast-join demotion/promotion replace hand-tuned plans.
+  - shuffle.partitions sized to the local core count here; on a real cluster
+    AQE coalesces from a high initial number, so we set the initial high and
+    let AQE shrink, instead of hardcoding per-job values.
+  - Arrow enabled: every pandas UDF / mapInPandas crosses the JVM↔Python
+    boundary in columnar batches, not pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ai_knowledge_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,158 @@
+"""Deterministic crawl-shaped derivations over the fixture corpus.
+
+The fixture `documents` table stands in for the reference's `pages/*.md`
+corpus, but the crawl operators (reference: crawler-coordinator.md:128-176,
+scripts/crawler-queue.sh) need URLs, anchors, link edges, a visited set, and
+image metadata. We derive them deterministically from fixture columns.
+
+CRITICAL INVARIANT: every expression here is written in the *dialect-common*
+SQL subset parsed identically by Spark SQL (`F.expr`) and DuckDB, so the
+driver's differential oracle evaluates the byte-identical derivation. Stick
+to: CASE WHEN, `%`, `||`, CAST(x AS STRING), lower/replace/substring/length,
+regexp_extract(s, pat, group) (returns '' on no match in both engines).
+Avoid: rlike/regexp_matches (names differ), regexp_replace (global in Spark,
+first-match in DuckDB), split (names differ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Topic used by every scoring query. One capture group (regexp_extract_all
+# counts group 1 in both engines). The fixture text is an engine-vocabulary
+# word stream, so these words actually occur.
+TOPIC_RE = "(spark|shuffle|join)"
+
+# --- URL from (source, doc_id) ------------------------------------------------
+# Mix of path classes and extensions so skip-filters, normalization, routing
+# and domain extraction all have positive + negative cases.
+URL_EXPR = """
+'https://' || source || '.example.com' ||
+CASE doc_id % 10
+  WHEN 0 THEN '/docs' WHEN 1 THEN '/blog' WHEN 2 THEN '/login'
+  WHEN 3 THEN '/cart' WHEN 4 THEN '/static/css' WHEN 5 THEN '/spark-tuning'
+  WHEN 6 THEN '/join-guide' WHEN 7 THEN '/about' WHEN 8 THEN '/search'
+  ELSE '/products' END ||
+'/item' || CAST(doc_id AS STRING) ||
+CASE doc_id % 7
+  WHEN 0 THEN '.html' WHEN 1 THEN '.pdf' WHEN 2 THEN '.zip'
+  WHEN 3 THEN '' WHEN 4 THEN '.png' WHEN 5 THEN '.css' ELSE '' END ||
+CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+CASE WHEN doc_id % 3 = 0 THEN '#section' ELSE '' END
+""".strip()
+
+# Sprinkle sensitive/internal cases for security routing.
+ROUTED_URL_EXPR = f"""
+CASE doc_id % 11
+  WHEN 0 THEN 'https://wiki.corp.example/page' || CAST(doc_id AS STRING)
+  WHEN 1 THEN 'http://192.168.1.' || CAST(doc_id % 250 AS STRING) || '/admin'
+  WHEN 2 THEN 'https://api.example.com/data?token=abc' || CAST(doc_id AS STRING)
+  ELSE ({URL_EXPR})
+END
+""".strip()
+
+ANCHOR_EXPR = "substring(text, 1, 40)"
+CONTEXT_EXPR = "substring(text, 1, 120)"
+PARENT_ID_EXPR = "doc_id % 50"
+
+# DuckDB CTE bodies reused by oracle queries. `links` is the edge table the
+# reference keeps in links/*.json (crawler-coordinator.md:161-176); `visited`
+# is the visited set (crawler-queue.sh:115-176).
+LINKS_CTE = f"""
+links AS (
+  SELECT doc_id,
+         {PARENT_ID_EXPR} AS parent_id,
+         {URL_EXPR} AS url,
+         {ANCHOR_EXPR} AS anchor,
+         {CONTEXT_EXPR} AS context,
+         text
+  FROM documents
+)
+""".strip()
+
+VISITED_CTE = f"""
+visited AS (
+  SELECT {URL_EXPR} AS url
+  FROM documents WHERE doc_id % 4 = 0
+)
+""".strip()
+
+# Image metadata derived from `part` — stands in for images.json
+# (reference: commands/extract.md:470-546): index/alt/w/h plus skip-pattern
+# positives (icon_/logo_ prefixes).
+IMAGES_CTE = """
+images AS (
+  SELECT p_partkey AS img_id,
+         p_partkey % 20 AS page_id,
+         p_partkey % 8 AS img_index,
+         p_size * 9 AS w,
+         p_size * 6 AS h,
+         'https://cdn.example.com/img/' ||
+           CASE p_partkey % 6 WHEN 0 THEN 'icon_' WHEN 1 THEN 'logo_' ELSE '' END ||
+           replace(lower(p_name), ' ', '_') || '.png' AS src,
+         p_name AS alt
+  FROM part
+)
+""".strip()
+
+
+# Text probes injecting positive cases for flag/obstacle operators (the raw
+# fixture corpus is a plain word stream with no markdown or login pages).
+FLAG_TEXT_EXPR = (
+    "text || CASE doc_id % 9 WHEN 0 THEN ' ```x = 1``` ' "
+    "WHEN 1 THEN ' |col a|col b| ' ELSE '' END"
+)
+OBSTACLE_TEXT_EXPR = (
+    "CASE doc_id % 13 "
+    "WHEN 0 THEN 'please log in to continue' "
+    "WHEN 1 THEN 'captcha verification required' "
+    "WHEN 2 THEN 'checking cloudflare protection' "
+    "WHEN 3 THEN substring(text, 1, 50) "
+    "ELSE text END"
+)
+
+# depth surrogate for crawl operators (reference queue items carry depth 0-3)
+DEPTH_EXPR = "doc_id % 4"
+
+
+def with_links_columns(documents: DataFrame) -> DataFrame:
+    """Spark twin of LINKS_CTE — the same expression strings via F.expr."""
+    return documents.select(
+        "doc_id",
+        F.expr(PARENT_ID_EXPR).alias("parent_id"),
+        F.expr(URL_EXPR).alias("url"),
+        F.expr(ANCHOR_EXPR).alias("anchor"),
+        F.expr(CONTEXT_EXPR).alias("context"),
+        "text",
+    )
+
+
+def visited_urls(documents: DataFrame) -> DataFrame:
+    """Spark twin of VISITED_CTE."""
+    return documents.where("doc_id % 4 = 0").select(F.expr(URL_EXPR).alias("url"))
+
+
+def url_col() -> Column:
+    return F.expr(URL_EXPR)
+
+
+def routed_url_col() -> Column:
+    return F.expr(ROUTED_URL_EXPR)
+
+
+def images_from_part(part: DataFrame) -> DataFrame:
+    """Spark twin of IMAGES_CTE."""
+    return part.select(
+        F.col("p_partkey").alias("img_id"),
+        F.expr("p_partkey % 20").alias("page_id"),
+        F.expr("p_partkey % 8").alias("img_index"),
+        F.expr("p_size * 9").alias("w"),
+        F.expr("p_size * 6").alias("h"),
+        F.expr(
+            "'https://cdn.example.com/img/' || "
+            "CASE p_partkey % 6 WHEN 0 THEN 'icon_' WHEN 1 THEN 'logo_' ELSE '' END || "
+            "replace(lower(p_name), ' ', '_') || '.png'"
+        ).alias("src"),
+        F.col("p_name").alias("alt"),
+    )

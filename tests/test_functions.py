@@ -1,0 +1,71 @@
+"""Property-style invariants on the scalar kernels (SURVEY §5.4):
+scores in [0,10], priority in [0,13], truncation always carries the notice,
+normalization idempotent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_knowledge_etl_spark import config
+from ai_knowledge_etl_spark.functions import scoring, text, urls
+from ai_knowledge_etl_spark.sources import synthetic as syn
+from ai_knowledge_etl_spark.sources.catalog import load_table
+
+
+def test_score_bounds(spark, sf_dir):
+    links = syn.with_links_columns(load_table(spark, sf_dir, "documents"))
+    scored = links.select(
+        scoring.score_link("url", "anchor", "context", syn.TOPIC_RE).alias("s")
+    )
+    row = scored.agg(F.min("s"), F.max("s")).first()
+    assert 0 <= row[0] and row[1] <= config.SCORE_CAP
+
+
+def test_priority_bounds(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    links = syn.with_links_columns(docs).withColumn(
+        "ls", scoring.score_link("url", "anchor", "context", syn.TOPIC_RE)
+    )
+    pri = links.select(
+        scoring.priority("ls", F.lit(10)).alias("hi"),
+        scoring.priority("ls", F.lit(0)).alias("lo"),
+    )
+    row = pri.agg(F.max("hi"), F.min("lo")).first()
+    assert row[0] <= config.SCORE_CAP + config.PARENT_BONUS_HIGH[1]
+    assert row[1] >= 0
+
+
+def test_truncate_notice_always_marked(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select(
+        "text", text.truncate_with_notice("text", 200).alias("t")
+    )
+    bad = out.where(
+        (F.length("text") > 200) & ~F.col("t").endswith(config.TRUNCATE_NOTICE)
+    ).count()
+    assert bad == 0
+    # truncated output never exceeds limit + notice length
+    too_long = out.where(
+        F.length("t") > 200 + len(config.TRUNCATE_NOTICE)
+    ).count()
+    assert too_long == 0
+
+
+def test_url_normalize_idempotent(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    u = syn.with_links_columns(docs).select("url")
+    once = u.select(urls.normalize("url").alias("n1"))
+    twice = once.select(
+        F.col("n1"), urls.normalize("n1").alias("n2")
+    )
+    assert twice.where(F.col("n1") != F.col("n2")).count() == 0
+
+
+def test_traversal_bands_partition_scores(spark):
+    df = spark.range(0, 11).select(
+        F.col("id").alias("s"), scoring.traversal_action("s").alias("a")
+    )
+    rows = {r["s"]: r["a"] for r in df.collect()}
+    assert rows[10] == "dfs_deep" and rows[8] == "dfs_deep"
+    assert rows[7] == "bfs" and rows[5] == "bfs"
+    assert rows[4] == "prune" and rows[0] == "prune"
