@@ -1,8 +1,688 @@
 """Relational operators over the star schema (SURVEY §2.D/E/F/G/H).
 
 TPC-H-style joins/aggregates/windows stand in for the reference's
-links ⋈ pages ⋈ visited workload at scale (FIXTURES.md). Populated in
-build waves — see registry/crawl.py for the parity conventions.
+links ⋈ pages ⋈ visited workload at scale (FIXTURES.md). Parity notes on top
+of registry/crawl.py's conventions:
+
+  - Money sums run over DECIMAL(18,x) then CAST to DOUBLE: exact decimal
+    arithmetic makes the result bit-identical regardless of summation order,
+    so no rounding tolerance is needed at all.
+  - Every window with an ORDER BY uses an explicit ROWS frame and a unique
+    ordering key — default RANGE frames + ties would be engine-dependent.
+  - Every LIMIT carries a deterministic tiebreak.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_knowledge_etl_spark import config
+from ai_knowledge_etl_spark.operators import batching, topk
+from ai_knowledge_etl_spark.registry import register
+from ai_knowledge_etl_spark.registry.crawl import LINK_SCORE_SQL, PAGE_SCORE_SQL
+from ai_knowledge_etl_spark.sources import synthetic as syn
+from ai_knowledge_etl_spark.sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(col: str, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# --- §2.E aggregations ----------------------------------------------------------
+
+
+@register(
+    "agg-queue-stats",
+    f"""
+SELECT CAST(count(*) AS BIGINT) AS n_tasks,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_size,
+       CAST(ceil(count(*) / {config.BATCH_MAX_FILES}.0) AS BIGINT) AS estimated_batches
+FROM orders
+""".strip(),
+    doc="TaskQueue {totalSize, estimatedBatches} (reference: DESIGN.md:580-585); "
+    "orders stand in for the task table.",
+)
+def q_agg_queue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").agg(
+        F.count("*").alias("n_tasks"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_size"),
+        F.ceil(F.count("*") / config.BATCH_MAX_FILES)
+        .cast("bigint")
+        .alias("estimated_batches"),
+    )
+
+
+@register(
+    "agg-ir-stats",
+    """
+SELECT CAST(count(*) AS BIGINT) AS files_processed,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       max(value) AS max_value,
+       min(value) AS min_value
+FROM events
+""".strip(),
+    doc="IR stats with error-as-data conditional count "
+    "(reference: DESIGN.md:1092-1099); events stand in for processing records.",
+)
+def q_agg_ir_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = F.col("event_type")
+    return _t(spark, sf_dir, "events").agg(
+        F.count("*").alias("files_processed"),
+        F.sum(F.when(e == "error", 1).otherwise(0)).alias("errors"),
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+    )
+
+
+@register(
+    "agg-group-by-subtopic",
+    """
+SELECT lang AS subtopic,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       array_to_string(list_sort(list(DISTINCT source)), ',') AS sources
+FROM documents GROUP BY lang
+""".strip(),
+    doc="REPORT key points grouped by subtopic with per-group source sets "
+    "(reference: crawler-summarizer.md:105-107,256-267). Sorted-set-as-string "
+    "keeps the comparison order-stable.",
+)
+def q_agg_group_by_subtopic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.col("lang").alias("subtopic"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.concat_ws(",", F.sort_array(F.collect_set("source"))).alias(
+                "sources"
+            ),
+        )
+    )
+
+
+@register(
+    "agg-transform-route",
+    f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS pages,
+       CAST(sum(n_chars) AS BIGINT) AS chars,
+       CASE WHEN count(*) > {config.TRANSFORM_INDEX_ONLY_PAGES} THEN 'index_only'
+            WHEN count(*) > {config.TRANSFORM_SUMMARIZE_PAGES}
+                 OR sum(n_chars) > {config.TRANSFORM_SUMMARIZE_CHARS} THEN 'summarize_first'
+            ELSE 'direct' END AS route
+FROM documents GROUP BY source
+""".strip(),
+    doc="Transform strategy off aggregates (reference: "
+    "agents/output-transformer.md:77-105): >10 pages index_only, >5 pages or "
+    ">30k chars summarize_first, else direct.",
+)
+def q_agg_transform_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _t(spark, sf_dir, "documents").groupBy("source")
+    pages, chars = F.count("*"), F.sum("n_chars")
+    return g.agg(
+        pages.alias("pages"),
+        chars.alias("chars"),
+        F.when(pages > config.TRANSFORM_INDEX_ONLY_PAGES, "index_only")
+        .when(
+            (pages > config.TRANSFORM_SUMMARIZE_PAGES)
+            | (chars > config.TRANSFORM_SUMMARIZE_CHARS),
+            "summarize_first",
+        )
+        .otherwise("direct")
+        .alias("route"),
+    )
+
+
+@register(
+    "agg-distinct-urls",
+    f"""
+WITH {syn.LINKS_CTE}
+SELECT CAST(count(DISTINCT regexp_replace(regexp_replace(url, '#.*$', ''), '/$', '')) AS BIGINT)
+       AS distinct_urls
+FROM links
+""".strip(),
+    doc="countDistinct over normalized visited URLs (reference: "
+    "crawler-queue.sh:138-145 url-map keying).",
+)
+def q_agg_distinct_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.functions import urls as U
+
+    links = syn.with_links_columns(_t(spark, sf_dir, "documents"))
+    return links.agg(
+        F.countDistinct(U.normalize("url")).alias("distinct_urls")
+    )
+
+
+@register(
+    "agg-pricing-summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""".strip(),
+    doc="TPC-H-Q1-style pricing summary — the hash-aggregate representative; "
+    "Catalyst runs it as partial+final aggregate with no extra shuffle "
+    "(the reference's hierarchical summarize-then-combine, SURVEY §2.E).",
+)
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    price, disc, tax = _dec("l_extendedprice"), _dec("l_discount"), _dec("l_tax")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+        .cast("double")
+        .alias("sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --- §2.D joins ------------------------------------------------------------------
+
+
+@register(
+    "join-star-revenue",
+    """
+SELECT n.n_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) = 1997
+GROUP BY n.n_name
+""".strip(),
+    doc="TPC-H-Q5-style star join: fact ⋈ 4 dimensions. Dimensions broadcast "
+    "(Catalyst does this automatically under the size threshold; explicit "
+    "hints keep it true when stats are missing) — one shuffle total, for the "
+    "final groupBy. links⋈pages⋈visited at 100 TB takes this exact shape.",
+)
+def q_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1997)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return joined.groupBy("n_name").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "topk-customer-revenue",
+    """
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""".strip(),
+    doc="TPC-H-Q10-style returned-revenue top-20: join + agg + "
+    "TakeOrderedAndProject (no global sort).",
+)
+def q_topk_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    return topk.top_k(agg, 20, F.desc("revenue"), F.asc("c_custkey"))
+
+
+@register(
+    "join-image-meta",
+    f"""
+WITH {syn.IMAGES_CTE},
+meta AS (
+  SELECT p_partkey % 8 AS m_index, min(p_brand) AS brand
+  FROM part GROUP BY p_partkey % 8
+)
+SELECT i.img_id, i.img_index, i.alt, m.brand
+FROM images i JOIN meta m ON i.img_index = m.m_index
+""".strip(),
+    doc="images.json metadata ⋈ downloaded bytes on index "
+    "(reference: commands/extract.md:490-536).",
+)
+def q_join_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    images = syn.images_from_part(part)
+    meta = part.groupBy(F.expr("p_partkey % 8").alias("m_index")).agg(
+        F.min("p_brand").alias("brand")
+    )
+    return images.join(
+        F.broadcast(meta), images.img_index == meta.m_index
+    ).select("img_id", "img_index", "alt", "brand")
+
+
+# --- §2.F sorts / limits / top-k ---------------------------------------------------
+
+
+@register(
+    "sort-priority-pop",
+    f"""
+WITH {syn.LINKS_CTE},
+pages AS (
+  SELECT doc_id AS parent_key, {PAGE_SCORE_SQL} AS parent_relevance
+  FROM documents WHERE doc_id < 50
+),
+frontier AS (
+  SELECT l.doc_id, l.url,
+         CAST({LINK_SCORE_SQL}
+              + CASE WHEN p.parent_relevance >= 8 THEN 3
+                     WHEN p.parent_relevance >= 5 THEN 1 ELSE 0 END AS INTEGER) AS priority
+  FROM links l JOIN pages p ON l.parent_id = p.parent_key
+)
+SELECT doc_id, url, priority FROM frontier
+ORDER BY priority DESC, doc_id ASC
+LIMIT 5
+""".strip(),
+    doc="Pop the top-priority frontier wave (reference: "
+    "crawler-queue.sh:57-77, batched per-wave variant).",
+)
+def q_sort_priority_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.registry.crawl import (
+        q_score_priority,
+    )
+
+    frontier = q_score_priority(spark, sf_dir).select(
+        "doc_id", "url", "priority"
+    )
+    return topk.top_k(frontier, 5, F.desc("priority"), F.asc("doc_id"))
+
+
+@register(
+    "sort-batch-smallest-first",
+    """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice ASC, o_orderkey ASC
+LIMIT 100
+""".strip(),
+    doc="Plans sorted ascending by estimated size before packing "
+    "(reference: DESIGN.md:740-741).",
+)
+def q_sort_batch_smallest_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.top_k(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        100,
+        F.asc("o_totalprice"),
+        F.asc("o_orderkey"),
+    )
+
+
+@register(
+    "topk-images-per-page",
+    f"""
+WITH {syn.IMAGES_CTE},
+ranked AS (
+  SELECT page_id, img_id, img_index, w, h,
+         row_number() OVER (PARTITION BY page_id
+                            ORDER BY img_index ASC, img_id ASC) AS rn
+  FROM images
+)
+SELECT page_id, img_id, img_index, w, h FROM ranked WHERE rn <= {config.IMAGES_PER_PAGE_CAP}
+""".strip(),
+    doc="Per-page image cap = top-N per group via ranking window "
+    "(reference: commands/extract.md:489, config/limits.yaml:59-60).",
+)
+def q_topk_images_per_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = syn.images_from_part(_t(spark, sf_dir, "part"))
+    return topk.top_k_per_group(
+        images.select("page_id", "img_id", "img_index", "w", "h"),
+        ["page_id"],
+        config.IMAGES_PER_PAGE_CAP,
+        F.asc("img_index"),
+        F.asc("img_id"),
+    )
+
+
+@register(
+    "limit-caps",
+    f"""
+SELECT doc_id, source FROM documents
+ORDER BY doc_id ASC
+LIMIT {config.MAX_PAGES_DEFAULT}
+""".strip(),
+    doc="max_pages session cap (reference: config/limits.yaml:101-104); "
+    "deterministic order so the LIMIT is well-defined.",
+)
+def q_limit_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.top_k(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        config.MAX_PAGES_DEFAULT,
+        F.asc("doc_id"),
+    )
+
+
+@register(
+    "sort-index-list",
+    """
+SELECT doc_id, lpad(CAST(doc_id AS STRING), 3, '0') AS page_id, source
+FROM documents
+""".strip(),
+    doc="INDEX page table ordered by crawl id (reference: "
+    "crawler-summarizer.md:211-217). Comparison is order-insensitive; the "
+    "padded id column is the ordering surface.",
+)
+def q_sort_index_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.lpad(F.col("doc_id").cast("string"), 3, "0").alias("page_id"),
+        "source",
+    )
+
+
+# --- §2.G set ops / dedup / windowed assignment -------------------------------------
+
+
+@register(
+    "union-link-batches",
+    f"""
+WITH {syn.LINKS_CTE}
+SELECT url FROM links WHERE doc_id % 2 = 0
+UNION ALL
+SELECT url FROM links WHERE doc_id % 3 = 0
+""".strip(),
+    doc="Per-page discovered-link batches appended into one frontier "
+    "(reference: commands/extract.md:800-806): unionByName, duplicates kept "
+    "(dedup is a separate explicit step, as in the reference).",
+)
+def q_union_link_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    links = syn.with_links_columns(_t(spark, sf_dir, "documents"))
+    a = links.where("doc_id % 2 = 0").select("url")
+    b = links.where("doc_id % 3 = 0").select("url")
+    return a.unionByName(b)
+
+
+@register(
+    "dedup-queue-url",
+    f"""
+WITH {syn.LINKS_CTE},
+frontier AS (
+  SELECT url FROM links WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT url FROM links WHERE doc_id % 3 = 0
+)
+SELECT DISTINCT url FROM frontier
+""".strip(),
+    doc="Refuse double-enqueue of a URL (reference: crawler-queue.sh:36-41): "
+    "distinct on the union of link batches.",
+)
+def q_dedup_queue_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_union_link_batches(spark, sf_dir).distinct()
+
+
+@register(
+    "window-page-id",
+    """
+WITH visited AS (SELECT doc_id, source FROM documents WHERE doc_id % 4 = 0)
+SELECT doc_id,
+       lpad(CAST(row_number() OVER (ORDER BY doc_id ASC) AS STRING), 3, '0') AS page_id
+FROM visited
+""".strip(),
+    doc="Monotone page ids 001, 002… from the visited count "
+    "(reference: crawler-queue.sh:172-176).",
+)
+def q_window_page_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    visited = _t(spark, sf_dir, "documents").where("doc_id % 4 = 0")
+    w = Window.orderBy(F.asc("doc_id"))
+    return visited.select(
+        "doc_id",
+        F.lpad(F.row_number().over(w).cast("string"), 3, "0").alias("page_id"),
+    )
+
+
+_BATCH_LIMIT = 500_000
+
+@register(
+    "window-batch-assign",
+    f"""
+SELECT o_orderkey, o_totalprice,
+       CAST(floor(CAST(coalesce(
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           ORDER BY o_totalprice ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         0) AS DOUBLE) / {_BATCH_LIMIT}) AS BIGINT) AS batch_id
+FROM orders
+""".strip(),
+    doc="Greedy bin packing re-expressed as an exclusive prefix-sum window "
+    "cut at the byte cap (reference: DESIGN.md:736-763; see "
+    "operators/batching.py for the scale discussion). DECIMAL prefix sum "
+    "keeps batch boundaries deterministic.",
+)
+def q_window_batch_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return batching.assign_batches(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        "o_totalprice",
+        ["o_totalprice", "o_orderkey"],
+        _BATCH_LIMIT,
+    )
+
+
+@register(
+    "agg-batch-rollup",
+    f"""
+WITH assigned AS (
+  SELECT o_totalprice,
+         CAST(floor(CAST(coalesce(
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             ORDER BY o_totalprice ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS DOUBLE) / {_BATCH_LIMIT}) AS BIGINT) AS batch_id
+  FROM orders
+)
+SELECT batch_id, CAST(count(*) AS BIGINT) AS n_tasks,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS batch_bytes
+FROM assigned GROUP BY batch_id
+""".strip(),
+    doc="Per-batch totalEstimatedSize rollup (reference: DESIGN.md:736-763).",
+)
+def q_agg_batch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = q_window_batch_assign(spark, sf_dir)
+    return batching.batch_rollup(assigned, "o_totalprice").select(
+        "batch_id", "n_tasks", "batch_bytes"
+    )
+
+
+# --- §2.F/H windows + scalar families ------------------------------------------------
+
+
+@register(
+    "window-running-total",
+    """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+FROM lineitem
+""".strip(),
+    doc="Aggregate-over-frame window (running pack totals, SURVEY §2.G "
+    "coverage note). Unique ORDER BY + explicit ROWS frame keeps it "
+    "deterministic in both engines.",
+)
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(_dec("l_quantity")).over(w).cast("double").alias("running_qty"),
+    )
+
+
+@register(
+    "window-rank-parts",
+    """
+SELECT p_brand, p_partkey, p_retailprice,
+       CAST(row_number() OVER (PARTITION BY p_brand
+                               ORDER BY p_retailprice DESC, p_partkey ASC) AS INTEGER) AS rn
+FROM part
+""".strip(),
+    doc="Ranking window representative (row_number per group, SURVEY §2.G).",
+)
+def q_window_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return _t(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.row_number().over(w).cast("int").alias("rn"),
+    )
+
+
+@register(
+    "scalar-date-math",
+    """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(datediff('day', CAST('1995-01-01' AS DATE), CAST(o_orderdate AS DATE)) AS INTEGER)
+         AS days_since_epoch_base
+FROM orders
+""".strip(),
+    doc="Date/time scalar family (SURVEY §2.H): extraction, interval "
+    "arithmetic, day difference. Spark date_add == DuckDB + INTERVAL, "
+    "datediff argument orders differ between dialects — normalized here.",
+)
+def q_scalar_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch_base"),
+    )
+
+
+@register(
+    "scalar-json-extract",
+    """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+FROM events WHERE event_type = 'purchase'
+""".strip(),
+    doc="JSON scalar family over events.props (SURVEY §2.H json; the "
+    "reference keeps queue/visited/links state as JSON blobs, "
+    "crawler-coordinator.md:111-176).",
+)
+def q_scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("bigint").alias("k_num"),
+    )
+
+
+@register(
+    "scalar-array-ops",
+    """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       embedding[1] AS first_val,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS l2_norm
+FROM embeddings
+""".strip(),
+    doc="Array scalar family (SURVEY §2.H): size, element access, "
+    "higher-order transform+aggregate (L2 norm). Sequential fold over the "
+    "list → same summation order in both engines; rounded to absorb the "
+    "last float bit.",
+)
+def q_scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.round(F.sqrt(sq_sum), 3).alias("l2_norm"),
+    )
+
+
+@register(
+    "scalar-math-suite",
+    """
+SELECT doc_id,
+       CAST(ceil(n_chars / 1000.0) AS BIGINT) AS est_chunks,
+       CAST(floor(n_chars / 1000.0) AS BIGINT) AS full_chunks,
+       CAST(greatest(least(n_chars, 300), 100) AS BIGINT) AS clamped,
+       round(100.0 * (1.0 - least(n_chars, 300) / CAST(n_chars AS DOUBLE)), 2) AS reduction_pct
+FROM documents
+""".strip(),
+    doc="Math scalar family (SURVEY §2.H): chunk-count ceil "
+    "(reference: DESIGN.md:702), clamps, compression reduction % "
+    "(reference: compress-image.mjs:83). Per-row IEEE arithmetic is "
+    "bit-identical across engines, so rounding here is safe.",
+)
+def q_scalar_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n = F.col("n_chars")
+    return d.select(
+        "doc_id",
+        F.ceil(n / 1000.0).cast("bigint").alias("est_chunks"),
+        F.floor(n / 1000.0).cast("bigint").alias("full_chunks"),
+        F.greatest(F.least(n, F.lit(300)), F.lit(100))
+        .cast("bigint")
+        .alias("clamped"),
+        F.round(
+            100.0 * (1.0 - F.least(n, F.lit(300)) / n.cast("double")), 2
+        ).alias("reduction_pct"),
+    )
