@@ -50,6 +50,7 @@ def _load_all() -> None:
     from ai_knowledge_etl_spark.registry import (  # noqa: F401
         crawl,
         northstar,
+        planning,
         relational,
         streaming,
         text_pipeline,

@@ -1,6 +1,302 @@
-"""Text-pipeline operators (SURVEY §2.I): chunking, structure, summaries.
+"""Text-pipeline operators (SURVEY §2.I): chunking UDTFs, structure
+extraction, extractive summaries, link extraction, frontmatter, renderers,
+and the rag/index sinks. Parity conventions per registry/crawl.py.
 
-Populated in build waves — see registry/crawl.py for parity conventions.
+The LLM-kernel operators use their deterministic extractive twins here
+(SURVEY §5 determinism rules); the production pandas-UDF surface
+(operators/chunking.rag_chunks_smart) is registered rows-only.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_knowledge_etl_spark.functions import scoring, text
+from ai_knowledge_etl_spark.operators import chunking
+from ai_knowledge_etl_spark.registry import register
+from ai_knowledge_etl_spark.registry.crawl import PAGE_SCORE_SQL
+from ai_knowledge_etl_spark.sources import synthetic as syn
+from ai_knowledge_etl_spark.sources.catalog import load_table
+
+NL = "chr(10)"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "udtf-chunk-text",
+    """
+WITH long_docs AS (SELECT doc_id, repeat(text, 5) AS text FROM documents),
+exploded AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(CAST(floor((length(text)-1)/1000.0) AS INT), 0))) AS i
+  FROM long_docs
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       substring(text, CAST(i*1000+1 AS INT), 1000) AS chunk
+FROM exploded
+""".strip(),
+    doc="Fixed-size chunk UDTF: 1 row → ceil(len/1000) rows "
+    "(reference: agents/extractor.md:144-185, DESIGN.md:699-711). "
+    "Spark: sequence+posexplode, zero Python.",
+)
+def q_udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    long_docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("repeat(text, 5)").alias("text")
+    )
+    return chunking.fixed_chunks(long_docs, "doc_id", "text", 1000)
+
+
+@register(
+    "udtf-chunk-rag",
+    """
+WITH long_docs AS (SELECT doc_id, repeat(text, 5) AS text FROM documents),
+exploded AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, least(greatest(CAST(ceil((length(text)-100)/900.0) AS INT), 1), 50) - 1)) AS i
+  FROM long_docs
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       substring(text, CAST(i*900+1 AS INT), 1000) AS chunk
+FROM exploded
+""".strip(),
+    doc="Overlapping RAG chunks: 1000 chars, 100 overlap (stride 900), "
+    "≤50/doc (reference: output-transformer.md:301-330, "
+    "config/limits.yaml:166-170).",
+)
+def q_udtf_chunk_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    long_docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("repeat(text, 5)").alias("text")
+    )
+    return chunking.rag_chunks_fixed(long_docs, "doc_id", "text", 1000, 100, 50)
+
+
+@register(
+    "udtf-chunk-rag-smart",
+    None,  # order-dependent accumulation — not SQL-expressible; rows-only
+    doc="Production RAG chunker: heading-aware, code-blocks atomic, "
+    "500-1000 chars + 100 overlap via Arrow mapInPandas "
+    "(reference: output-transformer.md:301-330). Invariants are "
+    "property-tested in tests/test_chunking.py.",
+)
+def q_udtf_chunk_rag_smart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    probed = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(syn.MD_TEXT_EXPR).alias("text")
+    )
+    return chunking.rag_chunks_smart(probed, "doc_id", "text")
+
+
+@register(
+    "udf-extract-structure",
+    f"""
+WITH probed AS (SELECT doc_id, {syn.MD_TEXT_EXPR} AS ptext FROM documents)
+SELECT doc_id,
+       regexp_extract(ptext, '(?m)^# (.*)$', 1) AS title,
+       array_to_string(regexp_extract_all(ptext, '{syn.HEADING_RE}', 1), '|') AS headings,
+       CAST(len(regexp_extract_all(ptext, '{syn.HEADING_RE}', 1)) AS INTEGER) AS n_headings
+FROM probed
+""".strip(),
+    doc="Structure extraction: title + heading list from markdown "
+    "(reference: DESIGN.md:1007-1009, crawler-summarizer.md:296-306). "
+    "Pure regexp built-ins.",
+)
+def q_udf_extract_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    probed = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(syn.MD_TEXT_EXPR).alias("ptext")
+    )
+    headings = F.regexp_extract_all("ptext", F.lit(syn.HEADING_RE), 1)
+    return probed.select(
+        "doc_id",
+        F.regexp_extract("ptext", r"(?m)^# (.*)$", 1).alias("title"),
+        F.concat_ws("|", headings).alias("headings"),
+        F.size(headings).cast("int").alias("n_headings"),
+    )
+
+
+@register(
+    "udf-summarize-page",
+    """
+SELECT doc_id,
+       substring(text, 1, 200) AS summary,
+       array_to_string(string_split(text, ' ')[1:8], ' ') AS headline,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words
+FROM documents
+""".strip(),
+    doc="Extractive summarize twin: leading extract + first-8-word headline "
+    "+ token count (reference: DESIGN.md:1271-1314; deterministic fallback "
+    "per SURVEY §5 — the LLM kernel hooks in behind the same signature).",
+)
+def q_udf_summarize_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = F.split("text", " ")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring("text", 1, 200).alias("summary"),
+        F.concat_ws(" ", F.slice(words, 1, 8)).alias("headline"),
+        F.size(words).cast("int").alias("n_words"),
+    )
+
+
+@register(
+    "udf-extract-links",
+    f"""
+WITH probed AS (SELECT doc_id, {syn.LINKED_TEXT_EXPR} AS ptext FROM documents)
+SELECT doc_id,
+       coalesce(array_to_string(regexp_extract_all(ptext, '{syn.MD_LINK_RE}', 1), '|'), '') AS anchors,
+       coalesce(array_to_string(regexp_extract_all(ptext, '{syn.MD_LINK_RE}', 2), '|'), '') AS urls,
+       CAST(len(regexp_extract_all(ptext, '{syn.MD_LINK_RE}', 2)) AS INTEGER) AS n_links
+FROM probed
+""".strip(),
+    doc="Markdown link extraction → anchors + urls "
+    "(reference: agents/extractor.md:481-522).",
+)
+def q_udf_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    probed = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(syn.LINKED_TEXT_EXPR).alias("ptext")
+    )
+    pat = F.lit(syn.MD_LINK_RE)
+    return probed.select(
+        "doc_id",
+        F.concat_ws("|", F.regexp_extract_all("ptext", pat, 1)).alias("anchors"),
+        F.concat_ws("|", F.regexp_extract_all("ptext", pat, 2)).alias("urls"),
+        F.size(F.regexp_extract_all("ptext", pat, 2)).cast("int").alias("n_links"),
+    )
+
+
+@register(
+    "project-frontmatter",
+    f"""
+WITH fm_t AS (
+  SELECT doc_id,
+         '---' || {NL} || 'source: ' || source || {NL}
+         || 'title: ' || substring(text, 1, 40) || {NL} || '---' AS fm
+  FROM documents
+)
+SELECT doc_id, fm,
+       regexp_extract(fm, '(?m)^title: (.*)$', 1) AS title_parsed,
+       regexp_extract(fm, '(?m)^source: (.*)$', 1) AS source_parsed
+FROM fm_t
+""".strip(),
+    doc="Frontmatter emit + parse roundtrip (reference: "
+    "scripts/extract-jina.sh:74-83, crawler-summarizer.md:161-185).",
+)
+def q_project_frontmatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nl = F.lit("\n")
+    fm = F.concat(
+        F.lit("---"), nl,
+        F.lit("source: "), F.col("source"), nl,
+        F.lit("title: "), F.substring("text", 1, 40), nl,
+        F.lit("---"),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", fm.alias("fm"))
+        .select(
+            "doc_id",
+            "fm",
+            F.regexp_extract("fm", r"(?m)^title: (.*)$", 1).alias("title_parsed"),
+            F.regexp_extract("fm", r"(?m)^source: (.*)$", 1).alias("source_parsed"),
+        )
+    )
+
+
+@register(
+    "udf-render-markdown",
+    f"""
+WITH pages AS (SELECT doc_id, text, {PAGE_SCORE_SQL} AS relevance FROM documents)
+SELECT doc_id,
+       '# ' || substring(text, 1, 40) || {NL} || {NL}
+       || substring(text, 1, 200) || {NL} || '---' || {NL}
+       || 'relevance: ' ||
+       CASE WHEN relevance >= 9 THEN '*****' WHEN relevance >= 7 THEN '****-'
+            WHEN relevance >= 5 THEN '***--' WHEN relevance >= 3 THEN '**---'
+            ELSE '*----' END AS md
+FROM pages
+""".strip(),
+    doc="IR → markdown doc render (reference: DESIGN.md:1330-1407): "
+    "title, body extract, footer with star band. concat projection, no UDF.",
+)
+def q_udf_render_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.registry.crawl import _page_score_col
+
+    nl = F.lit("\n")
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", "text", _page_score_col().alias("relevance")
+    )
+    md = F.concat(
+        F.lit("# "), F.substring("text", 1, 40), nl, nl,
+        F.substring("text", 1, 200), nl, F.lit("---"), nl,
+        F.lit("relevance: "), scoring.stars("relevance"),
+    )
+    return pages.select("doc_id", md.alias("md"))
+
+
+@register(
+    "sink-index-report",
+    """
+SELECT source,
+       '- [' || source || '] pages=' || CAST(CAST(count(*) AS BIGINT) AS STRING)
+       || ' chars=' || CAST(CAST(sum(n_chars) AS BIGINT) AS STRING) AS line
+FROM documents GROUP BY source
+""".strip(),
+    doc="INDEX.md line rendering from aggregates "
+    "(reference: crawler-summarizer.md:188-284).",
+)
+def q_sink_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit("- ["), F.col("source"),
+                F.lit("] pages="), F.count("*").cast("string"),
+                F.lit(" chars="), F.sum("n_chars").cast("string"),
+            ).alias("line")
+        )
+    )
+
+
+@register(
+    "sink-pipe-rag",
+    """
+WITH exploded AS (
+  SELECT doc_id, source, text,
+         unnest(generate_series(0, least(greatest(CAST(ceil((length(text)-100)/900.0) AS INT), 1), 50) - 1)) AS i
+  FROM documents
+)
+SELECT CAST(doc_id AS STRING) || '_' || CAST(i AS STRING) AS id,
+       substring(text, CAST(i*900+1 AS INT), 1000) AS content,
+       '{"source":"' || source || '","section":' || CAST(i AS STRING) || '}' AS metadata
+FROM exploded
+""".strip(),
+    doc="--pipe=rag sink: chunk records {id, content, metadata} "
+    "(reference: output-transformer.md:309-320). Metadata JSON is built by "
+    "concat so both engines emit byte-identical strings (to_json key order "
+    "is engine-specific).",
+)
+def q_sink_pipe_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = chunking.rag_chunks_fixed(
+        _docs(spark, sf_dir).select("doc_id", "source", "text"),
+        "doc_id",
+        "text",
+        1000,
+        100,
+        50,
+    )
+    # rag_chunks_fixed keeps only id+chunk cols; rejoin source via doc_id
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    out = chunks.join(F.broadcast(src), "doc_id")
+    return out.select(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit("_"),
+            F.col("chunk_idx").cast("string"),
+        ).alias("id"),
+        F.col("chunk").alias("content"),
+        F.concat(
+            F.lit('{"source":"'), F.col("source"),
+            F.lit('","section":'), F.col("chunk_idx").cast("string"),
+            F.lit("}"),
+        ).alias("metadata"),
+    )

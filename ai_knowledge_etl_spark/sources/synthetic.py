@@ -115,6 +115,36 @@ OBSTACLE_TEXT_EXPR = (
 # depth surrogate for crawl operators (reference queue items carry depth 0-3)
 DEPTH_EXPR = "doc_id % 4"
 
+# Markdown-shaped probe: injects a title heading, optional sections, and an
+# occasional fenced code block (structure/render/chunk operators need real
+# markdown; the fixture corpus is a flat word stream). chr(10) == newline in
+# both dialects (escape sequences in string literals are NOT dialect-common).
+MD_TEXT_EXPR = (
+    "'# Title ' || CAST(doc_id AS STRING) || chr(10)"
+    " || substring(text, 1, 300)"
+    " || CASE doc_id % 3"
+    "      WHEN 0 THEN chr(10) || '## Section A' || chr(10) || 'alpha beta gamma'"
+    "      WHEN 1 THEN chr(10) || '### Deep dive' "
+    "      ELSE '' END"
+    " || CASE WHEN doc_id % 9 = 0"
+    "      THEN chr(10) || '```' || chr(10) || 'x = 1' || chr(10) || '```'"
+    "      ELSE '' END"
+)
+
+# Probe with embedded markdown links for udf-extract-links.
+LINKED_TEXT_EXPR = (
+    "substring(text, 1, 150)"
+    " || CASE WHEN doc_id % 2 = 0"
+    "      THEN ' [Guide](https://ex.com/g/' || CAST(doc_id AS STRING)"
+    "           || ') and [API](https://ex.com/api)'"
+    "      ELSE '' END"
+)
+
+# markdown heading matcher — single capture group (plain string: the {1,6}
+# quantifier must not pass through an f-string)
+HEADING_RE = r"(?m)^(#{1,6} .*)$"
+MD_LINK_RE = r"\[([^\]]*)\]\(([^)]*)\)"
+
 
 def with_links_columns(documents: DataFrame) -> DataFrame:
     """Spark twin of LINKS_CTE — the same expression strings via F.expr."""
