@@ -1,0 +1,184 @@
+"""Deduplication operators (north-star: BASELINE.json l.6).
+
+Four tiers, all built from Catalyst primitives so every one is
+oracle-checkable and shuffle-planned by AQE:
+
+  - exact:      md5 over normalized text → groupBy fingerprint
+  - n-gram Jaccard: word-3-gram shingles → distinct-explode → self-join on
+                (source, shingle) → |∩| / (|A|+|B|-|∩|)
+  - MinHash-LSH: k seeded min-md5 signatures → banded bucket join →
+                candidate pairs (classic shingle→minhash→band→bucket-join)
+  - SimHash:    per-bit ±1 vote over shingle md5 nibbles → 16-bit signature
+
+Scale notes (100 TB): the shingle explode multiplies rows ~60×, but shuffles
+only on (source, shingle) / (band, band_val) — bounded-width keys with good
+distribution. The self-join never goes all-pairs: candidates are co-bucketed
+first (the whole point of LSH). md5 is used instead of murmur `hash()`
+because its output is engine-portable (the differential oracle must compute
+identical signatures); swap in xxhash64 for raw speed when oracle parity
+isn't needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Whitespace-collapsed, lowercased, trimmed — the canonical dedup form."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
+
+
+def fingerprint(text: Column | str) -> Column:
+    return F.md5(normalize_text(text))
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: groups sharing a fingerprint, with the
+    sorted member list and the kept representative (min id)."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+            F.concat_ws(
+                ",", F.transform(F.sort_array(F.collect_list(id_col)), lambda x: x.cast("string"))
+            ).alias("member_ids"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc (1 row → ~|words| rows).
+    `keep` carries blocking columns (e.g. source) through the explode."""
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+    )
+    return (
+        df.select(F.col(id_col), *[F.col(c) for c in keep], F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, id_col: str, group_col: str | None, threshold: float
+) -> DataFrame:
+    """Pairwise n-gram Jaccard over a shingle table; `group_col` bounds the
+    candidate space (same-source blocking) so the join never goes all-pairs."""
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    on = [F.col(f"a.shingle") == F.col(f"b.shingle")]
+    if group_col:
+        on.append(F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+    on.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    inter = (
+        a.join(b, on)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+                4,
+            ),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str, k: int = 8
+) -> DataFrame:
+    """k seeded MinHash signatures per doc: sig_j = min(md5(j || ':' || shingle)).
+    Lexicographic min over md5 hex is engine-portable and uniform enough for
+    banding."""
+    seeded = sh.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed"),
+        F.col("shingle"),
+    )
+    return (
+        seeded.select(
+            id_col,
+            "seed",
+            F.md5(
+                F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def minhash_candidates(
+    sigs: DataFrame, id_col: str, k: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the k signatures (rows_per_band each) and bucket-join: docs
+    sharing any full band become candidate near-duplicate pairs."""
+    n_bands = k // rows_per_band
+    band_cols = []
+    for band in range(n_bands):
+        parts = [
+            F.max(
+                F.when(F.col("seed") == band * rows_per_band + j, F.col("sig"))
+            )
+            for j in range(rows_per_band)
+        ]
+        band_cols.append(F.concat(*parts).alias(f"band{band}"))
+    banded = sigs.groupBy(id_col).agg(*band_cols)
+
+    pairs = None
+    for band in range(n_bands):
+        a = banded.select(
+            F.col(id_col).alias("doc_a"), F.col(f"band{band}").alias("bv")
+        )
+        b = banded.select(
+            F.col(id_col).alias("doc_b"), F.col(f"band{band}").alias("bv")
+        )
+        p = a.join(b, "bv").where(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def simhash16(sh: DataFrame, id_col: str) -> DataFrame:
+    """16-bit SimHash: bit i = sign of Σ_shingles (top bit of md5 nibble i
+    ? +1 : -1). Returned as a 16-char '0'/'1' string (engine-portable —
+    no 64-bit integer bit ops needed)."""
+    hashed = sh.select(F.col(id_col), F.md5("shingle").alias("h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.substring("h", i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(16)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    bits = F.concat(
+        *[F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(16)]
+    )
+    return agg.select(F.col(id_col), bits.alias("simhash"))

@@ -1,7 +1,398 @@
-"""North-star LLM-data-pipeline operators: dedup, similarity search,
-text analysis, multimodal columns (BASELINE.json north_star).
+"""North-star LLM-data-pipeline operators: dedup, similarity search, text
+analysis (BASELINE.json north_star). Parity conventions per registry/crawl.py.
 
-Populated in build waves — see registry/crawl.py for parity conventions.
+The dedup corpus injects exact duplicates (+200000 ids) and near-duplicates
+(+100000 ids, mutated tail) so every dedup tier has true positives; the
+derivation is dialect-common SQL evaluated by both engines.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_knowledge_etl_spark.functions import text as TX
+from ai_knowledge_etl_spark.operators import dedup, similarity
+from ai_knowledge_etl_spark.registry import register
+from ai_knowledge_etl_spark.sources.catalog import load_table
+
+DUP_CORPUS_CTE = """
+dup_corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, source,
+         text || ' near duplicate tail marker' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, source, text
+  FROM documents WHERE doc_id % 25 = 0
+)
+""".strip()
+
+# word-3-gram distinct shingles over the dup corpus (DuckDB side)
+SHINGLES_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, source, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM (
+    SELECT doc_id, source, string_split(text, ' ') AS words,
+           unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i
+    FROM dup_corpus
+  )
+)
+""".strip()
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of DUP_CORPUS_CTE."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    near = (
+        d.where("doc_id % 10 = 0")
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "source",
+            F.concat("text", F.lit(" near duplicate tail marker")).alias("text"),
+        )
+    )
+    exact = d.where("doc_id % 25 = 0").select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "source", "text"
+    )
+    return d.unionByName(near).unionByName(exact)
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.shingles(
+        _dup_corpus(spark, sf_dir), "doc_id", "text", n=3, keep=("source",)
+    )
+
+
+# --- dedup family ---------------------------------------------------------------
+
+
+@register(
+    "dedup-exact",
+    f"""
+WITH {DUP_CORPUS_CTE},
+fps AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM dup_corpus
+)
+SELECT fp, CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       array_to_string(list_transform(list_sort(list(doc_id)), x -> CAST(x AS STRING)), ',')
+         AS member_ids
+FROM fps GROUP BY fp HAVING count(*) > 1
+""".strip(),
+    doc="Exact dedup: hash-groupBy on md5(normalized text), keep min id "
+    "(north-star baseline; the reference's at-most-once URL visits are the "
+    "same shape, crawler-queue.sh:36-41).",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicate_groups(
+        _dup_corpus(spark, sf_dir), "doc_id", "text"
+    )
+
+
+@register(
+    "dedup-ngram-jaccard",
+    f"""
+WITH {DUP_CORPUS_CTE}, {SHINGLES_CTE},
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter,
+       round(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 4) AS jaccard
+FROM inter
+JOIN counts ca ON doc_a = ca.doc_id
+JOIN counts cb ON doc_b = cb.doc_id
+WHERE round(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 4) >= 0.6
+""".strip(),
+    doc="n-gram Jaccard near-dup pairs: distinct 3-gram shingles → "
+    "same-source blocked self-join → |∩|/|∪| ≥ 0.6. Blocking keeps the join "
+    "equi-key — never all-pairs (north-star dedup tier 2).",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.jaccard_pairs(
+        _shingles(spark, sf_dir), "doc_id", "source", threshold=0.6
+    )
+    return pairs.select("doc_a", "doc_b", "inter", "jaccard")
+
+
+_MINHASH_BANDS_SQL = ",\n    ".join(
+    f"max(CASE WHEN seed = {2 * b} THEN sig END)"
+    f" || max(CASE WHEN seed = {2 * b + 1} THEN sig END) AS band{b}"
+    for b in range(4)
+)
+_MINHASH_CAND_SQL = "\n  UNION ALL\n  ".join(
+    f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a"
+    f" JOIN banded b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+    for b in range(4)
+)
+
+
+@register(
+    "dedup-minhash",
+    f"""
+WITH {DUP_CORPUS_CTE}, {SHINGLES_CTE},
+seeded AS (
+  SELECT doc_id, unnest(generate_series(0, 7)) AS seed, shingle FROM sh
+),
+sigs AS (
+  SELECT doc_id, seed,
+         min(md5(CAST(seed AS STRING) || ':' || shingle)) AS sig
+  FROM seeded GROUP BY doc_id, seed
+),
+banded AS (
+  SELECT doc_id,
+    {_MINHASH_BANDS_SQL}
+  FROM sigs GROUP BY doc_id
+),
+cands AS (
+  {_MINHASH_CAND_SQL}
+)
+SELECT DISTINCT doc_a, doc_b FROM cands
+""".strip(),
+    doc="MinHash-LSH candidate pairs: 8 seeded min-md5 signatures → 4 bands "
+    "of 2 → bucket join per band → distinct pairs. Engine-portable md5 "
+    "signatures make the full LSH pipeline oracle-checkable "
+    "(north-star dedup tier 3; swap xxhash64 when parity isn't needed).",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signatures(_shingles(spark, sf_dir), "doc_id", k=8)
+    return dedup.minhash_candidates(sigs, "doc_id", k=8, rows_per_band=2)
+
+
+_SIMHASH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+_SIMHASH_VOTES_SQL = ",\n    ".join(
+    "sum(CASE WHEN substring(md5(shingle), %d, 1) IN ('%s') THEN 1 ELSE -1 END) AS v%d"
+    % (i + 1, "','".join(_SIMHASH_HEX), i)
+    for i in range(16)
+)
+_SIMHASH_BITS_SQL = " || ".join(
+    f"CASE WHEN v{i} > 0 THEN '1' ELSE '0' END" for i in range(16)
+)
+
+
+@register(
+    "dedup-simhash",
+    f"""
+WITH {DUP_CORPUS_CTE}, {SHINGLES_CTE},
+votes AS (
+  SELECT doc_id,
+    {_SIMHASH_VOTES_SQL}
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash
+FROM votes
+""".strip(),
+    doc="16-bit SimHash per doc: per-bit ±1 votes over shingle md5 nibbles "
+    "(north-star dedup tier 4; near-dups land at small Hamming distance).",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash16(_shingles(spark, sf_dir), "doc_id")
+
+
+# --- similarity search -----------------------------------------------------------
+
+_COS_SQL = """
+list_sum(list_transform(generate_series(1, len(e.embedding)),
+         i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+   * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+""".strip()
+
+
+@register(
+    "similarity-topk",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 4) AS cos_sim, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= 10
+""".strip(),
+    doc="Brute-force cosine top-10 per query vector (north-star ANN "
+    "baseline): broadcast queries × corpus, JVM-side zip_with fold, "
+    "per-query ranking window.",
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(
+        emb.select("vec_id", "embedding"), queries, k=10
+    )
+
+
+_BUCKET_SQL = " + ".join(
+    f"CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END" for i in range(8)
+)
+
+
+@register(
+    "similarity-lsh-bucketed",
+    f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS INTEGER) AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, bucket FROM bucketed WHERE vec_id < 20
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_COS_SQL.replace("q.qe", "q.qe").replace("e.embedding", "e.embedding")} AS cos
+  FROM bucketed e JOIN q ON e.bucket = q.bucket
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 4) AS cos_sim, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= 5
+""".strip(),
+    doc="Sign-LSH bucketed approximate top-5: candidates share the query's "
+    "8-plane sign bucket, so the join is equi-key on a small int — the "
+    "100 TB path (north-star ANN scale tier).",
+)
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(emb, queries, k=5, n_planes=8)
+
+
+# --- text analysis ----------------------------------------------------------------
+
+
+@register(
+    "udf-text-stats",
+    """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS char_count,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS word_count,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS distinct_words,
+       round(length(regexp_replace(text, '\\s+', '', 'g'))
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 3) AS avg_word_len
+FROM documents
+""".strip(),
+    doc="Quality-scoring features: char/word/distinct-word counts, mean "
+    "token length (north-star text analysis).",
+)
+def q_udf_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = F.split("text", " ")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("char_count"),
+        F.size(words).cast("int").alias("word_count"),
+        F.size(F.array_distinct(words)).cast("int").alias("distinct_words"),
+        F.round(
+            F.length(F.regexp_replace("text", r"\s+", ""))
+            / F.size(words).cast("double"),
+            3,
+        ).alias("avg_word_len"),
+    )
+
+
+_LANG_COUNTS_SQL = ",\n    ".join(
+    f"len(regexp_extract_all(lower(text), '({probe})', 1)) AS c_{lang}"
+    for lang, probe in TX.LANG_PROBES.items()
+)
+_LANG_BEST_SQL = "greatest(" + ", ".join(f"c_{lang}" for lang in TX.LANG_PROBES) + ")"
+_LANG_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN c_{lang} = best AND best > 0 THEN '{lang}'" for lang in TX.LANG_PROBES
+    )
+    + " ELSE 'und' END"
+)
+
+
+@register(
+    "udf-lang-detect",
+    f"""
+WITH counts AS (
+  SELECT doc_id, lang,
+    {_LANG_COUNTS_SQL}
+  FROM documents
+),
+best_t AS (SELECT *, {_LANG_BEST_SQL} AS best FROM counts)
+SELECT doc_id, lang, {_LANG_CASE_SQL} AS guess,
+       CAST(({_LANG_CASE_SQL}) = lang AS BOOLEAN) AS is_correct
+FROM best_t
+""".strip(),
+    doc="Heuristic stopword-probe language ID vs the lang ground-truth "
+    "column (north-star text analysis; n-gram heuristic tier — a model UDF "
+    "slots behind the same signature).",
+)
+def q_udf_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    guess = TX.lang_guess("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        guess.alias("guess"),
+        (guess == F.col("lang")).alias("is_correct"),
+    )
+
+
+@register(
+    "udf-token-count",
+    """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)) AS INTEGER)
+         AS bpe_ish_tokens,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens
+FROM documents
+""".strip(),
+    doc="Token counting: whitespace + BPE-ish regex segmentation "
+    "(north-star text analysis).",
+)
+def q_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])"), 1
+            )
+        )
+        .cast("int")
+        .alias("bpe_ish_tokens"),
+        F.size(F.split("text", " ")).cast("int").alias("ws_tokens"),
+    )
+
+
+@register(
+    "doc-fingerprint",
+    """
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+       md5(substring(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 64)) AS prefix_fp
+FROM documents
+""".strip(),
+    doc="Document fingerprinting: full + 64-char-prefix md5 over normalized "
+    "text (north-star text analysis; prefix fp catches truncation dups).",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = dedup.normalize_text("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.md5(F.substring(norm, 1, 64)).alias("prefix_fp"),
+    )

@@ -1,6 +1,218 @@
 """Event-time / iterative dataflow operators (SURVEY §2.J).
 
-Populated in build waves — see registry/crawl.py for parity conventions.
+Batch twins of the streaming operators are registered with oracles (integer
+second arithmetic is engine-portable); the native Structured Streaming
+variants (watermark, session_window, AvailableNow) run in
+tests/test_streaming.py. The crawl frontier loop is checked against a
+recursive-CTE oracle — a driver loop vs WITH RECURSIVE, same fixpoint.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_knowledge_etl_spark.registry import register
+from ai_knowledge_etl_spark.sources import synthetic as syn
+from ai_knowledge_etl_spark.sources.catalog import load_table
+from ai_knowledge_etl_spark.streaming import events as EV
+from ai_knowledge_etl_spark.streaming import frontier, politeness
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "stream-session-events",
+    """
+SELECT (epoch_ns(ts) // 1000000000 // 600) * 600 AS window_start_s,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""".strip(),
+    doc="Tumbling 10-min event-time windows (SURVEY §2.J; the streaming-"
+    "native variant with watermark runs in tests/test_streaming.py).",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.tumbling_counts(_events(spark, sf_dir), 600)
+
+
+@register(
+    "stream-sliding-window",
+    """
+WITH exploded AS (
+  SELECT event_type, value,
+         unnest(generate_series(0, 1)) AS off,
+         epoch_ns(ts) // 1000000000 // 300 AS slot
+  FROM events
+)
+SELECT (slot - off) * 300 AS window_start_s,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM exploded GROUP BY 1
+""".strip(),
+    doc="Sliding windows (10 min / 5 min): explode each event into the "
+    "windows containing it, then hash-aggregate.",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.sliding_counts(_events(spark, sf_dir), 600, 300)
+
+
+@register(
+    "stream-session-window",
+    """
+WITH secs AS (
+  SELECT user_id, event_id, value, epoch_ns(ts) // 1000000000 AS sec FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN sec - lag(sec) OVER
+                  (PARTITION BY user_id ORDER BY sec ASC, event_id ASC) > 1800
+                 THEN 1 ELSE 0 END AS new_session
+  FROM secs
+),
+sess AS (
+  SELECT *, CAST(sum(new_session) OVER
+                  (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+            AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       CAST(min(sec) AS BIGINT) AS session_start_s,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, session_id
+""".strip(),
+    doc="Gap-based sessionization (30-min gap) via lag + running conditional "
+    "sum — the batch twin of session_window (SURVEY §2.J).",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.session_windows(_events(spark, sf_dir), 1800)
+
+
+_BFS_ORACLE = """
+WITH RECURSIVE
+edges AS (
+  SELECT doc_id % 50 AS src, doc_id AS dst FROM documents
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * 7 + 13) % (SELECT count(*) FROM documents) AS dst
+  FROM documents
+),
+bfs(doc_id, depth) AS (
+  SELECT doc_id, 0 AS depth FROM documents WHERE doc_id < 3
+  UNION
+  SELECT e.dst, b.depth + 1 FROM bfs b JOIN edges e ON e.src = b.doc_id
+  WHERE b.depth < 3
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(min(depth) AS INTEGER) AS depth
+FROM bfs GROUP BY doc_id
+""".strip()
+
+
+def _bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n = docs.count()  # corpus size — same scalar the oracle's subquery computes
+    edges = docs.select(
+        F.expr("doc_id % 50").alias("src"), F.col("doc_id").alias("dst")
+    ).unionByName(
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.expr(f"(doc_id * 7 + 13) % {n}").alias("dst"),
+        )
+    )
+    seeds = docs.where("doc_id < 3").select("doc_id")
+    return frontier.bfs_frontier(edges, seeds, max_depth=3)
+
+
+@register(
+    "stream-crawl-frontier",
+    _BFS_ORACLE,
+    doc="Stateful crawl frontier: batch-iterative min-depth BFS over the "
+    "parent-link graph from 3 seed pages, depth ≤ 3 (reference: "
+    "commands/extract.md:761-831). Oracle: the equivalent WITH RECURSIVE "
+    "fixpoint — a driver loop and a recursive CTE must agree exactly.",
+)
+def q_stream_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bfs(spark, sf_dir)
+
+
+@register(
+    "stream-stop-conditions",
+    _BFS_ORACLE + "\nORDER BY depth ASC, doc_id ASC\nLIMIT 20",
+    doc="Stop conditions: page budget cap over the crawl expansion order "
+    "(reference: commands/extract.md:770 — queue empty ∨ processed ≥ "
+    "max_pages; budget enforced on accumulated visited count).",
+)
+def q_stream_stop_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bfs(spark, sf_dir).orderBy(F.asc("depth"), F.asc("doc_id")).limit(20)
+
+
+@register(
+    "stream-visited-state",
+    f"""
+WITH RECURSIVE
+edges AS (
+  SELECT doc_id % 50 AS src, doc_id AS dst FROM documents
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * 7 + 13) % (SELECT count(*) FROM documents) AS dst
+  FROM documents
+),
+bfs(doc_id, depth) AS (
+  SELECT doc_id, 0 AS depth FROM documents WHERE doc_id < 3
+  UNION
+  SELECT e.dst, b.depth + 1 FROM bfs b JOIN edges e ON e.src = b.doc_id
+  WHERE b.depth < 3
+),
+mind AS (SELECT doc_id, CAST(min(depth) AS INTEGER) AS depth FROM bfs GROUP BY doc_id),
+per_wave AS (SELECT depth, CAST(count(*) AS BIGINT) AS n_new FROM mind GROUP BY depth)
+SELECT depth, n_new,
+       CAST(sum(n_new) OVER (ORDER BY depth ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS visited_total
+FROM per_wave
+""".strip(),
+    doc="Monotone visited-set growth per crawl wave "
+    "(reference: scripts/crawler-queue.sh:115-176).",
+)
+def q_stream_visited_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_wave = _bfs(spark, sf_dir).groupBy("depth").agg(
+        F.count("*").alias("n_new")
+    )
+    w = Window.orderBy(F.asc("depth")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_wave.select(
+        "depth",
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("visited_total"),
+    )
+
+
+@register(
+    "stream-rate-limit",
+    f"""
+WITH {syn.LINKS_CTE},
+urls AS (
+  SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS domain, url FROM links
+)
+SELECT domain, url,
+       CAST(row_number() OVER (PARTITION BY domain ORDER BY url ASC) AS INTEGER) AS rn,
+       (CAST(row_number() OVER (PARTITION BY domain ORDER BY url ASC) AS INTEGER) - 1)
+         * 2.0 AS send_offset_s
+FROM urls
+""".strip(),
+    doc="Politeness pacing plan: per-domain request position × 2 s interval "
+    "(reference: config/limits.yaml:105). Executor-side token-bucket "
+    "enforcement lives in streaming/politeness.rate_limited_fetch.",
+)
+def q_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.functions import urls as U
+
+    links = syn.with_links_columns(_docs(spark, sf_dir))
+    urls_df = links.select(U.domain("url").alias("domain"), "url")
+    return politeness.pacing_schedule(urls_df, "domain", "url", 2.0)

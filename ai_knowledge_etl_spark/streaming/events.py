@@ -1,0 +1,134 @@
+"""Event-time windowed operators over the `events` stream stand-in
+(SURVEY §2.J stream-session-events; no reference analog — the crawl has
+wall-clock stamps only, crawler-queue.sh:131).
+
+`ts` arrives as int64 epoch nanoseconds (see sources/catalog.py). The batch
+operators below use integer second arithmetic (engine-portable for the
+oracle); the Structured Streaming variants use the native `window`/
+`session_window`/`withWatermark` built-ins over a proper timestamp and are
+exercised in tests/test_streaming.py with Trigger.AvailableNow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+NS = 1_000_000_000
+
+
+def ts_seconds() -> Column:
+    """Integer epoch seconds from the ns column — `div` keeps it exact
+    (a double round-trip would lose precision above 2^53 ns)."""
+    return F.expr(f"ts div {NS}")
+
+
+def tumbling_counts(events: DataFrame, width_s: int = 600) -> DataFrame:
+    """Tumbling windows: (window_start_s, event_type) → count, sum(value)."""
+    win = (F.expr(f"ts div {NS} div {width_s}") * width_s).alias("window_start_s")
+    return (
+        events.groupBy(win, "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width_s: int = 600, slide_s: int = 300
+) -> DataFrame:
+    """Sliding windows via explode over the window offsets each event
+    belongs to (width/slide assignments per event)."""
+    n_offsets = width_s // slide_s
+    exploded = events.select(
+        "event_type",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(n_offsets - 1))).alias("off"),
+        F.expr(f"ts div {NS} div {slide_s}").alias("slot"),
+    ).select(
+        "event_type",
+        "value",
+        ((F.col("slot") - F.col("off")) * slide_s).alias("window_start_s"),
+    )
+    return exploded.groupBy("window_start_s").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+def session_windows(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Gap-based sessionization per user: a new session starts when the gap
+    to the previous event exceeds `gap_s`. lag + running conditional sum —
+    the batch twin of `session_window` in Structured Streaming."""
+    # order by (sec, event_id), not raw ns — the oracle sees only seconds, so
+    # same-second ties must break identically in both engines
+    w_order = Window.partitionBy("user_id").orderBy(F.asc("sec"), F.asc("event_id"))
+    with_gap = events.select(
+        "user_id", "event_id", "value", ts_seconds().alias("sec")
+    ).withColumn(
+        "new_session",
+        F.when(
+            (F.col("sec") - F.lag("sec").over(w_order)) > gap_s, 1
+        ).otherwise(0),
+    )
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = with_gap.withColumn(
+        "session_id", F.sum("new_session").over(w_run).cast("int")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("sec").cast("bigint").alias("session_start_s"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+# --- Structured Streaming variants (tested with Trigger.AvailableNow) ----------
+
+
+def with_event_time(events: DataFrame) -> DataFrame:
+    """ns epoch → proper TimestampType column for native streaming windows."""
+    return events.withColumn(
+        "event_time", F.timestamp_seconds(F.expr(f"ts div {NS}"))
+    )
+
+
+def streaming_tumbling_counts(
+    stream: DataFrame, width: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Native streaming tumbling window with a watermark for late data
+    (SURVEY §2.J coverage note: watermarking is a Spark built-in)."""
+    return (
+        with_event_time(stream)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", width).alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def streaming_session_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "60 minutes"
+) -> DataFrame:
+    """Native streaming session windows (session_window + watermark)."""
+    return (
+        with_event_time(stream)
+        .withWatermark("event_time", watermark)
+        .groupBy(
+            F.session_window("event_time", gap).alias("win"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"), "user_id", "n_events"
+        )
+    )

@@ -1,0 +1,60 @@
+"""Batch-iterative crawl frontier (reference: commands/extract.md:761-831,
+crawler-coordinator.md:180-246).
+
+Pregel-style driver loop over DataFrames: each wave expands the frontier
+through the link-edge table, anti-joins the visited set, and stops on an
+empty frontier, the depth cap, or the page budget — the reference's
+`queue empty ∨ processed ≥ max_pages` stop conditions
+(commands/extract.md:770, config/limits.yaml:101-104).
+
+Scale notes (100 TB): per-wave state is two DataFrames (frontier, visited);
+`localCheckpoint` truncates lineage so wave N+1 doesn't replay waves 1..N.
+The visited anti-join shuffles on the id — at web scale partition both sides
+by id once and reuse the partitioning across waves. The depth cap bounds the
+loop; the page budget is enforced on the *accumulated* count, exactly like
+the reference's session cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ai_knowledge_etl_spark import config
+
+
+def bfs_frontier(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = config.MAX_DEPTH,
+    max_pages: int | None = None,
+) -> DataFrame:
+    """Min-depth BFS: `edges(src, dst)`, `seeds(doc_id)` → (doc_id, depth).
+
+    Equivalent to the SQL recursive CTE
+        WITH RECURSIVE bfs AS (seeds at 0 UNION step while depth < max)
+        SELECT doc_id, min(depth) ...
+    which is exactly how the DuckDB oracle checks it.
+    """
+    visited = seeds.select(
+        F.col("doc_id"), F.lit(0).cast("int").alias("depth")
+    ).localCheckpoint()
+    frontier = visited
+    depth = 0
+    while depth < max_depth:
+        nxt = (
+            edges.join(frontier, edges.src == frontier.doc_id)
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+            .join(visited.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.lit(depth + 1).cast("int").alias("depth"))
+        )
+        nxt = nxt.localCheckpoint()  # truncate lineage per wave
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+        depth += 1
+        if max_pages is not None and visited.count() >= max_pages:
+            break
+    return visited

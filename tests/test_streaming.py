@@ -1,0 +1,156 @@
+"""Native Structured Streaming coverage (SURVEY §2.J): the batch operators
+are oracle-checked in the registry; here the *streaming* variants run with
+Trigger.AvailableNow against the same data and must agree with batch — the
+Structured Streaming correctness property (prefix-consistent incremental
+execution of the same query)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_knowledge_etl_spark.sources.catalog import load_table
+from ai_knowledge_etl_spark.streaming import events as EV
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir, tmp_path_factory):
+    batch = load_table(spark, sf_dir, "events")
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    batch.write.mode("overwrite").parquet(path)
+    return (
+        spark.readStream.schema(batch.schema).parquet(path),
+        batch,
+    )
+
+
+def _run_available_now(sdf, name: str, spark):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_tumbling_matches_batch(spark, events_stream):
+    stream, batch = events_stream
+    got = _run_available_now(
+        EV.streaming_tumbling_counts(stream), "t_tumble", spark
+    ).collect()
+    want = EV.streaming_tumbling_counts(batch).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+
+
+def test_streaming_session_matches_batch(spark, events_stream):
+    stream, batch = events_stream
+    got = _run_available_now(
+        EV.streaming_session_counts(stream), "t_sess", spark
+    ).collect()
+    want = EV.streaming_session_counts(batch).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late rows beyond the watermark are discarded in update mode: feed two
+    micro-batches where the second is older than watermark allows."""
+    import pandas as pd
+
+    p1 = str(tmp_path / "b1")
+    p2 = str(tmp_path / "b2")
+    schema = "event_time timestamp, k string"
+    on_time = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_time": pd.to_datetime(
+                    ["2024-01-01 10:00:00", "2024-01-01 12:00:00"]
+                ),
+                "k": ["a", "a"],
+            }
+        ),
+        schema,
+    )
+    on_time.write.mode("overwrite").parquet(p1)
+
+    stream = spark.readStream.schema(on_time.schema).parquet(str(tmp_path), pathGlobFilter="*.parquet", recursiveFileLookup="true")
+    agg = (
+        stream.withWatermark("event_time", "10 minutes")
+        .groupBy(F.window("event_time", "10 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only windows older than the watermark: the 10:00
+    # window is closed by the 12:00 event, the 12:00 window is not emitted
+    rows = spark.sql("SELECT * FROM t_late").collect()
+    starts = {r["window"]["start"].isoformat() for r in rows}
+    assert "2024-01-01T10:00:00" in starts
+    assert "2024-01-01T12:00:00" not in starts
+
+
+def test_stateful_running_count(spark, events_stream):
+    """Custom stateful operator via applyInPandasWithState: running per-user
+    event count (the visited-set state shape of the crawl loop)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream, batch = events_stream
+
+    def count_fn(key, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [total]})
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        count_fn,
+        outputStructType="user_id long, n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: r["n"]
+        for r in spark.sql(
+            "SELECT user_id, max(n) AS n FROM t_state GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: r["n"]
+        for r in batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_frontier_terminates_and_respects_budget(spark, sf_dir):
+    from ai_knowledge_etl_spark.streaming.frontier import bfs_frontier
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = docs.selectExpr("doc_id % 50 AS src", "doc_id AS dst")
+    seeds = docs.where("doc_id < 3").select("doc_id")
+    out = bfs_frontier(edges, seeds, max_depth=3, max_pages=10)
+    rows = out.collect()
+    assert 3 <= len(rows)  # at least the seeds
+    assert max(r["depth"] for r in rows) <= 3
+    # budget stops expansion after the wave that crossed it
+    assert len(rows) < 100
