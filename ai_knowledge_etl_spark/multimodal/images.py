@@ -1,0 +1,148 @@
+"""Image pipeline over binary columns (reference: commands/extract.md:470-546,
+scripts/compress-image.mjs:49-97, agents/image-analyzer.md).
+
+Everything metadata-shaped (magic-byte validation, size gates, fallback-tier
+selection, categorization) is pure column expressions on the BinaryType
+column — JVM-side, no decode needed. Actual pixel work (PIL/ffmpeg) is
+import-gated: absent the library, `decode_image` raises NotImplementedError
+and the deterministic stubs keep the pipeline testable end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_knowledge_etl_spark import config
+
+# magic-byte prefixes, hex (reference: commands/extract.md:538-546 verifies
+# downloaded bytes before use)
+MAGIC = {
+    "png": "89504E47",
+    "jpeg": "FFD8FF",
+    "gif": "47494638",
+    "webp": "52494646",
+}
+
+IMAGE_CATEGORIES = (
+    "architecture_diagram",
+    "flowchart",
+    "screenshot",
+    "chart",
+    "table_image",
+    "code_snippet",
+    "photo",
+    "decorative",
+)
+
+
+def scan_images(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """binaryFile scan → (path, modificationTime, length, content binary)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+
+
+def image_format(content: Column | str) -> Column:
+    """Sniff format from magic bytes — pure column expr over binary."""
+    c = F.col(content) if isinstance(content, str) else content
+    h = F.upper(F.hex(F.substring(c, 1, 4)))
+    expr = F.lit("invalid")
+    for fmt, magic in reversed(list(MAGIC.items())):
+        expr = F.when(h.startswith(magic), F.lit(fmt)).otherwise(expr)
+    return expr
+
+
+def is_valid_image(content: Column | str) -> Column:
+    return image_format(content) != "invalid"
+
+
+def classify_image_stub(content: Column | str) -> Column:
+    """Deterministic 8-class categorization stub (reference:
+    DESIGN.md:1133-1141): crc32 of bytes → category. A vision-model pandas
+    UDF slots behind the same (binary → category string) signature."""
+    c = F.col(content) if isinstance(content, str) else content
+    idx = F.crc32(c) % len(IMAGE_CATEGORIES)
+    expr = F.lit(IMAGE_CATEGORIES[0])
+    for i, cat in list(enumerate(IMAGE_CATEGORIES))[1:]:
+        expr = F.when(idx == i, F.lit(cat)).otherwise(expr)
+    return expr
+
+
+def compress_tier(length: Column | str) -> Column:
+    """Fallback-chain tier selection 800→640→480→400 px (reference:
+    compress-image.mjs:49-97, content-safeguard limits.yaml:4-9): pick the
+    first tier whose projected size fits the 100 KB target (300 KB fallback).
+    Deterministic size model: projected = length / (800/tier)^2."""
+    n = (F.col(length) if isinstance(length, str) else length).cast("double")
+    tiers = (800, 640, 480, 400)
+    expr = F.lit(0)  # 0 = give up → SKIP strategy
+    for t in reversed(tiers):
+        projected = n * (t * t) / (800.0 * 800.0)
+        expr = F.when(
+            projected <= 100_000, F.lit(t)
+        ).otherwise(expr)
+    # last-chance 300 KB cap at the smallest tier
+    expr = F.when(
+        (expr == 0) & (n * (400.0 * 400.0) / (800.0 * 800.0) <= 300_000),
+        F.lit(400),
+    ).otherwise(expr)
+    return expr.cast("int")
+
+
+def describe_images_stub(
+    images: DataFrame, content_col: str = "content", path_col: str = "path"
+) -> DataFrame:
+    """Anti-fabrication describe (reference: image-analyzer.md:193-240):
+    valid images get a deterministic structural description; invalid bytes
+    get an ERROR RECORD — never a made-up description. mapInPandas so a
+    model batch-inference kernel can drop in with the same schema."""
+    schema = f"{path_col} string, description string, error string"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"path": [], "description": [], "error": []}
+            for path, blob in zip(pdf[path_col], pdf[content_col]):
+                out["path"].append(path)
+                raw = bytes(blob) if blob is not None else b""
+                fmt = next(
+                    (
+                        f
+                        for f, m in MAGIC.items()
+                        if raw[:4].hex().upper().startswith(m[:8])
+                    ),
+                    None,
+                )
+                if fmt is None:
+                    out["description"].append(None)
+                    out["error"].append("E003: unreadable image (bad magic)")
+                else:
+                    out["description"].append(
+                        f"[{fmt} image, {len(raw)} bytes]"
+                    )
+                    out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    return images.select(path_col, content_col).mapInPandas(gen, schema)
+
+
+def decode_image(content: bytes) -> "object":
+    """Pixel decode — requires an imaging library this container does not
+    ship. The pipeline's metadata path never needs it; plug PIL in here."""
+    try:
+        from PIL import Image  # type: ignore
+        import io
+
+        return Image.open(io.BytesIO(content))
+    except ImportError as e:
+        raise NotImplementedError(
+            "pixel decode needs PIL/pillow (not available in this container); "
+            "metadata-level operators (validation, tiering, categorization) "
+            "work without it"
+        ) from e

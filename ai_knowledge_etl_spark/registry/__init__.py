@@ -52,6 +52,7 @@ def _load_all() -> None:
         northstar,
         planning,
         relational,
+        sources_sinks,
         streaming,
         text_pipeline,
     )

@@ -1,0 +1,236 @@
+"""Scans, sinks, and remaining inventory coverage (SURVEY §2.A + stragglers:
+join-tree-parent-child, agg-visited-count, udf-embed-text,
+dedup-embedding-cosine)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_knowledge_etl_spark.operators import sinks, similarity
+from ai_knowledge_etl_spark.registry import register
+from ai_knowledge_etl_spark.sources import detect
+from ai_knowledge_etl_spark.sources import synthetic as syn
+from ai_knowledge_etl_spark.sources.catalog import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+RAW_INPUT_EXPR = """
+CASE doc_id % 4
+  WHEN 0 THEN 'https://' || source || '.example.com/page'
+  WHEN 1 THEN '/data/files/' || source || '.md'
+  WHEN 2 THEN '/data/files/' || source || '/*.md'
+  ELSE '/data/' || source || '/' END
+""".strip()
+
+
+@register(
+    "scan-input-detect",
+    f"""
+WITH raws AS (SELECT doc_id, {RAW_INPUT_EXPR} AS raw FROM documents)
+SELECT doc_id, raw,
+       CASE WHEN raw LIKE 'http%' THEN 'url'
+            WHEN raw LIKE '%*%' THEN 'glob'
+            WHEN raw LIKE '%/' THEN 'directory'
+            ELSE 'file' END AS input_type
+FROM raws
+""".strip(),
+    doc="Input classification url/glob/directory/file "
+    "(reference: DESIGN.md:492-513); sources/detect.resolve dispatches to "
+    "the matching Spark reader.",
+)
+def q_scan_input_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raws = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(RAW_INPUT_EXPR).alias("raw")
+    )
+    return raws.withColumn("input_type", detect.classify_input("raw"))
+
+
+@register(
+    "join-tree-parent-child",
+    """
+SELECT d.doc_id,
+       CAST(d.doc_id // 10 AS BIGINT) AS parent_id,
+       CAST(d.doc_id // 100 AS BIGINT) AS grandparent_id,
+       CAST(d.doc_id // 100 AS STRING) || '/' || CAST(d.doc_id // 10 AS STRING)
+         || '/' || CAST(d.doc_id AS STRING) AS tree_path
+FROM documents d
+""".strip(),
+    doc="Knowledge-map tree: pages self-related on parent links, two levels "
+    "up + materialized path (reference: crawler-summarizer.md:317-341; "
+    "parent = id div 10 — a proper tree, unlike the modular edges).",
+)
+def q_join_tree_parent_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    p = F.expr("doc_id div 10")
+    gp = F.expr("doc_id div 100")
+    return d.select(
+        "doc_id",
+        p.cast("bigint").alias("parent_id"),
+        gp.cast("bigint").alias("grandparent_id"),
+        F.concat(
+            gp.cast("string"), F.lit("/"), p.cast("string"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("tree_path"),
+    )
+
+
+@register(
+    "agg-visited-count",
+    f"""
+WITH {syn.VISITED_CTE}
+SELECT CAST(count(*) AS BIGINT) AS visited_count FROM visited
+""".strip(),
+    doc="Visited-set count maintained on insert "
+    "(reference: scripts/crawler-queue.sh:144-148).",
+)
+def q_agg_visited_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return syn.visited_urls(_docs(spark, sf_dir)).agg(
+        F.count("*").alias("visited_count")
+    )
+
+
+@register(
+    "sink-markdown-pages",
+    """
+SELECT 'pages/' || lpad(CAST(doc_id AS STRING), 3, '0') || '_' || source || '.md' AS path,
+       text AS content,
+       substring(text, 1, 500) AS summary
+FROM documents
+""".strip(),
+    doc="Per-page sink rows (path, content, 500-char summary sidecar) "
+    "(reference: agents/extractor.md:376-384). Stays columnar until a local "
+    "export — parquet is the canonical sink (operators/sinks.py).",
+)
+def q_sink_markdown_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sinks.markdown_page_rows(_docs(spark, sf_dir))
+
+
+@register(
+    "sink-pipe-json",
+    """
+SELECT '{"doc_id":' || CAST(doc_id AS STRING) || ',"source":"' || source
+       || '","n_chars":' || CAST(n_chars AS STRING) || '}' AS record
+FROM documents
+""".strip(),
+    doc="--pipe=json sink: stable-key-order JSON records "
+    "(reference: agents/output-transformer.md:140-370).",
+)
+def q_sink_pipe_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sinks.pipe_json(_docs(spark, sf_dir))
+
+
+# deterministic 8-dim text embedding: ascii codes sampled from the
+# normalized text (a stub embedder — a model UDF slots behind the same
+# signature; what matters is the array<double> column contract)
+_EMB_DIMS = 8
+_EMBED_SQL = (
+    "["
+    + ", ".join(
+        f"(ascii(substring(text, {i * 3 + 1}, 1)) % 32) / 32.0 + {i}.0 / {_EMB_DIMS}"
+        for i in range(_EMB_DIMS)
+    )
+    + "]"
+)
+
+
+@register(
+    "udf-embed-text",
+    f"""
+SELECT doc_id, {_EMBED_SQL} AS embedding
+FROM documents
+""".strip(),
+    doc="Deterministic text → array<double> embedding stub (north-star "
+    "udf-embed-text): the column contract for model embedders.",
+)
+def q_udf_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array(
+            *[
+                (F.ascii(F.substring("text", i * 3 + 1, 1)) % 32) / 32.0
+                + i / _EMB_DIMS
+                for i in range(_EMB_DIMS)
+            ]
+        ).alias("embedding"),
+    )
+
+
+# embedding corpus with injected near-duplicate vectors (×1.01 — same sign
+# bucket, cosine ≈ 1.0; random pairs stay < 0.5)
+EMB_DUP_CTE = """
+emb_corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+""".strip()
+
+_BUCKET8_SQL = " + ".join(
+    f"CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END" for i in range(8)
+)
+
+_COS_PAIR_SQL = """
+list_sum(list_transform(generate_series(1, len(a.embedding)),
+         i -> a.embedding[i] * b.embedding[i]))
+/ (sqrt(list_sum(list_transform(a.embedding, x -> x * x)))
+   * sqrt(list_sum(list_transform(b.embedding, x -> x * x))))
+""".strip()
+
+
+@register(
+    "dedup-embedding-cosine",
+    f"""
+WITH {EMB_DUP_CTE},
+bucketed AS (
+  SELECT vec_id, embedding, CAST({_BUCKET8_SQL} AS INTEGER) AS bucket FROM emb_corpus
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_PAIR_SQL} AS cos
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 4) AS cos_sim
+FROM pairs WHERE cos >= 0.95
+""".strip(),
+    doc="Embedding-cosine near-dup detection (north-star dedup tier 5): "
+    "sign-LSH bucket join bounds candidates, cosine ≥ 0.95 confirms. "
+    "At 100 TB the bucket join is the only shuffle.",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    near = emb.where("vec_id % 10 = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.01).alias(
+            "embedding"
+        ),
+    )
+    corpus = base.unionByName(near)
+    bucketed = corpus.withColumn(
+        "bucket", similarity.sign_bucket(F.col("embedding"), 8)
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cos = similarity.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cos.alias("cos"),
+    )
+    return pairs.where(F.col("cos") >= 0.95).select(
+        "vec_a", "vec_b", F.round("cos", 4).alias("cos_sim")
+    )

@@ -1,0 +1,101 @@
+"""Multimodal binary-column pipeline: binaryFile scan, magic validation,
+categorization, compression tiering, anti-fabrication describe, PDF pages.
+Decode kernels are stubs (no imaging libs in this container) — the Spark
+plumbing (schemas, batch shapes, error-as-data) is what's under test."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_knowledge_etl_spark.multimodal import images as IM
+from ai_knowledge_etl_spark.sources import pdf as PDF
+
+PNG = bytes.fromhex("89504E470D0A1A0A") + b"fakepng" * 100
+JPEG = bytes.fromhex("FFD8FFE0") + b"fakejpeg" * 2000
+GARBAGE = b"not an image at all" * 10
+PDFRAW = b"%PDF-1.4 " + b"fakepdfpage" * 400
+
+
+@pytest.fixture(scope="module")
+def media_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("media")
+    (d / "a.png").write_bytes(PNG)
+    (d / "b.jpg").write_bytes(JPEG)
+    (d / "c.bin").write_bytes(GARBAGE)
+    (d / "d.pdf").write_bytes(PDFRAW)
+    sub = d / "nested"
+    os.makedirs(sub)
+    (sub / "e.png").write_bytes(PNG)
+    return str(d)
+
+
+def test_scan_and_magic_validation(spark, media_dir):
+    df = IM.scan_images(spark, media_dir)
+    rows = df.select(
+        "path", IM.image_format("content").alias("fmt")
+    ).collect()
+    by_name = {os.path.basename(r["path"]): r["fmt"] for r in rows}
+    assert by_name["a.png"] == "png"
+    assert by_name["b.jpg"] == "jpeg"
+    assert by_name["c.bin"] == "invalid"
+    assert by_name["e.png"] == "png"  # recursive lookup
+    valid = df.where(IM.is_valid_image("content"))
+    assert valid.count() == 3  # 2 pngs + 1 jpeg
+
+
+def test_classify_stub_deterministic(spark, media_dir):
+    df = IM.scan_images(spark, media_dir).where(IM.is_valid_image("content"))
+    a = {r["path"]: r["cat"] for r in df.select("path", IM.classify_image_stub("content").alias("cat")).collect()}
+    b = {r["path"]: r["cat"] for r in df.select("path", IM.classify_image_stub("content").alias("cat")).collect()}
+    assert a == b
+    assert set(a.values()) <= set(IM.IMAGE_CATEGORIES)
+
+
+def test_compress_tier_chain(spark):
+    df = spark.createDataFrame(
+        [(50_000,), (150_000,), (400_000,), (1_000_000,), (10_000_000,)],
+        "length long",
+    )
+    tiers = [r["t"] for r in df.select(IM.compress_tier("length").alias("t")).collect()]
+    assert tiers[0] == 800  # already under target at full size
+    assert tiers[1] in (640, 800)  # needs a shrink
+    assert 0 < tiers[3] <= 480
+    assert tiers[4] == 0 or tiers[4] == 400  # give-up or last-chance
+
+
+def test_describe_error_as_data(spark, media_dir):
+    df = IM.scan_images(spark, media_dir)
+    out = {os.path.basename(r["path"]): r for r in IM.describe_images_stub(df).collect()}
+    assert out["a.png"]["error"] is None
+    assert "png image" in out["a.png"]["description"]
+    assert out["c.bin"]["description"] is None
+    assert out["c.bin"]["error"].startswith("E003")
+
+
+def test_decode_stub_raises_without_pil(spark):
+    try:
+        import PIL  # type: ignore # noqa: F401
+
+        pytest.skip("PIL available — decode is real here")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        IM.decode_image(PNG)
+
+
+def test_pdf_pages_cap_and_errors(spark, media_dir):
+    binaries = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(media_dir)
+    )
+    pages = PDF.pdf_pages(binaries).collect()
+    assert all(r["page_no"] <= PDF.PDF_PAGE_CAP for r in pages)
+    assert all(r["error"] is None for r in pages)
+    # garbage bytes → error record, not an exception
+    bad = spark.createDataFrame([("x.pdf", GARBAGE)], "path string, content binary")
+    err = PDF.pdf_pages(bad).collect()
+    assert len(err) == 1 and err[0]["error"].startswith("E004")
