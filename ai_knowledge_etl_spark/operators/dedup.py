@@ -60,13 +60,24 @@ def shingles(
     keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Distinct word n-gram shingles per doc (1 row → ~|words| rows).
-    `keep` carries blocking columns (e.g. source) through the explode."""
+    `keep` carries blocking columns (e.g. source) through the explode.
+
+    The split is hoisted to a projected column FIRST: referencing
+    `split(text)` inside the transform lambda would re-split the whole text
+    once per shingle — O(|words|²) per document."""
+    words = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.split(F.col(text_col), " ").alias("__words"),
+    )
     sh = F.expr(
-        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+        f"transform(sequence(1, greatest(size(__words) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(__words, i, {n})))"
     )
     return (
-        df.select(F.col(id_col), *[F.col(c) for c in keep], F.explode(sh).alias("shingle"))
+        words.select(
+            F.col(id_col), *[F.col(c) for c in keep], F.explode(sh).alias("shingle")
+        )
         .distinct()
     )
 
@@ -75,7 +86,12 @@ def jaccard_pairs(
     sh: DataFrame, id_col: str, group_col: str | None, threshold: float
 ) -> DataFrame:
     """Pairwise n-gram Jaccard over a shingle table; `group_col` bounds the
-    candidate space (same-source blocking) so the join never goes all-pairs."""
+    candidate space (same-source blocking) so the join never goes all-pairs.
+
+    The shingle table feeds three subplans (both join sides + the size
+    counts); Spark does not reuse the exchange across a self-join's sides,
+    so persist it rather than exploding the corpus three times."""
+    sh = sh.persist()
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -147,6 +163,9 @@ def minhash_candidates(
         ]
         band_cols.append(F.concat(*parts).alias(f"band{band}"))
     banded = sigs.groupBy(id_col).agg(*band_cols)
+    # one row per doc, scanned 2× per band — persist instead of recomputing
+    # the whole shingle→md5→min pipeline 2·n_bands times
+    banded = banded.persist()
 
     pairs = None
     for band in range(n_bands):

@@ -63,10 +63,19 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(near).unionByName(exact)
 
 
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.shingles(
-        _dup_corpus(spark, sf_dir), "doc_id", "text", n=3, keep=("source",)
-    )
+    """Shared + persisted across the dedup queries (jaccard/minhash/simhash
+    all start from the same shingle explode — computing it once per session
+    is what a real pipeline would do)."""
+    key = (id(spark), sf_dir)
+    if key not in _SHINGLE_CACHE:
+        _SHINGLE_CACHE[key] = dedup.shingles(
+            _dup_corpus(spark, sf_dir), "doc_id", "text", n=3, keep=("source",)
+        ).persist()
+    return _SHINGLE_CACHE[key]
 
 
 # --- dedup family ---------------------------------------------------------------

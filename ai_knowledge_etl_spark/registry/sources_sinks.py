@@ -7,9 +7,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ai_knowledge_etl_spark.multimodal import images as IM
 from ai_knowledge_etl_spark.operators import sinks, similarity
 from ai_knowledge_etl_spark.registry import register
 from ai_knowledge_etl_spark.sources import detect
+from ai_knowledge_etl_spark.sources import pdf as PDF
 from ai_knowledge_etl_spark.sources import synthetic as syn
 from ai_knowledge_etl_spark.sources.catalog import load_table
 
@@ -121,6 +123,111 @@ FROM documents
 )
 def q_sink_pipe_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sinks.pipe_json(_docs(spark, sf_dir))
+
+
+# --- image pipeline (SURVEY §2.I udf-compress/classify/describe-image) ---------
+
+_TIER_SQL = """
+CASE WHEN length * (800.0*800.0) / (800.0*800.0) <= 100000 THEN 800
+     WHEN length * (640.0*640.0) / (800.0*800.0) <= 100000 THEN 640
+     WHEN length * (480.0*480.0) / (800.0*800.0) <= 100000 THEN 480
+     WHEN length * (400.0*400.0) / (800.0*800.0) <= 100000 THEN 400
+     WHEN length * (400.0*400.0) / (800.0*800.0) <= 300000 THEN 400
+     ELSE 0 END
+""".strip()
+
+
+@register(
+    "udf-compress-image",
+    f"""
+WITH imgs AS (
+  SELECT p_partkey AS img_id,
+         CAST(p_retailprice * p_size * 20 AS DOUBLE) AS length
+  FROM part
+)
+SELECT img_id, CAST({_TIER_SQL} AS INTEGER) AS tier
+FROM imgs
+""".strip(),
+    doc="Compression fallback-tier selection 800→640→480→400 px against the "
+    "100 KB target / 300 KB fallback (reference: compress-image.mjs:49-97, "
+    "content-safeguard limits.yaml:4-9). Pure arithmetic over the metadata "
+    "column — pixel work is the import-gated kernel in multimodal/images.py.",
+)
+def q_udf_compress_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("img_id"),
+        (F.col("p_retailprice") * F.col("p_size") * 20)
+        .cast("double")
+        .alias("length"),
+    )
+    return imgs.select("img_id", IM.compress_tier("length").alias("tier"))
+
+
+def _fake_binaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic binary column: PNG magic + utf8 text bytes for most
+    rows, garbage for doc_id % 7 = 0 (drives the error-as-data paths)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("img_"), F.col("doc_id").cast("string")).alias("path"),
+        F.when(
+            F.expr("doc_id % 7 = 0"), F.encode(F.col("text"), "utf-8")
+        )
+        .otherwise(
+            F.concat(F.unhex(F.lit("89504E470D0A1A0A")), F.encode("text", "utf-8"))
+        )
+        .alias("content"),
+    )
+
+
+@register(
+    "udf-classify-image",
+    None,  # crc32-based stub — no portable DuckDB twin; rows-only
+    doc="8-class image categorization over a binary column "
+    "(reference: DESIGN.md:1133-1141): deterministic crc32 stub standing in "
+    "for the vision-model pandas UDF. Valid-magic rows only.",
+)
+def q_udf_classify_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = _fake_binaries(spark, sf_dir)
+    return imgs.where(IM.is_valid_image("content")).select(
+        "path", IM.classify_image_stub("content").alias("category")
+    )
+
+
+@register(
+    "udf-describe-image",
+    None,  # mapInPandas kernel; rows-only
+    doc="Anti-fabrication image describe: valid bytes → structural "
+    "description, invalid bytes → E003 error record, never a made-up "
+    "description (reference: image-analyzer.md:193-240).",
+)
+def q_udf_describe_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return IM.describe_images_stub(_fake_binaries(spark, sf_dir))
+
+
+@register(
+    "scan-pdf",
+    None,  # import-gated parser; rows-only
+    doc="Page-capped PDF scan over binary columns (reference: "
+    "DESIGN.md:686-697, ≤15 pages): pypdf when available, deterministic "
+    "byte-window fallback otherwise; bad magic → E004 error record.",
+)
+def q_scan_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pdfs = docs.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".pdf")).alias(
+            "path"
+        ),
+        F.encode(
+            F.concat(
+                F.when(F.expr("doc_id % 11 = 0"), F.lit("GARBAGE ")).otherwise(
+                    F.lit("%PDF-1.4 ")
+                ),
+                F.expr("repeat(text, 10)"),
+            ),
+            "utf-8",
+        ).alias("content"),
+    )
+    return PDF.pdf_pages(pdfs)
 
 
 # deterministic 8-dim text embedding: ascii codes sampled from the

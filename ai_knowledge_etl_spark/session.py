@@ -25,17 +25,23 @@ def get_spark(
     app_name: str = "ai_knowledge_etl_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    adaptive: bool = True,
 ) -> SparkSession:
+    """`adaptive` (AQE) defaults ON — coalescing/skew-split/broadcast-demotion
+    are the scale story. It is worth turning OFF for sub-GB microbenchmarks:
+    measured here, AQE's per-stage re-planning roughly doubles wall time on
+    tiny inputs while buying nothing (bench.py does exactly that)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
+    aqe = "true" if adaptive else "false"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
+        .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
+        .config("spark.sql.adaptive.skewJoin.enabled", aqe)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))

@@ -8,6 +8,8 @@ into a DataFrame via the right Spark reader — the engine's front door.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -20,6 +22,29 @@ def classify_input(raw: Column | str) -> Column:
         .when(r.like("%*%"), F.lit("glob"))
         .when(r.like("%/"), F.lit("directory"))
         .otherwise(F.lit("file"))
+    )
+
+
+def scan_git_repo(
+    spark: SparkSession, repo_url: str, workdir: str, globs: str = "{*.md,*.rst,*.txt}"
+) -> DataFrame:
+    """Shallow clone → scan README + docs (reference:
+    commands/extract.md:912-929). The clone is driver-side (one repo, small);
+    the scan fans out through the binaryFile reader like any directory."""
+    import subprocess
+
+    dest = os.path.join(workdir, "repo")
+    subprocess.run(
+        ["git", "clone", "--depth", "1", "--quiet", repo_url, dest],
+        check=True,
+        capture_output=True,
+    )
+    return (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", globs)
+        .load(dest)
+        .where(~F.input_file_name().rlike(r"/\.git/"))
     )
 
 

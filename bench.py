@@ -29,7 +29,9 @@ def sf_of(path: str) -> float:
 
 
 def main() -> None:
-    spark = get_spark("bench")
+    # AQE off: at sf0.1 (~100 MB) runtime re-planning costs ~2× wall and buys
+    # nothing; production sessions keep it on (see session.get_spark).
+    spark = get_spark("bench", adaptive=False)
     # warm the JVM + parquet footers once so per-query times measure the query
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 

@@ -1,0 +1,71 @@
+"""Physical-plan assertions (the 100 TB discipline): filters and projections
+reach the parquet scan, small dimensions broadcast, global top-k avoids a
+full sort, scalar kernels stay inside whole-stage codegen, and the batch
+window is explicitly single-partition (documented constraint). If a
+refactor regresses a plan shape, these fail before any benchmark does."""
+
+from __future__ import annotations
+
+import pytest
+
+from ai_knowledge_etl_spark.registry import REGISTRY
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].spark(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join-star-revenue")
+    # the region filter must appear as a pushed parquet filter, not a
+    # post-scan Filter only
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "score-page")
+    # score-page needs only doc_id + text; n_chars/lang/source must not be read
+    read_schemas = [
+        seg.split(">")[0] for seg in plan.split("ReadSchema: struct<")[1:]
+    ]
+    assert read_schemas, "no parquet scan found"
+    for rs in read_schemas:
+        assert "n_chars" not in rs and "lang" not in rs
+
+
+def test_dimensions_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join-star-revenue")
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk-pages-report")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_scalar_kernels_codegen(spark, sf_dir):
+    # relevance scoring is pure column arithmetic — one codegen stage, no
+    # BatchEvalPython anywhere
+    plan = _plan(spark, sf_dir, "score-link")
+    assert "*(" in plan  # '*(n)' prefix marks whole-stage-codegen stages
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_no_python_in_relational_suite(spark, sf_dir):
+    for name in (
+        "agg-pricing-summary",
+        "window-running-total",
+        "dedup-minhash",
+        "similarity-topk",
+        "udtf-chunk-rag",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, f"{name} fell off the JVM fast path"
+
+
+def test_anti_join_stays_broadcast_at_fixture_scale(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join-frontier-visited")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

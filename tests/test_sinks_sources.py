@@ -63,3 +63,11 @@ def test_resolve_directory_excludes(spark, tmp_path):
 def test_resolve_url_is_frontier_row(spark):
     df = detect.resolve(spark, "https://example.com/x")
     assert df.columns == ["url"] and df.count() == 1
+
+
+def test_scan_git_repo(spark, tmp_path):
+    # this repo itself is the fixture: shallow-clone file://… and scan docs
+    df = detect.scan_git_repo(spark, "file:///root/repo", str(tmp_path))
+    paths = [r["path"] for r in df.select("path").collect()]
+    assert any(p.endswith("README.md") for p in paths)
+    assert not any("/.git/" in p for p in paths)
