@@ -164,6 +164,32 @@ def q_agg_distinct_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg-rollup-bands",
+    """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP(lang, source)
+""".strip(),
+    doc="ROLLUP hierarchy totals (SURVEY §2.E coverage note: grouping sets "
+    "are Spark built-ins; this exposes the lang → source → grand-total "
+    "rollup the reference's hierarchical summaries imply).",
+)
+def q_agg_rollup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .rollup("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+@register(
     "agg-pricing-summary",
     """
 SELECT l_returnflag, l_linestatus,

@@ -259,6 +259,90 @@ def q_sink_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink-pipe-skill",
+    f"""
+SELECT source,
+       '---' || {NL} || 'name: knowledge-' || source || {NL}
+       || 'description: extracted corpus from ' || source
+       || ' (' || CAST(CAST(count(*) AS BIGINT) AS STRING) || ' pages)' || {NL}
+       || '---' || {NL} || '# knowledge-' || source AS skill_doc
+FROM documents GROUP BY source
+""".strip(),
+    doc="--pipe=skill sink: SKILL.md-shaped document per source "
+    "(reference: output-transformer.md:140-370).",
+)
+def q_sink_pipe_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nl = F.lit("\n")
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit("---"), nl,
+                F.lit("name: knowledge-"), F.col("source"), nl,
+                F.lit("description: extracted corpus from "), F.col("source"),
+                F.lit(" ("), F.count("*").cast("string"), F.lit(" pages)"), nl,
+                F.lit("---"), nl,
+                F.lit("# knowledge-"), F.col("source"),
+            ).alias("skill_doc")
+        )
+    )
+
+
+@register(
+    "sink-pipe-plugin",
+    """
+SELECT source,
+       '{"name":"knowledge-' || source || '","pages":'
+       || CAST(CAST(count(*) AS BIGINT) AS STRING)
+       || ',"chars":' || CAST(CAST(sum(n_chars) AS BIGINT) AS STRING) || '}' AS manifest
+FROM documents GROUP BY source
+""".strip(),
+    doc="--pipe=plugin sink: manifest JSON per source "
+    "(reference: output-transformer.md:140-370).",
+)
+def q_sink_pipe_plugin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit('{"name":"knowledge-'), F.col("source"),
+                F.lit('","pages":'), F.count("*").cast("string"),
+                F.lit(',"chars":'), F.sum("n_chars").cast("string"),
+                F.lit("}"),
+            ).alias("manifest")
+        )
+    )
+
+
+@register(
+    "sink-pipe-prompt",
+    f"""
+SELECT doc_id,
+       'You are given document ' || CAST(doc_id AS STRING) || ' from '
+       || source || '.' || {NL}
+       || substring(text, 1, 200) || {NL}
+       || 'Summarize the key points.' AS prompt
+FROM documents
+""".strip(),
+    doc="--pipe=prompt sink: per-document prompt rendering "
+    "(reference: output-transformer.md:140-370).",
+)
+def q_sink_pipe_prompt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nl = F.lit("\n")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("You are given document "), F.col("doc_id").cast("string"),
+            F.lit(" from "), F.col("source"), F.lit("."), nl,
+            F.substring("text", 1, 200), nl,
+            F.lit("Summarize the key points."),
+        ).alias("prompt"),
+    )
+
+
+@register(
     "sink-pipe-rag",
     """
 WITH exploded AS (
