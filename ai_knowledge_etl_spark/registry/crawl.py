@@ -369,6 +369,47 @@ def q_predicate_obstacle_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "filter-image-valuable",
+    f"""
+WITH {syn.IMAGES_CTE},
+kept AS (
+  SELECT page_id, img_id, img_index, w, h, src FROM images
+  WHERE w >= {config.IMAGE_MIN_WIDTH} AND h >= {config.IMAGE_MIN_HEIGHT}
+    AND NOT regexp_matches(lower(src), '{config.IMAGE_SKIP_RE}')
+    AND NOT regexp_matches(lower(alt), '{config.IMAGE_SKIP_RE}')
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY page_id
+                               ORDER BY img_index ASC, img_id ASC) AS rn
+  FROM kept
+)
+SELECT page_id, img_id, img_index, w, h FROM ranked
+WHERE rn <= {config.IMAGES_PER_PAGE_CAP}
+""".strip(),
+    doc="Keep only valuable images: ≥100×100 px, src/alt clear of the "
+    "icon/logo/avatar skip patterns, ≤5 per page "
+    "(reference: commands/extract.md:474-489, config/limits.yaml:56-74).",
+)
+def q_filter_image_valuable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.operators import topk as TK
+
+    images = syn.images_from_part(load_table(spark, sf_dir, "part"))
+    kept = images.where(
+        (F.col("w") >= config.IMAGE_MIN_WIDTH)
+        & (F.col("h") >= config.IMAGE_MIN_HEIGHT)
+        & ~F.lower(F.col("src")).rlike(config.IMAGE_SKIP_RE)
+        & ~F.lower(F.col("alt")).rlike(config.IMAGE_SKIP_RE)
+    ).select("page_id", "img_id", "img_index", "w", "h")
+    return TK.top_k_per_group(
+        kept,
+        ["page_id"],
+        config.IMAGES_PER_PAGE_CAP,
+        F.asc("img_index"),
+        F.asc("img_id"),
+    )
+
+
 # --- §2.D joins ------------------------------------------------------------------
 
 

@@ -684,6 +684,39 @@ def q_scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar-string-suite",
+    """
+SELECT doc_id,
+       upper(substring(source, 1, 3)) AS src_upper,
+       reverse(source) AS src_rev,
+       repeat(substring(source, 1, 2), 3) AS src_rep,
+       lpad(source, 8, '.') AS src_pad,
+       replace(source, 'src', 'origin_') AS src_repl,
+       CAST(strpos(text, 'spark') AS INTEGER) AS first_spark,
+       translate(source, 'src', 'SRC') AS src_trans
+FROM documents
+""".strip(),
+    doc="String scalar family (SURVEY §2.H): case, reverse, repeat, pad, "
+    "replace, find, translate. Spark instr == DuckDB strpos (1-based, 0 on "
+    "miss).",
+)
+def q_scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("source", 1, 3)).alias("src_upper"),
+        F.reverse("source").alias("src_rev"),
+        F.repeat(F.substring("source", 1, 2), 3).alias("src_rep"),
+        F.lpad("source", 8, ".").alias("src_pad"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("origin_")).alias(
+            "src_repl"
+        ),
+        F.instr("text", "spark").cast("int").alias("first_spark"),
+        F.translate("source", "src", "SRC").alias("src_trans"),
+    )
+
+
+@register(
     "scalar-math-suite",
     """
 SELECT doc_id,

@@ -58,3 +58,74 @@ def bfs_frontier(
         if max_pages is not None and visited.count() >= max_pages:
             break
     return visited
+
+
+def streaming_bfs_frontier(
+    spark,
+    edges: DataFrame,
+    seeds: DataFrame,
+    workdir: str,
+    max_depth: int = config.MAX_DEPTH,
+) -> DataFrame:
+    """Streaming-native frontier (SURVEY §1.4 / §2.J): the queue is a
+    parquet directory watched by readStream; each micro-batch anti-joins the
+    visited store, appends discoveries, and writes the next wave BACK into
+    the queue — a self-feeding stream. `processAllAvailable()` blocks until
+    the stream quiesces, i.e. the BFS fixpoint (same result as the batch
+    loop and the recursive-CTE oracle; asserted in tests).
+
+    State (visited) lives in a parquet store + checkpointed sink — the
+    restartable-crawl shape: kill the query, restart, and the checkpoint +
+    store resume the frontier.
+    """
+    import os
+
+    queue_dir = os.path.join(workdir, "queue")
+    visited_dir = os.path.join(workdir, "visited")
+    ckpt_dir = os.path.join(workdir, "ckpt")
+    os.makedirs(queue_dir, exist_ok=True)
+
+    seeds.select(
+        F.col("doc_id").cast("long"), F.lit(0).cast("int").alias("depth")
+    ).write.mode("overwrite").parquet(queue_dir)
+
+    edges = edges.localCheckpoint()
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        batch = batch.groupBy("doc_id").agg(F.min("depth").alias("depth"))
+        try:
+            visited = sp.read.parquet(visited_dir)
+            new = batch.join(
+                visited.select("doc_id"), "doc_id", "left_anti"
+            )
+        except Exception:  # first batch — store doesn't exist yet
+            new = batch
+        new = new.localCheckpoint()
+        if new.isEmpty():
+            return
+        new.write.mode("append").parquet(visited_dir)
+        nxt = (
+            edges.join(
+                new.where(F.col("depth") < max_depth), edges.src == F.col("doc_id")
+            )
+            .select(
+                F.col("dst").alias("doc_id"),
+                (F.col("depth") + 1).cast("int").alias("depth"),
+            )
+            .distinct()
+        )
+        nxt.write.mode("append").parquet(queue_dir)
+
+    stream = spark.readStream.schema("doc_id long, depth int").parquet(queue_dir)
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(visited_dir)
+    return out.groupBy("doc_id").agg(F.min("depth").cast("int").alias("depth"))

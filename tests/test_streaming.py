@@ -142,6 +142,34 @@ def test_stateful_running_count(spark, events_stream):
     assert got == want
 
 
+def test_streaming_frontier_matches_batch_bfs(spark, sf_dir, tmp_path):
+    """The self-feeding streaming frontier must reach the same fixpoint as
+    the batch-iterative loop (which the recursive-CTE oracle already
+    checks) — streaming-native and batch crawls agree exactly."""
+    from ai_knowledge_etl_spark.streaming.frontier import (
+        bfs_frontier,
+        streaming_bfs_frontier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = docs.selectExpr("doc_id % 50 AS src", "doc_id AS dst").unionByName(
+        docs.selectExpr(f"doc_id AS src", f"(doc_id * 7 + 13) % {n} AS dst")
+    )
+    seeds = docs.where("doc_id < 3").select("doc_id")
+    want = sorted(
+        (r["doc_id"], r["depth"])
+        for r in bfs_frontier(edges, seeds, max_depth=3).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["depth"])
+        for r in streaming_bfs_frontier(
+            spark, edges, seeds, str(tmp_path), max_depth=3
+        ).collect()
+    )
+    assert got == want and len(got) > 3
+
+
 def test_frontier_terminates_and_respects_budget(spark, sf_dir):
     from ai_knowledge_etl_spark.streaming.frontier import bfs_frontier
 
