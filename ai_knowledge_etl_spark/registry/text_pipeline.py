@@ -259,6 +259,27 @@ def q_sink_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udf-retry-backoff",
+    """
+WITH attempts AS (SELECT unnest(generate_series(1, 5)) AS attempt)
+SELECT CAST(attempt AS INTEGER) AS attempt,
+       CAST(least(power(2.0, attempt - 1) * 1.0, 10.0) AS DOUBLE) AS delay_s
+FROM attempts
+""".strip(),
+    doc="Retry backoff schedule 1s→2s→4s→8s→10s-cap as data "
+    "(reference: agents/extractor.md:694-737, config/limits.yaml:125-129); "
+    "the executor-side wrapper enforcing it is sources/web.retry_with_backoff.",
+)
+def q_udf_retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.range(1, 6).select(
+        F.col("id").cast("int").alias("attempt"),
+        F.least(F.pow(F.lit(2.0), F.col("id") - 1), F.lit(10.0))
+        .cast("double")
+        .alias("delay_s"),
+    )
+
+
+@register(
     "sink-pipe-skill",
     f"""
 SELECT source,

@@ -69,3 +69,44 @@ def test_no_python_in_relational_suite(spark, sf_dir):
 def test_anti_join_stays_broadcast_at_fixture_scale(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join-frontier-visited")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+# Every physical-plan smell we accept, with its justification. Anything NOT
+# listed here failing the audit means a refactor regressed a plan shape.
+PLAN_ALLOWLIST = {
+    # scalar (no-group) aggregates: partial agg per partition, then a
+    # single-row final combine — inherent to a global total, and cheap
+    "agg-batch-rollup": {"SinglePartition"},
+    "agg-distinct-urls": {"SinglePartition"},
+    "agg-index-stats": {"SinglePartition"},
+    "agg-ir-stats": {"SinglePartition"},
+    "agg-queue-stats": {"SinglePartition"},
+    "agg-visited-count": {"SinglePartition"},
+    # brute-force ANN is definitionally queries × corpus; the query side is
+    # broadcast (5 rows). The scale path is similarity-lsh-bucketed.
+    "similarity-topk": {"BroadcastNestedLoopJoin"},
+    # global windows confined to session-capped planner state (≤100 tasks /
+    # ≤4 crawl waves by construction) — see operators/batching.py
+    "window-batch-assign": {"SinglePartition"},
+    "window-page-id": {"SinglePartition"},
+    "stream-visited-state": {"SinglePartition"},
+}
+_SMELLS = (
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "SinglePartition",
+    "BatchEvalPython",
+)
+
+
+def test_plan_audit_no_new_smells(spark, sf_dir):
+    from ai_knowledge_etl_spark.registry import REGISTRY
+
+    bad = {}
+    for name in sorted(REGISTRY):
+        plan = _plan(spark, sf_dir, name)
+        hits = {s for s in _SMELLS if s in plan}
+        unexpected = hits - PLAN_ALLOWLIST.get(name, set())
+        if unexpected:
+            bad[name] = unexpected
+    assert not bad, f"plan regressions: {bad}"
