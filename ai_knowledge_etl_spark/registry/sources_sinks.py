@@ -125,6 +125,23 @@ def q_sink_pipe_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sinks.pipe_json(_docs(spark, sf_dir))
 
 
+@register(
+    "scan-web-jina",
+    None,  # fetch kernel runs in executors; rows-only
+    doc="Web extraction pipeline end-to-end over a deterministic offline "
+    "fetcher (reference: scripts/extract-jina.sh, commands/extract.md:"
+    "445-559): security route → skip filter → per-domain paced fetch with "
+    "retry/backoff → boilerplate strip → obstacle classify → frontmatter "
+    "doc; failures land as error records.",
+)
+def q_scan_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.sources import web
+
+    links = syn.with_links_columns(load_table(spark, sf_dir, "documents"))
+    urls = links.orderBy("doc_id").limit(40).select("url")
+    return web.fetch_pipeline(urls, web.demo_fetcher, interval_s=0.0, n_domain_partitions=8)
+
+
 # --- image pipeline (SURVEY §2.I udf-compress/classify/describe-image) ---------
 
 _TIER_SQL = """

@@ -71,10 +71,27 @@ def strip_boilerplate(html: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+def demo_fetcher(url: str) -> str:
+    """Deterministic offline fetcher: synthesizes a page from the URL alone
+    (module-level so Spark workers can unpickle it). Lets the full fetch
+    pipeline run end-to-end with zero network — the driver's rows-only
+    check and local demos use it; deployments inject a real fetcher."""
+    h = sum(ord(c) for c in url)
+    if h % 13 == 0:
+        raise ConnectionError(f"synthetic 404 for {url}")
+    body = f"<h1>Page {h % 1000}</h1>" + "<p>spark shuffle join content</p>" * (
+        h % 7 + 1
+    )
+    if h % 11 == 0:
+        body = "please log in to continue " * 10
+    return f"<html><body>{body}</body></html>"
+
+
 def fetch_pipeline(
     urls_df: DataFrame,
     fetcher: Callable[[str], str],
     interval_s: float = config.REQUEST_INTERVAL_SECONDS,
+    n_domain_partitions: int = 64,
 ) -> DataFrame:
     """Route → politeness-paced fetch → boilerplate strip → obstacle
     classify → frontmatter header. The full single-page lifecycle
@@ -94,7 +111,7 @@ def fetch_pipeline(
         return body
 
     fetched = politeness.rate_limited_fetch(
-        routed, paced_fetch, "url", "domain", interval_s
+        routed, paced_fetch, "url", "domain", interval_s, n_domain_partitions
     )
 
     schema = "url string, text string, error string"
