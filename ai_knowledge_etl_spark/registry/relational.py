@@ -320,6 +320,150 @@ def q_join_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("img_id", "img_index", "alt", "brand")
 
 
+@register(
+    "join-min-per-group",
+    """
+WITH mins AS (
+  SELECT c_nationkey, min(c_acctbal) AS min_bal FROM customer GROUP BY c_nationkey
+)
+SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal
+FROM customer c JOIN mins m
+  ON c.c_nationkey = m.c_nationkey AND c.c_acctbal = m.min_bal
+""".strip(),
+    doc="TPC-H-Q2 shape: row(s) achieving the per-group minimum via a "
+    "grouped subquery join (the correlated-min pattern). min over raw "
+    "doubles is order-independent, so no decimal trick needed.",
+)
+def q_join_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    mins = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.min("c_acctbal").alias("min_bal")
+    )
+    return (
+        c.join(
+            F.broadcast(mins),
+            (c.c_nationkey == mins.nk) & (c.c_acctbal == mins.min_bal),
+        )
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    )
+
+
+@register(
+    "join-avg-subquery",
+    """
+WITH part_avg AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           / count(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l.l_partkey,
+       CAST(count(*) AS BIGINT) AS n_small,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+FROM lineitem l JOIN part_avg p ON l.l_partkey = p.l_partkey
+WHERE l.l_quantity < 0.5 * p.avg_qty
+GROUP BY l.l_partkey
+""".strip(),
+    doc="TPC-H-Q17 shape: filter a fact table against a per-key aggregate of "
+    "itself (small-quantity revenue). The threshold avg is computed over "
+    "DECIMAL so the < comparison can't flip on summation order.",
+)
+def q_join_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg), li.l_partkey == avg.pk)
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_small"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("small_revenue"),
+        )
+    )
+
+
+@register(
+    "join-semi-anti-exists",
+    """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+""".strip(),
+    doc="TPC-H-Q21 shape: EXISTS + NOT EXISTS as left_semi + left_anti "
+    "joins (the frontier/visited pattern generalized — customers with "
+    "completed orders and no open ones).",
+)
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    f_orders = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    o_orders = o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        c.join(f_orders, "c_custkey", "left_semi")
+        .join(o_orders, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "agg-pivot-lang",
+    """
+SELECT source,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh,
+       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es
+FROM documents GROUP BY source
+""".strip(),
+    doc="Pivot: per-source language distribution. Spark `pivot` with an "
+    "explicit value list compiles to exactly the conditional aggregation "
+    "the oracle states (no extra pass to discover values).",
+)
+def q_agg_pivot_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .pivot("lang", ["en", "zh", "de", "fr", "es"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "agg-grouping-sets",
+    """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY GROUPING SETS ((lang), (source), ())
+""".strip(),
+    doc="Explicit grouping sets (per-lang, per-source, grand total) — the "
+    "three INDEX summary granularities in one pass (SURVEY §2.E coverage "
+    "note).",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__docs_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+               count(*) AS n_docs
+        FROM __docs_gs
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        """
+    )
+
+
 # --- §2.F sorts / limits / top-k ---------------------------------------------------
 
 

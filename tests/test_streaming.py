@@ -142,6 +142,30 @@ def test_stateful_running_count(spark, events_stream):
     assert got == want
 
 
+def test_streaming_dedup_within_watermark(spark, events_stream):
+    """dropDuplicatesWithinWatermark — the streaming visited-set: an event id
+    seen twice inside the watermark horizon survives once (SURVEY §2.J
+    coverage note; the crawl's at-most-once URL visits as a built-in)."""
+    stream, batch = events_stream
+    deduped = (
+        EV.with_event_time(stream)
+        .withWatermark("event_time", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy()
+        .count()
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM t_dedup").first()["count"]
+    assert got == batch.select("event_id").distinct().count()
+
+
 def test_streaming_frontier_matches_batch_bfs(spark, sf_dir, tmp_path):
     """The self-feeding streaming frontier must reach the same fixpoint as
     the batch-iterative loop (which the recursive-CTE oracle already
