@@ -287,6 +287,190 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, k=5, n_planes=8)
 
 
+_COS_CENT_SQL = _COS_SQL.replace("q.qe", "c.ce").replace("e.embedding", "e.embedding")
+
+
+@register(
+    "similarity-ivf",
+    f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.cent_id, {_COS_CENT_SQL} AS ccos,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_COS_CENT_SQL} DESC, c.cent_id ASC) AS crn
+  FROM embeddings e, cents c
+),
+cells AS (SELECT vec_id, embedding, cent_id FROM assigned WHERE crn = 1),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, cent_id
+  FROM cells WHERE vec_id >= 100 AND vec_id < 105
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos
+  FROM cells e JOIN q ON e.cent_id = q.cent_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 4) AS cos_sim, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= 5
+""".strip(),
+    doc="IVF-style ANN: 16 fixed 'centroid' vectors partition the corpus "
+    "into cells (nearest-centroid assignment); queries probe only their own "
+    "cell, then exact cosine + rank. The coarse quantizer turns the scan "
+    "into an equi-join on cell id — with k-means centroids this is literal "
+    "IVF-Flat; the plan shape is identical (north-star ANN scale tier 2).",
+)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    ccos = similarity.cosine(F.col("ce"), F.col("embedding"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    cells = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cent_id", ccos.alias("ccos"))
+        .withColumn("crn", F.row_number().over(w))
+        .where(F.col("crn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    q = cells.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qvec"),
+        "cent_id",
+    )
+    cos = similarity.cosine(F.col("__qvec"), F.col("embedding"))
+    scored = cells.join(F.broadcast(q), "cent_id").select(
+        "query_id", "vec_id", F.round(cos, 4).alias("cos_sim"), cos.alias("__exact")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("__exact"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("rank") <= 5)
+        .drop("__exact")
+    )
+
+
+@register(
+    "stream-funnel",
+    """
+WITH secs AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS sec FROM events
+),
+v AS (SELECT user_id, min(sec) AS t_view FROM secs WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT s.user_id, min(s.sec) AS t_click
+  FROM secs s JOIN v ON s.user_id = v.user_id
+  WHERE s.event_type = 'click' AND s.sec > v.t_view
+  GROUP BY s.user_id
+),
+p AS (
+  SELECT s.user_id, min(s.sec) AS t_purchase
+  FROM secs s JOIN c ON s.user_id = c.user_id
+  WHERE s.event_type = 'purchase' AND s.sec > c.t_click
+  GROUP BY s.user_id
+)
+SELECT v.user_id, CAST(v.t_view AS BIGINT) AS t_view,
+       CAST(c.t_click AS BIGINT) AS t_click,
+       CAST(p.t_purchase AS BIGINT) AS t_purchase,
+       (p.t_purchase IS NOT NULL) AS converted
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+""".strip(),
+    doc="Ordered funnel view→click→purchase per user (sequence analytics "
+    "over event time — the training-data-pipeline cousin of sessionization).",
+)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000000000").alias("sec")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("sec") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("sec") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t_view").cast("bigint").alias("t_view"),
+            F.col("t_click").cast("bigint").alias("t_click"),
+            F.col("t_purchase").cast("bigint").alias("t_purchase"),
+            F.col("t_purchase").isNotNull().alias("converted"),
+        )
+    )
+
+
+@register(
+    "filter-quality-docs",
+    """
+WITH stats AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS wc,
+         length(regexp_replace(text, '\\s+', '', 'g'))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS awl,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS ttr
+  FROM documents
+)
+SELECT doc_id, lang, CAST(wc AS INTEGER) AS word_count,
+       round(awl, 3) AS avg_word_len, round(ttr, 3) AS type_token_ratio
+FROM stats
+WHERE wc >= 30 AND awl >= 3.0 AND awl <= 12.0 AND ttr >= 0.3
+""".strip(),
+    doc="C4-style quality gate for training corpora: length floor, sane "
+    "mean token length, type-token-ratio floor (kills degenerate repetition). "
+    "All codegen'd column math — the 100 TB corpus filter shape "
+    "(north-star text analysis).",
+)
+def q_filter_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = F.split("text", " ")
+    wc = F.size(words)
+    awl = F.length(F.regexp_replace("text", r"\s+", "")) / wc.cast("double")
+    ttr = F.size(F.array_distinct(words)).cast("double") / wc
+    stats = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        wc.alias("wc"),
+        awl.alias("awl"),
+        ttr.alias("ttr"),
+    )
+    return stats.where(
+        (F.col("wc") >= 30)
+        & (F.col("awl") >= 3.0)
+        & (F.col("awl") <= 12.0)
+        & (F.col("ttr") >= 0.3)
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("wc").cast("int").alias("word_count"),
+        F.round("awl", 3).alias("avg_word_len"),
+        F.round("ttr", 3).alias("type_token_ratio"),
+    )
+
+
 # --- text analysis ----------------------------------------------------------------
 
 

@@ -85,6 +85,9 @@ PLAN_ALLOWLIST = {
     # brute-force ANN is definitionally queries × corpus; the query side is
     # broadcast (5 rows). The scale path is similarity-lsh-bucketed.
     "similarity-topk": {"BroadcastNestedLoopJoin"},
+    # IVF coarse quantization is definitionally corpus × centroids (16
+    # broadcast rows); the per-query search itself is an equi-join on cell id
+    "similarity-ivf": {"BroadcastNestedLoopJoin"},
     # global windows confined to session-capped planner state (≤100 tasks /
     # ≤4 crawl waves by construction) — see operators/batching.py
     "window-batch-assign": {"SinglePartition"},
