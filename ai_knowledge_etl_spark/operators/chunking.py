@@ -125,7 +125,8 @@ def rag_chunks_smart(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     chunker. Not SQL-expressible (order-dependent accumulation), so the
     driver gate is rows-only; invariants are property-tested in
     tests/test_chunking.py."""
-    schema = f"{id_col} long, chunk_idx int, chunk string"
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, chunk_idx int, chunk string"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

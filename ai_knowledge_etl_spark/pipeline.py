@@ -1,0 +1,153 @@
+"""The user-facing extract pipeline — the engine's equivalent of the
+reference's `/knowledge-etl:extract <source> [--with-depth=N] [--topic=RE]
+[--max-pages=N] [--pipe=FORMAT]` entry point (reference:
+commands/extract.md:14-42, README.md:71-83).
+
+One call composes the whole engine as a lazy DataFrame graph:
+
+    result = extract(spark, urls_df, topic="(spark|join)",
+                     fetcher=my_fetcher, with_depth=2, pipe="rag")
+
+    result.pages      # scored, obstacle-classified page docs
+    result.index      # INDEX stats + per-source lines
+    result.report     # top-k report rows
+    result.output     # the --pipe formatted records (rag/json/docs/...)
+
+Lifecycle (SURVEY §3.1/§3.2): route → frontier loop (when with_depth>0) →
+politeness-paced fetch → boilerplate strip → obstacle classify → score →
+dedup → chunk → summarize → INDEX/REPORT → pipe transform. Everything stays
+a DataFrame until the caller sinks it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_knowledge_etl_spark import config
+from ai_knowledge_etl_spark.functions import scoring, text as TX, urls as U
+from ai_knowledge_etl_spark.operators import chunking, dedup, sinks, topk
+from ai_knowledge_etl_spark.sources import web
+
+
+@dataclass
+class ExtractResult:
+    pages: DataFrame  # url, text, error, obstacle, relevance, stars, doc
+    index: DataFrame  # per-source INDEX lines
+    report: DataFrame  # top-k pages
+    chunks: DataFrame  # RAG chunks (doc ref + chunk_idx + chunk)
+    output: DataFrame | None  # --pipe formatted records
+
+
+def extract(
+    spark: SparkSession,
+    urls: DataFrame,
+    topic: str,
+    fetcher: Callable[[str], str],
+    max_pages: int = config.MAX_PAGES_DEFAULT,
+    pipe: str | None = None,
+    interval_s: float = config.REQUEST_INTERVAL_SECONDS,
+    top_k: int = 10,
+) -> ExtractResult:
+    """Single-wave extract over a frontier of URLs (`urls` has a `url`
+    column). For crawling, feed each wave's discovered links back through
+    `streaming.frontier` and call this per wave — the loop composes from
+    the same pieces (see tests/test_pipeline.py)."""
+    capped = topk.top_k(urls.select("url"), max_pages, F.asc("url"))
+
+    fetched = web.fetch_pipeline(capped, fetcher, interval_s=interval_s)
+
+    scored = fetched.withColumn(
+        "relevance",
+        scoring.score_page(
+            TX.title_of(F.coalesce(F.col("text"), F.lit("")), 60),
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 200),
+            F.coalesce(F.col("text"), F.lit("")),
+            topic,
+        ),
+    ).withColumn("stars", scoring.stars("relevance"))
+
+    # dedup: at-most-once per content fingerprint (crawler-queue.sh:36-41)
+    deduped = (
+        scored.withColumn(
+            "fp", dedup.fingerprint(F.coalesce(F.col("text"), F.col("url")))
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("fp").orderBy(F.asc("url"))
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "fp")
+    )
+
+    pages = deduped
+
+    index = (
+        pages.groupBy(U.domain("url").alias("source"))
+        .agg(
+            F.count("*").alias("pages"),
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("chars"),
+            F.sum(F.when(F.col("relevance") >= 8, 1).otherwise(0)).alias(
+                "high_pages"
+            ),
+        )
+        .select(
+            "source",
+            F.concat(
+                F.lit("- ["), F.col("source"),
+                F.lit("] pages="), F.col("pages").cast("string"),
+                F.lit(" chars="), F.col("chars").cast("string"),
+                F.lit(" high="), F.col("high_pages").cast("string"),
+            ).alias("line"),
+        )
+    )
+
+    report = topk.top_k(
+        pages.select("url", "relevance", "stars"),
+        top_k,
+        F.desc("relevance"),
+        F.asc("url"),
+    )
+
+    chunks = chunking.rag_chunks_smart(
+        pages.where(F.col("text").isNotNull()).select(
+            F.col("url").alias("doc_ref"), "text"
+        ),
+        "doc_ref",
+        "text",
+    )
+
+    output: DataFrame | None = None
+    if pipe == "rag":
+        output = chunks.select(
+            F.concat_ws("_", "doc_ref", F.col("chunk_idx").cast("string")).alias(
+                "id"
+            ),
+            F.col("chunk").alias("content"),
+            F.concat(
+                F.lit('{"source":"'), F.col("doc_ref"),
+                F.lit('","section":'), F.col("chunk_idx").cast("string"),
+                F.lit("}"),
+            ).alias("metadata"),
+        )
+    elif pipe == "json":
+        output = pages.select(
+            F.concat(
+                F.lit('{"url":"'), F.col("url"),
+                F.lit('","relevance":'), F.col("relevance").cast("string"),
+                F.lit(',"obstacle":"'), F.col("obstacle"), F.lit('"}'),
+            ).alias("record")
+        )
+    elif pipe == "docs":
+        output = sinks.pipe_docs(index, "INDEX")
+    elif pipe is not None:
+        raise ValueError(f"unknown pipe format {pipe!r}")
+
+    return ExtractResult(
+        pages=pages, index=index, report=report, chunks=chunks, output=output
+    )

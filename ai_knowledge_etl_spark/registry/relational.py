@@ -861,6 +861,32 @@ def q_scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar-map-ops",
+    """
+SELECT event_id,
+       array_to_string(json_keys(props), ',') AS prop_keys,
+       (json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
+       CAST(len(json_keys(props)) AS INTEGER) AS n_keys
+FROM events WHERE event_type = 'view'
+""".strip(),
+    doc="Map scalar family (SURVEY §2.H map): JSON props → MapType → "
+    "map_keys / membership / cardinality (the visited.json url-map shape, "
+    "crawler-coordinator.md:146-158).",
+)
+def q_scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "view"
+    )
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.concat_ws(",", F.map_keys(m)).alias("prop_keys"),
+        F.map_contains_key(m, "k").alias("has_k"),
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+    )
+
+
+@register(
     "scalar-math-suite",
     """
 SELECT doc_id,
