@@ -748,6 +748,108 @@ def q_window_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window-lag-lead",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(datediff('day',
+            CAST(lag(o_orderdate) OVER w AS DATE),
+            CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev,
+       lead(o_orderstatus) OVER w AS next_status,
+       CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+            AS INTEGER) AS price_quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+""".strip(),
+    doc="Offset window functions: inter-order gap (lag), next status "
+    "(lead), per-customer price quartile (ntile) — the reorder-interval "
+    "analytics shape (SURVEY §2.G window coverage).",
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    wq = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        )
+        .cast("int")
+        .alias("days_since_prev"),
+        F.lead("o_orderstatus").over(w).alias("next_status"),
+        F.ntile(4).over(wq).cast("int").alias("price_quartile"),
+    )
+
+
+@register(
+    "setop-intersect",
+    f"""
+WITH {syn.LINKS_CTE}, {syn.VISITED_CTE}
+SELECT url FROM links
+INTERSECT
+SELECT url FROM visited
+""".strip(),
+    doc="Set intersection frontier ∩ visited (SURVEY §2.G coverage note: "
+    "intersect is a Spark built-in; the complement of dedup-visited).",
+)
+def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    links = syn.with_links_columns(docs).select("url")
+    return links.intersect(syn.visited_urls(docs))
+
+
+def _pctl_term(p: float, alias: str) -> str:
+    # continuous percentile at (n-1)*p via the two bracketing ranks; at most
+    # two nonzero terms enter the sum, so float addition order can't vary
+    # and the result is bit-identical across engines — deliberately NOT
+    # rounded: round() itself differs between engines at half-way points
+    return (
+        f"sum(CASE WHEN rn = CAST(floor((n-1) * {p}) AS BIGINT)"
+        f" THEN v * (1 - ((n-1) * {p} - floor((n-1) * {p})))"
+        f" WHEN rn = CAST(floor((n-1) * {p}) AS BIGINT) + 1"
+        f" THEN v * ((n-1) * {p} - floor((n-1) * {p}))"
+        f" ELSE 0 END) AS {alias}"
+    )
+
+
+# dialect-common: executed verbatim by BOTH Spark SQL and DuckDB — built-in
+# percentile functions interpolate slightly differently between engines, so
+# the formula is stated once instead of trusting two implementations
+PCTL_SQL = f"""
+WITH ranked AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice ASC) - 1 AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT g AS l_returnflag,
+       {_pctl_term(0.5, "p50")},
+       {_pctl_term(0.9, "p90")},
+       {_pctl_term(0.99, "p99")}
+FROM ranked GROUP BY g
+""".strip()
+
+
+@register(
+    "agg-percentiles",
+    PCTL_SQL,
+    doc="Exact interpolated percentiles per group, formula stated once in "
+    "dialect-common SQL (built-in percentile/quantile_cont interpolate "
+    "differently across engines). At 100 TB switch to approx_percentile's "
+    "t-digest — a full sort per group is the exactness price.",
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(PCTL_SQL)
+
+
+@register(
     "scalar-date-math",
     """
 SELECT o_orderkey,
