@@ -13,6 +13,39 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+_SHIPPED: set[int] = set()
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to Spark's Python workers via addPyFile.
+
+    The driver harness imports `__spark_entry__` from an arbitrary cwd; the
+    python workers it forks do NOT inherit the driver's sys.path insert, so
+    any mapInPandas kernel referencing package code would fail with
+    ModuleNotFoundError. Zipping the package once per process and
+    addPyFile-ing it per session makes worker imports independent of cwd."""
+    sid = id(spark)
+    if sid in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    import ai_knowledge_etl_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    # unique per process: a stale zip from an older code version must never
+    # shadow the current sources
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"ai_knowledge_etl_spark_pkg_{os.getpid()}"
+    )
+    if not os.path.exists(zip_base + ".zip"):
+        shutil.make_archive(
+            zip_base, "zip", os.path.dirname(pkg_dir), "ai_knowledge_etl_spark"
+        )
+    spark.sparkContext.addPyFile(zip_base + ".zip")
+    _SHIPPED.add(sid)
+
+
 TABLES = (
     "region",
     "nation",
@@ -32,6 +65,7 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_package_on_workers(spark)
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read it as an int64 nanosecond epoch instead.
