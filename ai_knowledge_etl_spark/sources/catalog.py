@@ -14,6 +14,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 _SHIPPED: set[int] = set()
+_ZIP_PATH: str | None = None
+_SHIP_LOCK = __import__("threading").Lock()
 
 
 def ensure_package_on_workers(spark: SparkSession) -> None:
@@ -22,28 +24,34 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     The driver harness imports `__spark_entry__` from an arbitrary cwd; the
     python workers it forks do NOT inherit the driver's sys.path insert, so
     any mapInPandas kernel referencing package code would fail with
-    ModuleNotFoundError. Zipping the package once per process and
-    addPyFile-ing it per session makes worker imports independent of cwd."""
+    ModuleNotFoundError. The package is zipped once per process (into a
+    fresh mkdtemp — pid-based names collide across pid reuse, and Spark
+    rejects an addPyFile whose basename was seen with different contents)
+    and added per session. Lock-guarded: bench submits queries from
+    concurrent threads."""
+    global _ZIP_PATH
     sid = id(spark)
     if sid in _SHIPPED:
         return
-    import shutil
-    import tempfile
+    with _SHIP_LOCK:
+        if sid in _SHIPPED:
+            return
+        if _ZIP_PATH is None:
+            import shutil
+            import tempfile
 
-    import ai_knowledge_etl_spark as pkg
+            import ai_knowledge_etl_spark as pkg
 
-    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
-    # unique per process: a stale zip from an older code version must never
-    # shadow the current sources
-    zip_base = os.path.join(
-        tempfile.gettempdir(), f"ai_knowledge_etl_spark_pkg_{os.getpid()}"
-    )
-    if not os.path.exists(zip_base + ".zip"):
-        shutil.make_archive(
-            zip_base, "zip", os.path.dirname(pkg_dir), "ai_knowledge_etl_spark"
-        )
-    spark.sparkContext.addPyFile(zip_base + ".zip")
-    _SHIPPED.add(sid)
+            pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+            staging = tempfile.mkdtemp(prefix="ai_knowledge_etl_spark_ship_")
+            _ZIP_PATH = shutil.make_archive(
+                os.path.join(staging, "ai_knowledge_etl_spark_pkg"),
+                "zip",
+                os.path.dirname(pkg_dir),
+                "ai_knowledge_etl_spark",
+            )
+        spark.sparkContext.addPyFile(_ZIP_PATH)
+        _SHIPPED.add(sid)
 
 
 TABLES = (
