@@ -234,6 +234,54 @@ def q_udf_render_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg-hierarchical-summary",
+    """
+WITH page_summaries AS (
+  SELECT doc_id, source, substring(text, 1, 80) AS summary FROM documents
+)
+SELECT source,
+       substring(string_agg(summary, ' | ' ORDER BY doc_id ASC), 1, 500) AS combined,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM page_summaries GROUP BY source
+""".strip(),
+    doc="Hierarchical partial→final summarization: 80-char page extracts → "
+    "per-source combined digest capped at 500 chars (reference: "
+    "config/limits.yaml:143-163, README.md:163-202 — the summarize-then-"
+    "combine cascade; Spark's partial/final aggregate split is the same "
+    "shape at the physical level).",
+)
+def q_agg_hierarchical_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.substring("text", 1, 80).alias("summary")
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("doc_id", "summary"))),
+        lambda s: s["summary"],
+    )
+    return pages.groupBy("source").agg(
+        F.substring(F.concat_ws(" | ", ordered), 1, 500).alias("combined"),
+        F.count("*").alias("n_pages"),
+    )
+
+
+@register(
+    "agg-approx-distinct",
+    None,  # HLL sketches are engine-specific; rows-only + tolerance test
+    doc="approx_count_distinct (HyperLogLog++) over normalized URLs — the "
+    "100 TB substitute for exact countDistinct (SURVEY §2.E coverage note). "
+    "tests/test_functions.py asserts ±5% of the exact count.",
+)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.functions import urls as U
+    from ai_knowledge_etl_spark.sources import synthetic as syn2
+
+    links = syn2.with_links_columns(_docs(spark, sf_dir))
+    return links.agg(
+        F.approx_count_distinct(U.normalize("url")).alias("approx_urls")
+    )
+
+
+@register(
     "sink-index-report",
     """
 SELECT source,

@@ -61,6 +61,18 @@ def test_url_normalize_idempotent(spark, sf_dir):
     assert twice.where(F.col("n1") != F.col("n2")).count() == 0
 
 
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    from ai_knowledge_etl_spark.registry import REGISTRY
+
+    approx = REGISTRY["agg-approx-distinct"].spark(spark, sf_dir).first()[
+        "approx_urls"
+    ]
+    exact = REGISTRY["agg-distinct-urls"].spark(spark, sf_dir).first()[
+        "distinct_urls"
+    ]
+    assert abs(approx - exact) / exact < 0.05
+
+
 def test_traversal_bands_partition_scores(spark):
     df = spark.range(0, 11).select(
         F.col("id").alias("s"), scoring.traversal_action("s").alias("a")
