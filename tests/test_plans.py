@@ -78,6 +78,7 @@ PLAN_ALLOWLIST = {
     # single-row final combine — inherent to a global total, and cheap
     "agg-batch-rollup": {"SinglePartition"},
     "agg-distinct-urls": {"SinglePartition"},
+    "agg-approx-distinct": {"SinglePartition"},
     "agg-index-stats": {"SinglePartition"},
     "agg-ir-stats": {"SinglePartition"},
     "agg-queue-stats": {"SinglePartition"},
