@@ -698,6 +698,38 @@ def q_agg_batch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "plan-batches",
+    f"""
+WITH assigned AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(floor(CAST(coalesce(
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             ORDER BY o_totalprice ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS DOUBLE) / {_BATCH_LIMIT}) AS BIGINT) AS batch_id
+  FROM orders
+),
+rollup_t AS (
+  SELECT batch_id, CAST(count(*) AS BIGINT) AS n_tasks,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS batch_bytes
+  FROM assigned GROUP BY batch_id
+)
+SELECT a.o_orderkey, a.batch_id, r.n_tasks, r.batch_bytes
+FROM assigned a JOIN rollup_t r ON a.batch_id = r.batch_id
+""".strip(),
+    doc="Full batch plan: every task with its batch assignment AND the "
+    "batch's rollup totals (reference: DESIGN.md:729-763) — the planner's "
+    "output table, composing window-batch-assign with agg-batch-rollup.",
+)
+def q_plan_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = q_window_batch_assign(spark, sf_dir)
+    rollup = batching.batch_rollup(assigned, "o_totalprice")
+    return assigned.join(rollup, "batch_id").select(
+        "o_orderkey", "batch_id", "n_tasks", "batch_bytes"
+    )
+
+
+@register(
     "window-running-total",
     """
 SELECT l_suppkey, l_orderkey, l_linenumber,

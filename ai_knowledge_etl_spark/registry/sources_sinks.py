@@ -126,6 +126,97 @@ def q_sink_pipe_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan-directory",
+    None,  # filesystem scan — paths/sizes aren't a DuckDB-view concern
+    doc="Recursive directory scan via binaryFile with glob filtering "
+    "(reference: DESIGN.md:517-565): here over the sf_dir's parquet files "
+    "— path + size metadata rows, content column untouched (lazy).",
+)
+def q_scan_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+        .select("path", "length")
+        .orderBy("path")
+    )
+
+
+@register(
+    "scan-glob",
+    None,
+    doc="Glob expansion native to spark.read (reference: DESIGN.md:498-506): "
+    "load('dir/*.parquet') — no separate expansion step exists or is needed.",
+)
+def q_scan_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.format("binaryFile")
+        .load(f"{sf_dir}/*.parquet")
+        .select("path", "length")
+        .orderBy("path")
+    )
+
+
+@register(
+    "scan-git-repo",
+    None,
+    doc="Shallow clone → scan README + docs (reference: "
+    "commands/extract.md:912-929); clones this repo itself from file:// "
+    "into a scratch dir, then binaryFile-scans the markdown.",
+)
+def q_scan_git_repo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="etl_gitscan_")
+    return detect.scan_git_repo(spark, "file:///root/repo", workdir).select(
+        "path", "length"
+    )
+
+
+@register(
+    "scan-image-download",
+    None,
+    doc="Image download-and-validate (reference: commands/extract.md:470-546): "
+    "fake downloaded bytes → magic-byte verification drops invalid files → "
+    "session cap. The fetch half is the same executor kernel as "
+    "scan-web-jina; validation is pure column work over the binary column.",
+)
+def q_scan_image_download(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark import config as cfg
+    from ai_knowledge_etl_spark.operators import topk as TK
+
+    imgs = _fake_binaries(spark, sf_dir)
+    validated = imgs.select(
+        "path",
+        IM.image_format("content").alias("fmt"),
+    ).where(F.col("fmt") != "invalid")
+    return TK.top_k(validated, cfg.IMAGES_PER_SESSION_CAP, F.asc("path"))
+
+
+@register(
+    "scan-web-trafilatura",
+    None,
+    doc="Local boilerplate-removal extraction path (reference: "
+    "scripts/extract-trafilatura.sh:46-63): same fetch pipeline, with the "
+    "strip kernel (trafilatura when importable, regex fallback) doing the "
+    "content isolation; distinct URL slice from scan-web-jina.",
+)
+def q_scan_web_trafilatura(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.sources import web
+
+    links = syn.with_links_columns(load_table(spark, sf_dir, "documents"))
+    urls = (
+        links.where("doc_id >= 40 AND doc_id < 80")
+        .orderBy("doc_id")
+        .select("url")
+    )
+    return web.fetch_pipeline(
+        urls, web.demo_fetcher, interval_s=0.0, n_domain_partitions=8
+    )
+
+
+@register(
     "scan-web-jina",
     None,  # fetch kernel runs in executors; rows-only
     doc="Web extraction pipeline end-to-end over a deterministic offline "

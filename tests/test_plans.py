@@ -92,6 +92,7 @@ PLAN_ALLOWLIST = {
     # global windows confined to session-capped planner state (≤100 tasks /
     # ≤4 crawl waves by construction) — see operators/batching.py
     "window-batch-assign": {"SinglePartition"},
+    "plan-batches": {"SinglePartition"},
     "window-page-id": {"SinglePartition"},
     "stream-visited-state": {"SinglePartition"},
 }
