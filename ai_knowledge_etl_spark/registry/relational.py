@@ -321,6 +321,128 @@ def q_join_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join-volume-shipping",
+    """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+""".strip(),
+    doc="TPC-H-Q7 shape: bidirectional nation pair with a disjunctive "
+    "filter across two dimension copies of the same table — the two nation "
+    "joins broadcast independently; the OR predicate can't push below "
+    "either alone so it filters post-join, exactly where Catalyst puts it.",
+)
+def q_join_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_18")
+                & (F.col("cust_nation") == "NATION_19")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_19")
+                & (F.col("cust_nation") == "NATION_18")
+            )
+        )
+    )
+    vol = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+    ).agg(F.sum(vol).cast("double").alias("volume"))
+
+
+@register(
+    "join-nested-semi-threshold",
+    """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  GROUP BY l_suppkey
+  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > (
+    SELECT CAST(0.09 * sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) FROM lineitem
+  )
+)
+""".strip(),
+    doc="TPC-H-Q20 shape: semi join against an aggregated subquery with a "
+    "scalar-subquery threshold (suppliers moving >9% of total volume). "
+    "DECIMAL sums keep the > comparison exact on both engines.",
+)
+def q_join_nested_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    total = li.agg(
+        F.sum(_dec("l_quantity")).alias("t")
+    ).first()["t"]
+    heavy = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .where(F.col("q").cast("double") > 0.09 * float(total))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return s.join(heavy, "s_suppkey", "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "agg-cube",
+    """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+""".strip(),
+    doc="CUBE over (returnflag, linestatus): all four grouping "
+    "granularities in one pass (SURVEY §2.E coverage note).",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+@register(
     "join-min-per-group",
     """
 WITH mins AS (
