@@ -287,6 +287,81 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, k=5, n_planes=8)
 
 
+@register(
+    "dedup-minhash-verified",
+    f"""
+WITH {DUP_CORPUS_CTE}, {SHINGLES_CTE},
+seeded AS (
+  SELECT doc_id, unnest(generate_series(0, 7)) AS seed, shingle FROM sh
+),
+sigs AS (
+  SELECT doc_id, seed,
+         min(md5(CAST(seed AS STRING) || ':' || shingle)) AS sig
+  FROM seeded GROUP BY doc_id, seed
+),
+banded AS (
+  SELECT doc_id,
+    {_MINHASH_BANDS_SQL}
+  FROM sigs GROUP BY doc_id
+),
+cands AS (
+  {_MINHASH_CAND_SQL}
+),
+pairs AS (SELECT DISTINCT doc_a, doc_b FROM cands),
+inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND a.shingle = b.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id)
+SELECT i.doc_a, i.doc_b,
+       round(i.inter / CAST(ca.n_sh + cb.n_sh - i.inter AS DOUBLE), 4) AS jaccard
+FROM inter i
+JOIN counts ca ON i.doc_a = ca.doc_id
+JOIN counts cb ON i.doc_b = cb.doc_id
+WHERE round(i.inter / CAST(ca.n_sh + cb.n_sh - i.inter AS DOUBLE), 4) >= 0.5
+""".strip(),
+    doc="The canonical two-stage near-dup pipeline: MinHash-LSH generates "
+    "candidates (cheap, recall-oriented), exact Jaccard verifies them "
+    "(precision) — compute the expensive metric only on co-bucketed pairs. "
+    "At 100 TB this candidate→verify shape is the whole point of LSH.",
+)
+def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    sigs = dedup.minhash_signatures(sh, "doc_id", k=8)
+    pairs = dedup.minhash_candidates(sigs, "doc_id", k=8, rows_per_band=2)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh_b"))
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= 0.5)
+
+
 _COS_CENT_SQL = _COS_SQL.replace("q.qe", "c.ce").replace("e.embedding", "e.embedding")
 
 
