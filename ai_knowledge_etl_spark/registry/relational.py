@@ -1171,3 +1171,242 @@ def q_scalar_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             100.0 * (1.0 - F.least(n, F.lit(300)) / n.cast("double")), 2
         ).alias("reduction_pct"),
     )
+
+
+# --- TPC-H depth pass 2: distribution / correlated / disjunctive shapes ---------
+
+
+@register(
+    "agg-orders-per-customer",
+    """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_custs
+FROM per_cust GROUP BY n_orders
+""".strip(),
+    doc="TPC-H-Q13 shape: order-count distribution — LEFT OUTER join with a "
+    "join-side predicate (which must NOT become a WHERE, or zero-order "
+    "customers vanish), then a second aggregation over the first's result. "
+    "The outer join preserves customers with no orders as n_orders=0.",
+)
+def q_agg_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").alias("n_custs")
+    )
+
+
+@register(
+    "join-small-qty-revenue",
+    """
+WITH avg_qty AS (
+  SELECT l_partkey, avg(l_quantity) AS aq FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
+            AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN avg_qty a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23' AND l.l_quantity < 0.5 * a.aq
+""".strip(),
+    doc="TPC-H-Q17 shape: correlated per-part average decorrelated into a "
+    "grouped subquery + equi-join — each lineitem compares against its own "
+    "part's mean quantity. At scale the avg_qty side is small (one row per "
+    "part) and broadcastable; the brand filter prunes the part join first.",
+)
+def q_join_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        F.avg("l_quantity").alias("aq")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == avg_qty.ak)
+        .where(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(
+            (F.round(F.sum(_dec("l_extendedprice")) / 7.0, 2))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "filter-disjunctive-pushdown",
+    """
+SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+""".strip(),
+    doc="TPC-H-Q19 shape: three-way disjunction mixing fact and dimension "
+    "predicates. Catalyst extracts the common p/l conjuncts per branch and "
+    "pushes the part-only OR (brand+size) below the join into the parquet "
+    "scan, so only candidate parts are joined — verify via PushedFilters.",
+)
+def q_filter_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    br = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(20, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return j.where(br).agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "join-waiting-supplier",
+    """
+WITH late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F' AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+),
+multi AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1
+),
+sole_late AS (
+  SELECT l_orderkey FROM late
+  GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) = 1
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late t
+JOIN multi m ON m.l_orderkey = t.l_orderkey
+JOIN sole_late sl ON sl.l_orderkey = t.l_orderkey
+JOIN supplier s ON s.s_suppkey = t.l_suppkey
+GROUP BY s.s_name
+""".strip(),
+    doc="TPC-H-Q21 shape: suppliers solely responsible for late multi-"
+    "supplier orders. The classic EXISTS/NOT-EXISTS pair over lineitem "
+    "self-joins is decorrelated into two grouped order-level predicates "
+    "(>1 supplier participated; exactly 1 shipped late) joined back — "
+    "turning two correlated scans into one shuffle each. Lateness is "
+    "shipdate > orderdate+60d (this schema has no commit/receipt dates; "
+    "reference: crawl scheduling uses the same overdue-by-threshold shape).",
+)
+def q_join_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .where(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("nl"))
+        .where(F.col("nl") == 1)
+        .select("l_orderkey")
+    )
+    return (
+        late.join(multi, "l_orderkey")
+        .join(sole_late, "l_orderkey")
+        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "join-global-avg-anti",
+    """
+WITH rich AS (
+  SELECT c_custkey, c_acctbal, substr(c_name, 16, 3) AS cseg
+  FROM customer
+  WHERE c_acctbal > (
+    SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+  )
+)
+SELECT r.cseg, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(round(sum(CAST(r.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
+FROM rich r
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = r.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY r.cseg
+""".strip(),
+    doc="TPC-H-Q22 shape: global scalar-average threshold + anti join "
+    "(above-average-balance customers who never placed an URGENT order), "
+    "grouped by a name-derived segment (stand-in for phone country code). "
+    "The scalar subquery is one tiny aggregate broadcast into the filter; "
+    "the NOT EXISTS is a left_anti against a filtered orders projection — "
+    "the priority predicate pushes into the parquet scan of the anti side.",
+)
+def q_join_global_avg_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("a"))
+        .first()["a"]
+    )
+    rich = c.where(F.col("c_acctbal") > float(avg_bal)).select(
+        "c_custkey",
+        "c_acctbal",
+        F.substring("c_name", 16, 3).alias("cseg"),
+    )
+    no_orders = rich.join(
+        o.where(F.col("o_orderpriority") == "1-URGENT").select(
+            F.col("o_custkey").alias("c_custkey")
+        ),
+        "c_custkey",
+        "left_anti",
+    )
+    return no_orders.groupBy("cseg").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
+    )

@@ -83,12 +83,17 @@ PLAN_ALLOWLIST = {
     "agg-ir-stats": {"SinglePartition"},
     "agg-queue-stats": {"SinglePartition"},
     "agg-visited-count": {"SinglePartition"},
+    "join-small-qty-revenue": {"SinglePartition"},
+    "filter-disjunctive-pushdown": {"SinglePartition"},
     # brute-force ANN is definitionally queries × corpus; the query side is
     # broadcast (5 rows). The scale path is similarity-lsh-bucketed.
     "similarity-topk": {"BroadcastNestedLoopJoin"},
     # IVF coarse quantization is definitionally corpus × centroids (16
     # broadcast rows); the per-query search itself is an equi-join on cell id
     "similarity-ivf": {"BroadcastNestedLoopJoin"},
+    # k-means assignment is definitionally corpus × k centroids (k=8
+    # broadcast rows, twice — one per Lloyd iteration)
+    "similarity-kmeans-ann": {"BroadcastNestedLoopJoin"},
     # global windows confined to session-capped planner state (≤100 tasks /
     # ≤4 crawl waves by construction) — see operators/batching.py
     "window-batch-assign": {"SinglePartition"},
