@@ -664,3 +664,111 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fp"),
         F.md5(F.substring(norm, 1, 64)).alias("prefix_fp"),
     )
+
+
+_L2_E_C_SQL = """
+list_sum(list_transform(generate_series(1, len(e.embedding)),
+  i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+     * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))))
+""".strip()
+
+
+@register(
+    "similarity-kmeans-ann",
+    f"""
+WITH c0 AS (
+  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 8
+),
+d1 AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_L2_E_C_SQL} ASC, c.cent_id ASC) AS rn
+  FROM embeddings e CROSS JOIN c0 c
+),
+a1 AS (SELECT vec_id, embedding, cent_id FROM d1 WHERE rn = 1),
+flat AS (
+  SELECT cent_id, unnest(embedding) AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM a1
+),
+upd AS (
+  SELECT cent_id, pos, round(avg(CAST(val AS DOUBLE)), 6) AS m
+  FROM flat GROUP BY cent_id, pos
+),
+c1 AS (SELECT cent_id, array_agg(m ORDER BY pos) AS ce FROM upd GROUP BY cent_id),
+d2 AS (
+  SELECT e.vec_id, c.cent_id,
+         round({_L2_E_C_SQL}, 4) AS dist,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_L2_E_C_SQL} ASC, c.cent_id ASC) AS rn
+  FROM embeddings e CROSS JOIN c1 c
+),
+a2 AS (SELECT vec_id, cent_id, dist FROM d2 WHERE rn = 1)
+SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(vec_id) AS BIGINT) AS rep_vec,
+       CAST(round(sum(CAST(dist AS DECIMAL(18,4))) / count(*), 4) AS DOUBLE)
+         AS avg_dist
+FROM a2 GROUP BY cent_id
+""".strip(),
+    doc="Real k-means coarse quantizer for IVF-ANN: two Lloyd iterations "
+    "(assign to nearest-L2 centroid; recompute element-wise means) run as "
+    "pure DataFrame ops — no driver-side loop over vectors. Centroid "
+    "updates are posexplode -> groupBy(cent,pos) -> avg -> re-assemble, so "
+    "the update shuffles k*dim rows regardless of corpus size; assignment "
+    "is corpus x k with k broadcast. Parity: centroid components round to "
+    "6dp (making them bit-identical across engines despite avg summation "
+    "order), then all downstream distance math is deterministic per-row "
+    "IEEE double. At 100 TB the same plan holds: iterate assignments over "
+    "the corpus, with only k*dim bytes ever collected/broadcast per round.",
+)
+def q_similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def l2(a: F.Column, b: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d = l2(F.col("embedding"), F.col("ce"))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.asc("__d"), F.asc("cent_id")
+        )
+        return (
+            emb.crossJoin(F.broadcast(cents))
+            .select("vec_id", "embedding", "cent_id", d.alias("__d"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+        )
+
+    c0 = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    a1 = assign(c0).select("vec_id", "embedding", "cent_id")
+    c1 = (
+        a1.select("cent_id", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("cent_id", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+        .groupBy("cent_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cent_id", F.transform("pm", lambda s: s.m).alias("ce"))
+    )
+    a2 = assign(c1).select(
+        "vec_id", "cent_id", F.round("__d", 4).alias("dist")
+    )
+    return a2.groupBy("cent_id").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("vec_id").cast("bigint").alias("rep_vec"),
+        (F.round(F.sum(F.col("dist").cast("decimal(18,4)")) / F.count("*"), 4))
+        .cast("double")
+        .alias("avg_dist"),
+    )
