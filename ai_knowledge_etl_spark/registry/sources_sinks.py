@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_knowledge_etl_spark.multimodal import images as IM
-from ai_knowledge_etl_spark.operators import sinks, similarity
+from ai_knowledge_etl_spark.operators import incremental, sinks, similarity
 from ai_knowledge_etl_spark.registry import register
 from ai_knowledge_etl_spark.sources import detect
 from ai_knowledge_etl_spark.sources import pdf as PDF
@@ -451,4 +451,115 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.where(F.col("cos") >= 0.95).select(
         "vec_a", "vec_b", F.round("cos", 4).alias("cos_sim")
+    )
+
+
+# --- incremental / cache (reference roadmap DESIGN.md:1664,1693-1694) -----------
+
+
+@register(
+    "sink-incremental-upsert",
+    """
+WITH existing AS (
+  SELECT doc_id, source, 1 AS rev, md5(text) AS fp FROM documents
+),
+updates AS (
+  SELECT doc_id, source, 2 AS rev, md5(text || ' v2') AS fp
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, source, 1 AS rev, md5(text) AS fp
+  FROM documents WHERE doc_id % 7 = 0
+),
+tagged AS (
+  SELECT *, 0 AS src FROM existing UNION ALL SELECT *, 1 AS src FROM updates
+),
+ranked AS (
+  SELECT doc_id, source, rev, fp,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY rev DESC, src DESC) AS rn
+  FROM tagged
+)
+SELECT doc_id, source, CAST(rev AS INTEGER) AS rev, fp
+FROM ranked WHERE rn = 1
+""".strip(),
+    doc="MERGE/upsert semantics (reference roadmap DESIGN.md:1694 "
+    "'incremental processing'): newest revision per key wins, updates beat "
+    "existing at equal rev. The pure merge is oracle-diffed here; the "
+    "file-level incremental apply (bucket-partitioned parquet + dynamic "
+    "partition overwrite rewriting only touched buckets) is "
+    "operators/incremental.upsert_parquet, tested in "
+    "tests/test_sinks_sources.py.",
+)
+def q_sink_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    existing = d.select(
+        "doc_id", "source", F.lit(1).alias("rev"), F.md5("text").alias("fp")
+    )
+    updates = (
+        d.where("doc_id % 3 = 0")
+        .select(
+            "doc_id",
+            "source",
+            F.lit(2).alias("rev"),
+            F.md5(F.concat("text", F.lit(" v2"))).alias("fp"),
+        )
+        .unionByName(
+            d.where("doc_id % 7 = 0").select(
+                (F.col("doc_id") + 500000).alias("doc_id"),
+                "source",
+                F.lit(1).alias("rev"),
+                F.md5("text").alias("fp"),
+            )
+        )
+    )
+    return incremental.merge_latest(
+        existing, updates, key="doc_id", rev_col="rev"
+    ).select("doc_id", "source", F.col("rev").cast("int").alias("rev"), "fp")
+
+
+@register(
+    "scan-cache-ttl",
+    """
+WITH log AS (
+  SELECT 'https://h' || CAST(user_id % 50 AS STRING) || '.example.com/u'
+           || CAST(user_id AS STRING) AS url,
+         epoch_ns(ts) // 1000000000 AS sec
+  FROM events
+),
+latest AS (
+  SELECT url, CAST(max(sec) AS BIGINT) AS last_fetch_s FROM log GROUP BY url
+),
+clock AS (SELECT max(sec) AS now_s FROM log)
+SELECT l.url, l.last_fetch_s,
+       CAST(c.now_s - l.last_fetch_s AS BIGINT) AS age_s,
+       (c.now_s - l.last_fetch_s) < 86400 AS cache_hit
+FROM latest l CROSS JOIN clock c
+""".strip(),
+    doc="TTL fetch cache (reference: DESIGN.md:1664 cache.ttl config, "
+    ":1693 'cache mechanism'): latest fetch per URL, HIT while younger "
+    "than the TTL relative to a deterministic clock (max event time). One "
+    "hash-agg on the URL key + a broadcast one-row clock — at 100 TB the "
+    "cache table is bucketed by URL and the decision join stays pruned.",
+)
+def q_scan_cache_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit(".example.com/u"),
+            F.col("user_id").cast("string"),
+        ).alias("url"),
+        F.expr("ts div 1000000000").alias("sec"),
+    )
+    now_s = int(log.agg(F.max("sec")).first()[0])
+    latest = log.groupBy("url").agg(
+        F.max("sec").cast("bigint").alias("last_fetch_s")
+    )
+    return incremental.ttl_cache_decisions(
+        latest.withColumn("now_s", F.lit(now_s)),
+        url_col="url",
+        ts_col="last_fetch_s",
+        now_col="now_s",
+        ttl_s=86400,
     )

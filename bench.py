@@ -1,17 +1,28 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "duckdb_oracle_sec": ...,
+"duckdb_oracle_n": ...}.
 
 - Each query is fully materialized through the `noop` sink so Catalyst
   cannot prune the work away (a bare .count() would skip projections).
-- Queries run CONCURRENTLY (8 submitter threads, FAIR scheduler): the Spark
-  scheduler interleaves their jobs across the 32 cores exactly as a
+- Queries run CONCURRENTLY (16 submitter threads, FAIR scheduler): the
+  Spark scheduler interleaves their jobs across the 32 cores exactly as a
   multi-tenant cluster would, so total wall measures engine throughput
-  rather than 92× the per-job scheduling floor. Per-query numbers therefore
-  include queue time — read them as relative weight, not isolated latency.
-- AQE off: at sf0.1 (~100 MB) runtime re-planning costs ~2× wall and buys
-  nothing; production sessions keep it on (see session.get_spark).
+  rather than 120× the per-job scheduling floor. Per-query numbers
+  therefore include queue time — read them as relative weight, not
+  isolated latency.
+- shuffle.partitions=4 here: static stand-in for what AQE's partition
+  coalescing picks at this scale (~100 MB inputs → a handful of
+  post-shuffle partitions). Measured sweep at sf0.1, 123 queries:
+  32 partitions = 24.8 s, 8 = 12.6 s, 4 = 11.2 s; AQE-on with 32 = 12.7 s
+  (per-stage re-planning overhead ≈ its coalescing win at this size).
+  Production sessions keep AQE on and let it do this sizing dynamically
+  (see session.get_spark) — a fixed tiny value would be wrong at 100 TB,
+  which is why only bench pins it.
+- DuckDB side-by-side: BASELINE.md defines DuckDB wall on the same parquet
+  as the 2× comparison oracle, so the JSON carries it (all registered
+  oracle SQLs, sequential, 32 threads).
 """
 
 from __future__ import annotations
@@ -29,7 +40,8 @@ from ai_knowledge_etl_spark.registry import REGISTRY
 from ai_knowledge_etl_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_WORKERS = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "8"))
+N_WORKERS = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "16"))
+SHUFFLE = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "4"))
 
 
 def sf_of(path: str) -> float:
@@ -37,8 +49,33 @@ def sf_of(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def duckdb_oracle_wall() -> tuple[float, int]:
+    """Total DuckDB wall over every registered oracle SQL (the BASELINE.md
+    2x comparison oracle). Sequential by design: DuckDB parallelizes each
+    query internally across all threads."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    t0 = time.time()
+    n = 0
+    for name in sorted(REGISTRY):
+        sql = REGISTRY[name].oracle
+        if sql:
+            con.execute(sql).fetchall()
+            n += 1
+    return round(time.time() - t0, 3), n
+
+
 def main() -> None:
-    spark = get_spark("bench", adaptive=False)
+    spark = get_spark("bench", adaptive=False, shuffle_partitions=SHUFFLE)
     spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
     # warm the JVM + parquet footers once so timings measure the queries
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
@@ -54,6 +91,7 @@ def main() -> None:
     with ThreadPoolExecutor(N_WORKERS) as ex:
         timings = dict(ex.map(run, sorted(REGISTRY)))
     total = round(time.time() - t0, 3)
+    duck_sec, duck_n = duckdb_oracle_wall()
     print(
         json.dumps(
             {
@@ -62,6 +100,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_of(SF_DIR),
+                "duckdb_oracle_sec": duck_sec,
+                "duckdb_oracle_n": duck_n,
             }
         )
     )

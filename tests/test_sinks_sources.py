@@ -71,3 +71,62 @@ def test_scan_git_repo(spark, tmp_path):
     paths = [r["path"] for r in df.select("path").collect()]
     assert any(p.endswith("README.md") for p in paths)
     assert not any("/.git/" in p for p in paths)
+
+
+def test_incremental_upsert_rewrites_only_touched_buckets(
+    spark, sf_dir, tmp_path
+):
+    """upsert_parquet: merge correctness AND incrementality — an update
+    batch touching a few keys must leave every other bucket's files
+    untouched on disk (that pruning is the whole point at 100 TB)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_etl_spark.operators import incremental
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.lit(1).alias("rev"), F.md5("text").alias("fp")
+    )
+    path = str(tmp_path / "inc")
+    incremental.upsert_parquet(spark, path, docs, n_buckets=8)
+
+    def bucket_mtimes() -> dict[str, float]:
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("__bucket="):
+                full = os.path.join(path, d)
+                out[d] = max(
+                    os.path.getmtime(os.path.join(full, f))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = bucket_mtimes()
+    assert len(before) == 8
+    time.sleep(1.1)
+
+    updates = docs.where("doc_id IN (3, 17)").withColumn("rev", F.lit(2))
+    touched = {
+        f"__bucket={r[0]}"
+        for r in updates.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(8))
+        ).collect()
+    }
+    incremental.upsert_parquet(spark, path, updates, n_buckets=8)
+    after = bucket_mtimes()
+
+    for b in before:
+        if b in touched:
+            assert after[b] > before[b], f"{b} should have been rewritten"
+        else:
+            assert after[b] == before[b], f"{b} rewritten needlessly"
+
+    merged = spark.read.parquet(path)
+    assert merged.count() == docs.count()  # upsert, not append
+    revs = {
+        r["doc_id"]: r["rev"]
+        for r in merged.where("doc_id IN (3, 17, 4)").collect()
+    }
+    assert revs[3] == 2 and revs[17] == 2 and revs[4] == 1

@@ -206,3 +206,54 @@ def test_frontier_terminates_and_respects_budget(spark, sf_dir):
     assert max(r["depth"] for r in rows) <= 3
     # budget stops expansion after the wave that crossed it
     assert len(rows) < 100
+
+
+def test_transform_with_state_running_stats(spark, events_stream):
+    """transformWithStateInPandas (Spark 4.x StatefulProcessor): running
+    per-user (count, sum) must converge to the batch groupBy answer."""
+    from ai_knowledge_etl_spark.streaming import stateful
+
+    if not stateful.HAS_TWS:
+        pytest.skip("transformWithState needs Spark >= 4.0 and protobuf")
+    stream, batch = events_stream
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        stateful.ROCKSDB_PROVIDER,
+    )
+    try:
+        out = stateful.running_user_stats(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    got = {
+        (r["user_id"], r["n_events"], round(r["total_value"], 2))
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) AS rn
+                 FROM t_tws) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        (r["user_id"], r["n"], round(r["tv"], 2))
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("double")).alias("tv"),
+        )
+        .collect()
+    }
+    assert got == want
