@@ -129,3 +129,32 @@ def lang_guess(text: Column | str) -> Column:
             (counts[lang] == best) & (best > 0), F.lit(lang)
         ).otherwise(expr)
     return expr
+
+
+# --- PII redaction (training-data extension; Java-regex ∩ RE2 patterns) --------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_CARD = r"\b[0-9]{13,16}\b"
+PII_PHONE = r"\+?[0-9][0-9 ()\-]{6,}[0-9]"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails, card numbers, then phones with typed placeholders.
+    Order matters: cards redact before the phone pattern can eat their
+    digit runs. Pure JVM regexp_replace — no Python in the hot path."""
+    c = F.regexp_replace(_c(text), PII_EMAIL, "<EMAIL>")
+    c = F.regexp_replace(c, PII_CARD, "<CARD>")
+    return F.regexp_replace(c, PII_PHONE, "<PHONE>")
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column, Column]:
+    """(n_emails, n_cards, n_phones) found in `text` (pre-redaction)."""
+    t = _c(text)
+    without_cards = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_CARD, "<CARD>"
+    )
+    return (
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)),
+        F.size(F.regexp_extract_all(t, F.lit(PII_CARD), 0)),
+        F.size(F.regexp_extract_all(without_cards, F.lit(PII_PHONE), 0)),
+    )

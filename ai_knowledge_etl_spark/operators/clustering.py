@@ -1,0 +1,98 @@
+"""Connected components for dedup clustering (SURVEY §2.I north-star).
+
+Near-dup detection emits PAIRS (exact-fingerprint groups, Jaccard/MinHash
+edges); a real pipeline must then pick ONE canonical document per
+transitive cluster — A~B and B~C must collapse A,B,C together even when
+A~C was never scored. That closure is connected components over the
+pair graph.
+
+Spark-first design: iterative min-label propagation as pure DataFrame
+ops — each round is one equi-join (edges × labels) + one groupBy-min,
+i.e. two shuffles on the node key, no driver-side graph. Rounds needed =
+cluster diameter, which for dup clusters is tiny (pairs come from shared
+content, so clusters are near-cliques). The loop stops at an exact
+fixpoint via a per-round changed-count. At 100 TB the same loop holds
+because per-round cost is |E| shuffle bytes and diameter stays O(1) for
+dup graphs; for adversarial long-chain graphs swap in the large-star/
+small-star rounds of Kiveris et al. "Connected Components in MapReduce"
+(same join primitives, O(log n) rounds) — not needed for dedup.
+
+Reference behavior: the reference dedups by exact content hash only
+(crawler-queue.sh:36-41 at-most-once visits); transitive near-dup
+clustering is the training-data-pipeline extension this repo adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node reachable through `edges` (undirected) with the
+    min node id of its component. Returns (node, cluster_id).
+
+    Driver loop, distributed rounds: iterate until no label changes
+    (checked with a 1-row count action per round); `max_iter` is a
+    safety bound, hit only if diameter exceeds it.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        # each node offers its label to every neighbor; take the min offer
+        offers = (
+            e.join(labels, e["a"] == labels["node"])
+            .groupBy(F.col("b").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(offers, labels["node"] == offers["node2"], "left")
+            .select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nbr_label", "label")
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__chg"),
+            )
+        )
+        new_labels = new_labels.persist()
+        changed = new_labels.where("__chg").limit(1).count()
+        labels.unpersist()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def canonical_clusters(
+    edges: DataFrame, src: str = "a", dst: str = "b"
+) -> DataFrame:
+    """Cluster assignment + canonical flag + cluster size for every node
+    that participates in at least one dup edge. cluster_id = min node id
+    of the component (the doc a pipeline keeps); everything else in the
+    cluster is dropped as a duplicate."""
+    cc = connected_components(edges, src=src, dst=dst)
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("node").cast("long").alias("doc_id"),
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+        F.count("*").over(w).cast("long").alias("n_members"),
+    )

@@ -55,6 +55,7 @@ def _load_all() -> None:
         sources_sinks,
         streaming,
         text_pipeline,
+        training,
     )
 
 

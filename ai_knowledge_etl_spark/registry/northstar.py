@@ -772,3 +772,76 @@ def q_similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_dist"),
     )
+
+
+# --- dedup clustering: transitive closure over near-dup pairs -------------------
+
+
+@register(
+    "dedup-cluster-cc",
+    f"""
+WITH RECURSIVE {DUP_CORPUS_CTE}, {SHINGLES_CTE},
+fps AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM dup_corpus
+),
+exact_edges AS (
+  SELECT a, b FROM (
+    SELECT min(doc_id) OVER (PARTITION BY fp) AS a, doc_id AS b FROM fps
+  ) WHERE a <> b
+),
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac_edges AS (
+  SELECT doc_a AS a, doc_b AS b
+  FROM inter
+  JOIN counts ca ON doc_a = ca.doc_id
+  JOIN counts cb ON doc_b = cb.doc_id
+  WHERE inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE) >= 0.6
+),
+edges0 AS (SELECT a, b FROM exact_edges UNION SELECT a, b FROM jac_edges),
+edges AS (SELECT a, b FROM edges0 UNION SELECT b AS a, a AS b FROM edges0),
+reach(node, lab) AS (
+  SELECT a AS node, a AS lab FROM edges
+  UNION
+  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node
+),
+labs AS (
+  SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY node
+)
+SELECT cluster_id, CAST(doc_id AS BIGINT) AS doc_id,
+       doc_id = cluster_id AS is_canonical,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+FROM labs
+""".strip(),
+    doc="Transitive dedup clustering: exact-fingerprint edges + "
+    "Jaccard>=0.6 near-dup edges -> connected components -> one canonical "
+    "doc (min id) per cluster. Spark side is iterative min-label "
+    "propagation (operators/clustering.py, two shuffles per round, rounds "
+    "= cluster diameter); oracle is DuckDB WITH RECURSIVE transitive "
+    "closure. The injected corpus chains X ~ X+100000 (near) and "
+    "X ~ X+200000 (exact) so multi-edge merging is actually exercised.",
+)
+def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ai_knowledge_etl_spark.operators import clustering
+
+    corpus = _dup_corpus(spark, sf_dir)
+    fps = corpus.select("doc_id", dedup.fingerprint("text").alias("fp"))
+    w = Window.partitionBy("fp")
+    exact_e = (
+        fps.withColumn("a", F.min("doc_id").over(w))
+        .where(F.col("a") != F.col("doc_id"))
+        .select("a", F.col("doc_id").alias("b"))
+    )
+    jac_e = dedup.jaccard_pairs(
+        _shingles(spark, sf_dir), "doc_id", "source", threshold=0.6
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    return clustering.canonical_clusters(exact_e.unionByName(jac_e))

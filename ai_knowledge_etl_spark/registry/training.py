@@ -1,0 +1,203 @@
+"""Training-data preparation operators: deterministic sampling, dataset
+splits, sequence packing (SURVEY §2.I extension — no reference
+counterpart; these are the ops a pretraining pipeline runs downstream of
+the reference's extract stage). Parity conventions per registry/crawl.py;
+all sampling is md5-hash-keyed so both engines select identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_knowledge_etl_spark.operators import packing, sampling
+from ai_knowledge_etl_spark.registry import register
+from ai_knowledge_etl_spark.sources.catalog import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "sample-stratified",
+    """
+SELECT doc_id, source
+FROM documents
+WHERE substring(md5(CAST(doc_id AS STRING)), 1, 2) <
+      CASE CAST(substring(source, 4) AS INTEGER) % 3
+        WHEN 0 THEN '2a' WHEN 1 THEN '80' ELSE 'zz' END
+ORDER BY doc_id
+""".strip(),
+    doc="Stratified sampling with per-stratum rates (~16% / 50% / 100% by "
+    "source band), keyed on md5(doc_id) so the sample is identical across "
+    "engines, runs, and partitionings — a narrow filter, no shuffle "
+    "(operators/sampling.py).",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    band = (F.substring("source", 4, 10).cast("int") % 3)
+    threshold = (
+        F.when(band == 0, "2a").when(band == 1, "80").otherwise("zz")
+    )
+    return (
+        sampling.stratified_sample(d, "doc_id", threshold)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample-reservoir-group",
+    """
+SELECT doc_id, source, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 5
+""".strip(),
+    doc="Deterministic per-group 'reservoir': the 5 docs per source with "
+    "the smallest md5 tag — uniform within the group, stable across runs. "
+    "One shuffle on the group key; Spark's window-TopK keeps per-group "
+    "state O(k) (operators/sampling.py).",
+)
+def q_sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.reservoir_per_group(
+        _docs(spark, sf_dir), "source", "doc_id", k=5
+    ).select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+
+
+@register(
+    "sample-train-split",
+    """
+SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT source,
+         CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < 'cc'
+                THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < 'e6'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+GROUP BY source, split
+""".strip(),
+    doc="Hash-keyed train/val/test split (~80/10/10): a row's split never "
+    "depends on the rest of the dataset, so assignments survive appends "
+    "and reprocessing — the property random splits lack. Summarized per "
+    "(source, split) (operators/sampling.py train_val_test).",
+)
+def q_sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        sampling.train_val_test(_docs(spark, sf_dir), "doc_id")
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "pack-sequences",
+    """
+SELECT doc_id, source, n_tok, cum_prev,
+       CAST(cum_prev // 512 AS BIGINT) AS first_window,
+       CAST((cum_prev + n_tok - 1) // 512 AS BIGINT) AS last_window,
+       CAST((cum_prev + n_tok - 1) // 512 - cum_prev // 512 + 1 AS BIGINT)
+         AS n_windows
+FROM (
+  SELECT doc_id, source, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+  )
+)
+""".strip(),
+    doc="Concat-and-chunk sequence packing (GPT-style pretraining recipe): "
+    "per-source token stream ordered by doc_id, cut into 512-token context "
+    "windows; each doc learns the window span it lands in via one "
+    "exclusive running cumsum (operators/packing.py). Per-stream "
+    "partitioning keeps a 100 TB corpus packable with no global ordering.",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    return packing.concat_chunk_pack(
+        d, order_col="doc_id", tok_col="n_tok", budget=512,
+        partition_col="source",
+    ).select(
+        "doc_id", "source", "n_tok", "cum_prev",
+        "first_window", "last_window", "n_windows",
+    )
+
+
+@register(
+    "udf-redact-pii",
+    """
+WITH pii AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS STRING)
+              || '@mail.example.com or call +1 555-01'
+              || CAST(doc_id % 90 + 10 AS STRING)
+              || CASE WHEN doc_id % 5 = 0
+                   THEN ' today. Card 4111111111111111.' ELSE ' today.' END
+           AS text
+  FROM documents
+),
+pass1 AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b[0-9]{13,16}\\b', '<CARD>', 'g') AS no_card
+  FROM pii
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '\\b[0-9]{13,16}\\b')) AS INTEGER)
+         AS n_cards,
+       CAST(len(regexp_extract_all(no_card, '\\+?[0-9][0-9 ()\\-]{6,}[0-9]'))
+         AS INTEGER) AS n_phones,
+       md5(regexp_replace(no_card, '\\+?[0-9][0-9 ()\\-]{6,}[0-9]',
+           '<PHONE>', 'g')) AS red_fp
+FROM pass1
+""".strip(),
+    doc="PII redaction for training corpora: emails -> <EMAIL>, card "
+    "numbers -> <CARD>, then phones -> <PHONE> (order matters — cards "
+    "redact before the phone pattern can eat their digit runs). Counts "
+    "per class + md5 of the redacted text prove both engines redact "
+    "identically. Chained JVM regexp_replace, narrow map, no shuffle "
+    "(functions/text.py redact_pii; patterns in Java-regex ∩ RE2).",
+)
+def q_udf_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.functions import text as TX
+
+    d = _docs(spark, sf_dir)
+    synth = F.concat(
+        "text",
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call +1 555-01"),
+        (F.col("doc_id") % 90 + 10).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, " today. Card 4111111111111111.")
+        .otherwise(" today."),
+    )
+    p = d.select("doc_id", synth.alias("text"))
+    n_emails, n_cards, n_phones = TX.pii_counts("text")
+    return p.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_cards.alias("n_cards"),
+        n_phones.alias("n_phones"),
+        F.md5(TX.redact_pii("text")).alias("red_fp"),
+    )

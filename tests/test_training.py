@@ -1,0 +1,127 @@
+"""Unit tests for the training-data extension operators (clustering,
+sampling, packing, PII redaction) — properties the oracle diff can't
+express: multi-round convergence, determinism across runs, invariants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_knowledge_etl_spark.operators import clustering, packing, sampling
+from ai_knowledge_etl_spark.sources.catalog import load_table
+
+
+def test_connected_components_chain_needs_multiple_rounds(spark):
+    """A 6-node path graph has diameter 5 — one propagation round is NOT
+    enough, so this asserts the loop actually iterates to fixpoint."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)], ["a", "b"]
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in clustering.connected_components(edges).collect()
+    }
+    assert got == {(n, 1) for n in range(1, 7)} | {(10, 10), (11, 10)}
+
+
+def test_connected_components_merges_via_shared_node(spark):
+    edges = spark.createDataFrame([(7, 3), (3, 9), (9, 1)], ["a", "b"])
+    labels = {
+        r["node"]: r["cluster_id"]
+        for r in clustering.connected_components(edges).collect()
+    }
+    assert set(labels.values()) == {1}
+
+
+def test_canonical_clusters_one_canonical_per_cluster(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["a", "b"])
+    df = clustering.canonical_clusters(edges)
+    rows = df.collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert set(by_cluster) == {1, 5}
+    for cid, members in by_cluster.items():
+        canon = [m for m in members if m["is_canonical"]]
+        assert len(canon) == 1 and canon[0]["doc_id"] == cid
+        assert all(m["n_members"] == len(members) for m in members)
+
+
+def test_hash_sample_deterministic_and_subset(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    s1 = sampling.deterministic_sample(d, "doc_id", "40")
+    s2 = sampling.deterministic_sample(d, "doc_id", "40")
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in s2.select("doc_id").collect())
+    assert ids1 == ids2 and 0 < len(ids1) < d.count()
+    # a wider threshold strictly contains a narrower one
+    wide = {
+        r["doc_id"]
+        for r in sampling.deterministic_sample(d, "doc_id", "80")
+        .select("doc_id")
+        .collect()
+    }
+    assert set(ids1) <= wide
+
+
+def test_train_val_test_exhaustive_disjoint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    split = sampling.train_val_test(d, "doc_id")
+    assert split.count() == d.count()  # every row gets exactly one split
+    counts = {
+        r["split"]: r["n"]
+        for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] + counts["test"]
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        )
+    )
+    packed = packing.concat_chunk_pack(
+        d, "doc_id", "n_tok", budget=512, partition_col="source"
+    )
+    rows = packed.orderBy("source", "doc_id").collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, docs in by_src.items():
+        cum = 0
+        for r in docs:
+            assert r["cum_prev"] == cum, f"{src}: cumsum mismatch"
+            assert r["first_window"] == cum // 512
+            assert r["last_window"] == (cum + r["n_tok"] - 1) // 512
+            assert r["n_windows"] == r["last_window"] - r["first_window"] + 1
+            cum += r["n_tok"]
+
+
+def test_redact_pii_leaves_no_matches(spark, sf_dir):
+    from ai_knowledge_etl_spark.functions import text as TX
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    synth = d.select(
+        F.concat(
+            "text",
+            F.lit(" mail me: a.b+c@x-y.example.org tel +44 (0)20 7946-0958"),
+            F.lit(" visa 4111111111111111 done"),
+        ).alias("text")
+    )
+    red = synth.select(TX.redact_pii("text").alias("red"))
+    leftovers = red.where(
+        F.col("red").rlike(TX.PII_EMAIL)
+        | F.col("red").rlike(TX.PII_CARD)
+    ).count()
+    assert leftovers == 0
+    tagged = red.where(
+        F.col("red").contains("<EMAIL>")
+        & F.col("red").contains("<CARD>")
+        & F.col("red").contains("<PHONE>")
+    ).count()
+    assert tagged == 50
