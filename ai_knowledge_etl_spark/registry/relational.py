@@ -1410,3 +1410,237 @@ def q_join_global_avg_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("numcust"),
         F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
     )
+
+
+# --- TPC-H depth, round-1 wave 3: Q8/Q9/Q12/Q14/Q15 shapes ----------------------
+
+
+@register(
+    "agg-market-share",
+    """
+SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+       round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+                  THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                  ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+             4) AS mkt_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+JOIN region r ON n2.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND p.p_name LIKE '%widget%'
+GROUP BY year(o.o_orderdate)
+""".strip(),
+    doc="TPC-H-Q8 shape (market share): one supplier nation's revenue "
+    "share among one region's customers for one part family, per order "
+    "year. Five of the seven joins broadcast (part/supplier/nation x2/"
+    "customer/region dims); only lineitem JOIN orders shuffles. The "
+    "share is a conditional-sum / sum ratio in one aggregate pass.",
+)
+def q_agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_regionkey").alias("rk2"))
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    joined = (
+        li.join(F.broadcast(p.where(F.col("p_name").like("%widget%"))),
+                li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+              F.col("rk2") == F.col("r_regionkey"))
+    )
+    nation_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(nation_rev).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "agg-nation-profit",
+    """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY n.n_name, year(o.o_orderdate)
+""".strip(),
+    doc="TPC-H-Q9 shape (product-line profit by nation and year; the "
+    "fixture set has no partsupp, so profit = discounted revenue). The "
+    "LIKE filter prunes part BEFORE the broadcast, so the lineitem "
+    "probe drops non-matching rows at the first join — the one shuffle "
+    "join (orders) only sees surviving rows.",
+)
+def q_agg_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "agg-ship-latency-case",
+    """
+SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90 THEN 'late'
+            WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 30 THEN 'slow'
+            ELSE 'fast' END AS latency_band,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""".strip(),
+    doc="TPC-H-Q12 shape (the fixture lineitem has no shipmode/commit/"
+    "receipt dates, so the band is ship latency = shipdate - orderdate): "
+    "group by a derived lineitem band, CASE-count order priorities. One "
+    "shuffle join + one partial-aggregated hash agg on 3 groups.",
+)
+def q_agg_ship_latency_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lat = F.datediff("l_shipdate", "o_orderdate")
+    band = (
+        F.when(lat > 90, "late").when(lat > 30, "slow").otherwise("fast")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(band.alias("latency_band"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "agg-promo-revenue",
+    """
+SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                  ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+             4) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY year(l_shipdate)
+""".strip(),
+    doc="TPC-H-Q14 shape (promo revenue share, per ship year instead of "
+    "one month so every year contributes a row): conditional-sum ratio "
+    "over a single broadcast join — no shuffle except the 200-row dim "
+    "broadcast and the tiny final agg.",
+)
+def q_agg_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "topk-supplier-revenue",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""".strip(),
+    doc="TPC-H-Q15 shape (top supplier): revenue view over one ship "
+    "half-year, then equality against the view's own max — tie-safe by "
+    "construction (every argmax row returns). The view computes once: "
+    "Spark reuses the aggregated frame for both the max and the join.",
+)
+def q_topk_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev).cast("double").alias("total_revenue"))
+    )
+    # scalar subquery as a broadcast 1-row join (NOT a global window,
+    # which would drag the whole view onto one partition)
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    top = revenue.join(
+        F.broadcast(mx), revenue.total_revenue == mx["__mx"]
+    ).drop("__mx")
+    return (
+        F.broadcast(s)
+        .join(top, s.s_suppkey == top.supplier_no)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

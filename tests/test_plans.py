@@ -85,6 +85,9 @@ PLAN_ALLOWLIST = {
     "agg-visited-count": {"SinglePartition"},
     "join-small-qty-revenue": {"SinglePartition"},
     "filter-disjunctive-pushdown": {"SinglePartition"},
+    # Q15's scalar subquery: max over the per-supplier revenue view is a
+    # single-row final combine, then rejoined as a 1-row broadcast
+    "topk-supplier-revenue": {"SinglePartition"},
     # brute-force ANN is definitionally queries × corpus; the query side is
     # broadcast (5 rows). The scale path is similarity-lsh-bucketed.
     "similarity-topk": {"BroadcastNestedLoopJoin"},
