@@ -1,0 +1,182 @@
+"""Audio/video as opaque binary columns + typed metadata (SURVEY §2.H
+multimodal extension; sibling of images.py).
+
+Same design contract as images: the Spark-side PLUMBING — binary columns,
+magic-sniff validation, duration-derived chunk/frame explosion, Arrow-
+batched mapInPandas kernels — is real and differential-tested; the pixel/
+sample DECODE is a clearly-gated stub because no media library ships in
+this container (`decode_audio` / `extract_frame` raise
+NotImplementedError with the drop-in point documented).
+
+Synthetic corpus: deterministic fake media derived from the documents
+table — ASCII-safe magics ('RIFF' audio / 'ftyp' video) so the DuckDB
+oracle can mirror every byte-level computation on the varchar twin of the
+blob (md5/length of UTF-8 bytes agree across engines).
+
+Scale: chunk/frame explosion is a narrow generator (sequence+posexplode,
+no shuffle); fingerprint kernels stream Arrow batches through pandas with
+O(batch) memory. A 100 TB media lake maps per-file with zero driver state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+AUDIO_MAGIC = "RIFF"  # stand-in for RIFF/WAVE
+VIDEO_MAGIC = "ftyp"  # stand-in for ISO-BMFF ftyp box
+BYTES_PER_MS = 4  # fake fixed bitrate: 4 bytes ~ 1 ms
+
+
+def synth_av_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media blobs from the documents fixture: even
+    doc_ids become 'audio', odd become 'video'; content = magic + utf8
+    text. Every derived quantity is reproducible from (doc_id, text)."""
+    kind = F.when(F.col("doc_id") % 2 == 0, "audio").otherwise("video")
+    magic = F.when(F.col("doc_id") % 2 == 0, AUDIO_MAGIC).otherwise(
+        VIDEO_MAGIC
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.concat(magic, F.col("text")).cast("binary").alias("content"),
+    )
+
+
+def sniff_format(content: Column | str) -> Column:
+    """Magic-byte sniff on the binary column (JVM substring+decode, no
+    Python): 'wav' | 'mp4' | NULL for unknown bytes."""
+    c = content if isinstance(content, Column) else F.col(content)
+    head = F.substring(c, 1, 4).cast("string")
+    return (
+        F.when(head == AUDIO_MAGIC, "wav")
+        .when(head == VIDEO_MAGIC, "mp4")
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def duration_ms(content: Column | str) -> Column:
+    """Duration from the fake fixed bitrate (payload bytes / BYTES_PER_MS).
+    With a real container parser this reads the header instead; the
+    pipeline shape downstream (chunking, frame sampling) is unchanged."""
+    c = content if isinstance(content, Column) else F.col(content)
+    return ((F.length(c) - 4) / BYTES_PER_MS).cast("long")
+
+
+def av_meta(media: DataFrame) -> DataFrame:
+    return media.select(
+        "media_id",
+        "kind",
+        sniff_format("content").alias("fmt"),
+        F.length("content").cast("long").alias("n_bytes"),
+        duration_ms("content").alias("dur_ms"),
+    )
+
+
+def audio_chunks(media: DataFrame, chunk_ms: int = 2000) -> DataFrame:
+    """Fixed-duration chunk spans per audio file: narrow generator
+    (sequence + posexplode), no shuffle, no decode. Feature extraction
+    over real samples drops into the per-chunk rows later."""
+    dur = duration_ms("content")
+    n = F.greatest(F.ceil(dur / chunk_ms), F.lit(1)).cast("int")
+    return (
+        media.where(F.col("kind") == "audio")
+        .select(
+            "media_id",
+            dur.alias("dur_ms"),
+            F.posexplode(F.sequence(F.lit(0), n - 1)).alias("chunk_no", "_i"),
+        )
+        .select(
+            "media_id",
+            F.col("chunk_no").cast("int").alias("chunk_no"),
+            (F.col("chunk_no") * chunk_ms).cast("long").alias("start_ms"),
+            F.least(
+                (F.col("chunk_no") + 1) * chunk_ms, F.col("dur_ms")
+            ).cast("long").alias("end_ms"),
+        )
+    )
+
+
+def frame_samples(media: DataFrame, every_ms: int = 2000) -> DataFrame:
+    """Frame-sample timestamps per video (one frame each `every_ms`,
+    always including t=0). The `extract_frame` stub is where a real
+    decoder plugs in; the explosion itself never touches pixels."""
+    dur = duration_ms("content")
+    n = F.greatest(F.ceil(dur / every_ms), F.lit(1)).cast("int")
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.posexplode(F.sequence(F.lit(0), n - 1)).alias("frame_no", "_i"),
+        )
+        .select(
+            "media_id",
+            F.col("frame_no").cast("int").alias("frame_no"),
+            (F.col("frame_no") * every_ms).cast("long").alias("ts_ms"),
+        )
+    )
+
+
+def fingerprint_kernel(media: DataFrame) -> DataFrame:
+    """Arrow-batched mapInPandas over the BINARY column: per-file byte
+    length + md5 fingerprint computed in Python. Deliberately oracle-
+    checkable (md5 over the same bytes as the varchar twin) so the whole
+    binary Arrow path — schema, batch shape, package shipping to workers —
+    is differential-tested, not just smoke-tested."""
+    import hashlib
+
+    schema = "media_id long, n_bytes long, fp string"
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = [bytes(b) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(b) for b in blobs],
+                    "fp": [hashlib.md5(b).hexdigest() for b in blobs],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(gen, schema)
+
+
+def decode_audio(content: bytes) -> "object":
+    """Sample decode — needs an audio library this container does not
+    ship. Chunking/fingerprinting never needs it; plug soundfile in here."""
+    try:
+        import soundfile  # type: ignore
+        import io
+
+        return soundfile.read(io.BytesIO(content))
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "sample decode needs soundfile/librosa (not in this container); "
+            "metadata-level operators (chunking, fingerprint, validation) "
+            "work without it"
+        ) from e
+
+
+def extract_frame(content: bytes, ts_ms: int) -> "object":
+    """Pixel frame extraction — needs a video library this container does
+    not ship. Frame-sample scheduling never needs it; plug PyAV in here."""
+    try:
+        import av  # type: ignore
+        import io
+
+        container = av.open(io.BytesIO(content))
+        container.seek(ts_ms * 1000)
+        return next(container.decode(video=0))
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "frame decode needs PyAV/opencv (not in this container); "
+            "frame-sample scheduling works without it"
+        ) from e

@@ -563,3 +563,121 @@ def q_scan_cache_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         now_col="now_s",
         ttl_s=86400,
     )
+
+
+# --- audio/video multimodal columns (multimodal/av.py) --------------------------
+
+_AV_CTE = """
+av AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'video' END AS kind,
+         (CASE WHEN doc_id % 2 = 0 THEN 'RIFF' ELSE 'ftyp' END) || text
+           AS content
+  FROM documents
+)
+""".strip()
+
+
+def _av_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.multimodal import av
+
+    return av.synth_av_corpus(_docs(spark, sf_dir))
+
+
+@register(
+    "scan-av-meta",
+    f"""
+WITH {_AV_CTE}
+SELECT media_id, kind,
+       CASE substring(content, 1, 4)
+         WHEN 'RIFF' THEN 'wav' WHEN 'ftyp' THEN 'mp4' END AS fmt,
+       CAST(strlen(content) AS BIGINT) AS n_bytes,
+       CAST((strlen(content) - 4) // 4 AS BIGINT) AS dur_ms
+FROM av
+""".strip(),
+    doc="Audio/video as opaque binary columns + typed metadata: magic-byte "
+    "format sniff, byte length, duration from the (fake fixed) bitrate — "
+    "all JVM-side expressions on the binary column, decode never runs "
+    "(multimodal/av.py; DuckDB mirrors on the varchar twin, whose UTF-8 "
+    "bytes are the same bytes).",
+)
+def q_scan_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.multimodal import av
+
+    return av.av_meta(_av_corpus(spark, sf_dir))
+
+
+@register(
+    "udf-audio-chunk",
+    f"""
+WITH {_AV_CTE},
+durs AS (
+  SELECT media_id, CAST((strlen(content) - 4) // 4 AS BIGINT) AS dur_ms
+  FROM av WHERE kind = 'audio'
+)
+SELECT media_id, CAST(c AS INTEGER) AS chunk_no,
+       CAST(c * 2000 AS BIGINT) AS start_ms,
+       CAST(least((c + 1) * 2000, dur_ms) AS BIGINT) AS end_ms
+FROM (
+  SELECT media_id, dur_ms,
+         unnest(generate_series(
+           0, CAST(greatest(ceil(dur_ms / 2000), 1) AS INTEGER) - 1)) AS c
+  FROM durs
+)
+""".strip(),
+    doc="Fixed-duration audio chunk spans (2 s): narrow sequence+posexplode "
+    "generator per file, no shuffle, no decode — per-chunk feature "
+    "extraction (or a real sample decoder) drops onto these rows "
+    "(multimodal/av.py audio_chunks).",
+)
+def q_udf_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.multimodal import av
+
+    return av.audio_chunks(_av_corpus(spark, sf_dir), chunk_ms=2000)
+
+
+@register(
+    "udf-frame-sample",
+    f"""
+WITH {_AV_CTE},
+durs AS (
+  SELECT media_id, CAST((strlen(content) - 4) // 4 AS BIGINT) AS dur_ms
+  FROM av WHERE kind = 'video'
+)
+SELECT media_id, CAST(c AS INTEGER) AS frame_no,
+       CAST(c * 2000 AS BIGINT) AS ts_ms
+FROM (
+  SELECT media_id,
+         unnest(generate_series(
+           0, CAST(greatest(ceil(dur_ms / 2000), 1) AS INTEGER) - 1)) AS c
+  FROM durs
+)
+""".strip(),
+    doc="Video frame-sample scheduling (one frame per 2 s, t=0 included): "
+    "the explosion is pure metadata; multimodal/av.py extract_frame is the "
+    "gated decoder drop-in point (PyAV absent in this container).",
+)
+def q_udf_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.multimodal import av
+
+    return av.frame_samples(_av_corpus(spark, sf_dir), every_ms=2000)
+
+
+@register(
+    "udf-av-fingerprint",
+    f"""
+WITH {_AV_CTE}
+SELECT media_id, CAST(strlen(content) AS BIGINT) AS n_bytes,
+       md5(content) AS fp
+FROM av
+""".strip(),
+    doc="Arrow-batched mapInPandas over the BINARY media column: per-file "
+    "byte length + md5 computed in Python pandas. Oracle-checkable by "
+    "construction (same bytes as the varchar twin), so the binary Arrow "
+    "path — schema, batch shape, addPyFile worker shipping — is "
+    "differential-tested rather than smoke-tested (multimodal/av.py).",
+)
+def q_udf_av_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.multimodal import av
+
+    return av.fingerprint_kernel(_av_corpus(spark, sf_dir))

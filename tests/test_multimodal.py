@@ -99,3 +99,58 @@ def test_pdf_pages_cap_and_errors(spark, media_dir):
     bad = spark.createDataFrame([("x.pdf", GARBAGE)], "path string, content binary")
     err = PDF.pdf_pages(bad).collect()
     assert len(err) == 1 and err[0]["error"].startswith("E004")
+
+
+def test_av_chunks_cover_duration_exactly(spark, sf_dir):
+    from ai_knowledge_etl_spark.multimodal import av
+    from ai_knowledge_etl_spark.sources.catalog import load_table
+
+    corpus = av.synth_av_corpus(load_table(spark, sf_dir, "documents"))
+    meta = {r["media_id"]: r["dur_ms"] for r in av.av_meta(corpus).collect()}
+    chunks = av.audio_chunks(corpus, chunk_ms=2000).collect()
+    by_media = {}
+    for r in chunks:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert by_media  # audio rows exist
+    for mid, rows in by_media.items():
+        rows.sort(key=lambda r: r["chunk_no"])
+        assert rows[0]["start_ms"] == 0
+        for a, b in zip(rows, rows[1:]):
+            assert b["start_ms"] == a["end_ms"] == a["start_ms"] + 2000
+        # the final chunk ends exactly at the media duration: full coverage,
+        # no overrun
+        assert rows[-1]["end_ms"] == meta[mid]
+
+
+def test_av_decode_stubs_are_gated(spark):
+    import pytest as _pytest
+
+    from ai_knowledge_etl_spark.multimodal import av
+
+    with _pytest.raises(NotImplementedError):
+        av.decode_audio(b"RIFFxxxx")
+    with _pytest.raises(NotImplementedError):
+        av.extract_frame(b"ftypxxxx", 0)
+
+
+def test_av_fingerprint_matches_jvm_md5(spark, sf_dir):
+    """The pandas kernel and the JVM md5 must agree byte-for-byte on the
+    binary column — guards the Arrow binary round-trip."""
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_etl_spark.multimodal import av
+    from ai_knowledge_etl_spark.sources.catalog import load_table
+
+    corpus = av.synth_av_corpus(
+        load_table(spark, sf_dir, "documents")
+    ).limit(100)
+    jvm = {
+        r["media_id"]: r["fp"]
+        for r in corpus.select(
+            "media_id", F.md5("content").alias("fp")
+        ).collect()
+    }
+    py = {
+        r["media_id"]: r["fp"] for r in av.fingerprint_kernel(corpus).collect()
+    }
+    assert jvm == py
