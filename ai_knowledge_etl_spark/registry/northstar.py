@@ -845,3 +845,113 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingles(spark, sf_dir), "doc_id", "source", threshold=0.6
     ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     return clustering.canonical_clusters(exact_e.unionByName(jac_e))
+
+
+# --- text analysis wave 2: diversity + readability ------------------------------
+
+
+@register(
+    "udf-lexical-diversity",
+    """
+WITH cnt AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+),
+tot AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(c * c) AS BIGINT) AS sq
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_distinct, n_words,
+       round(CAST(n_distinct AS DOUBLE) / n_words, 6) AS ttr,
+       round(1 - CAST(sq AS DOUBLE) / (CAST(n_words AS DOUBLE) * n_words), 6)
+         AS gini_diversity
+FROM tot
+""".strip(),
+    doc="Lexical diversity per doc: type-token ratio + Gini-Simpson "
+    "diversity 1 - sum(c^2)/T^2. Deliberately entropy-free: every "
+    "intermediate is an exact integer (sum c, sum c^2), so cross-engine "
+    "parity is exact with no float-summation-order tolerance — the same "
+    "signal entropy gives for quality filtering, without log().",
+)
+def q_udf_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnt.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum("c").cast("long").alias("n_words"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+    )
+    return tot.select(
+        "doc_id",
+        "n_distinct",
+        "n_words",
+        F.round(F.col("n_distinct").cast("double") / F.col("n_words"), 6)
+        .alias("ttr"),
+        F.round(
+            F.lit(1)
+            - F.col("sq").cast("double")
+            / (F.col("n_words").cast("double") * F.col("n_words")),
+            6,
+        ).alias("gini_diversity"),
+    )
+
+
+@register(
+    "udf-readability",
+    """
+WITH stats AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS n_sentences,
+         CAST(strlen(replace(text, ' ', '')) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences,
+       round(CAST(n_words AS DOUBLE) / n_sentences, 4) AS words_per_sentence,
+       round(CAST(n_chars AS DOUBLE) / n_words, 4) AS chars_per_word,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_chars AS DOUBLE) / n_words / 3.0), 4)
+         AS flesch_proxy
+FROM stats
+""".strip(),
+    doc="Readability scoring per doc: words/sentence, chars/word, and a "
+    "Flesch-style proxy (chars/word/3 standing in for syllables/word — "
+    "a syllable counter is language-specific; the formula shape and the "
+    "quality-gate use are identical). Narrow map over integer counts; "
+    "all ratios divide exact integers so parity is bit-stable.",
+)
+def q_udf_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n_words = F.size(F.split("text", " ")).cast("long")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0)), F.lit(1)
+    ).cast("long")
+    n_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "long"
+    )
+    stats = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_chars.alias("n_chars"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    cpw = F.col("n_chars").cast("double") / F.col("n_words")
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        F.round(wps, 4).alias("words_per_sentence"),
+        F.round(cpw, 4).alias("chars_per_word"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * (cpw / 3.0), 4
+        ).alias("flesch_proxy"),
+    )

@@ -1644,3 +1644,139 @@ def q_topk_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(top, s.s_suppkey == top.supplier_no)
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# --- temporal joins + histogram -------------------------------------------------
+
+
+@register(
+    "join-asof-last-purchase",
+    """
+WITH clicks AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS tns
+  FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, epoch_ns(ts) AS tns, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id,
+       CAST(c.tns // 1000000000 AS BIGINT) AS click_s,
+       p.value AS last_purchase_value,
+       CAST((c.tns - p.tns) // 1000000000 AS BIGINT) AS lag_s
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.tns >= p.tns
+""".strip(),
+    doc="As-of (point-in-time) join: each click gets the user's latest "
+    "purchase at-or-before it. Spark has no asof primitive; "
+    "operators/asof.py does union-and-LOCF — one key-partitioned window "
+    "pass, no range-join row explosion (the oracle uses DuckDB's native "
+    "ASOF JOIN, so the two independent formulations cross-check).",
+)
+def q_join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.operators import asof
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("tns")
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("rtns"), "value"
+    )
+    j = asof.asof_join(
+        clicks, purch, on="user_id", left_ts="tns", right_ts="rtns",
+        value_cols=["value"],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.expr("tns div 1000000000").alias("click_s"),
+        F.col("asof_value").alias("last_purchase_value"),
+        F.expr("(tns - asof_ts) div 1000000000").alias("lag_s"),
+    )
+
+
+@register(
+    "join-range-window",
+    """
+WITH err AS (
+  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS sec
+  FROM events WHERE event_type = 'error'
+),
+clk AS (
+  SELECT user_id, epoch_ns(ts) // 1000000000 AS sec
+  FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id, e.user_id, CAST(e.sec AS BIGINT) AS err_s,
+       CAST(count(c.sec) AS BIGINT) AS clicks_within_60s
+FROM err e LEFT JOIN clk c
+  ON e.user_id = c.user_id AND c.sec >= e.sec AND c.sec < e.sec + 60
+GROUP BY e.event_id, e.user_id, e.sec
+""".strip(),
+    doc="Range (interval) join: clicks within 60 s after each error, per "
+    "user. Spark side buckets both sides into 60 s bands and equi-joins "
+    "on (user, band) twice (band, band+1) before the residual range "
+    "filter — bounded fan-out instead of a per-key cross product, the "
+    "standard banded-range-join rewrite Catalyst doesn't do itself.",
+)
+def q_join_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sec = F.expr("ts div 1000000000")
+    err = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", sec.alias("err_sec")
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), sec.alias("clk_sec")
+    )
+    band = lambda c: F.floor(c / 60)  # noqa: E731
+    clk_b = clk.withColumn("band", band(F.col("clk_sec")))
+    # an error's 60 s look-ahead spans at most 2 bands
+    err_b = err.withColumn(
+        "band", F.explode(F.array(band(F.col("err_sec")), band(F.col("err_sec")) + 1))
+    )
+    hits = (
+        err_b.join(
+            clk_b,
+            (err_b.user_id == clk_b.cu)
+            & (err_b.band == clk_b.band)
+            & (clk_b.clk_sec >= err_b.err_sec)
+            & (clk_b.clk_sec < err_b.err_sec + 60),
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        err.join(hits, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("err_sec").cast("long").alias("err_s"),
+            F.coalesce("n_hits", F.lit(0)).cast("long")
+            .alias("clicks_within_60s"),
+        )
+    )
+
+
+@register(
+    "agg-histogram",
+    """
+SELECT CAST(least(floor(value / 50), 9) AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+""".strip(),
+    doc="Fixed-width histogram over events.value (10 bins of 50, last bin "
+    "open-ended): one partial-aggregated hash agg on a derived key — the "
+    "shape every monitoring rollup uses; bins are data-independent so "
+    "map-side combine collapses each partition to <=10 rows before the "
+    "shuffle.",
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bin_ = F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("int")
+    return ev.groupBy(bin_.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+        .alias("sum_value"),
+    )
