@@ -109,3 +109,32 @@ def ttl_cache_decisions(
         age.cast("bigint").alias("age_s"),
         (age < ttl_s).alias("cache_hit"),
     )
+
+
+def cdc_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Change-data-capture diff between two table versions: full outer
+    join on the key, classify each key as insert / delete / update /
+    unchanged by fingerprint. One shuffle on the key (co-partitioned at
+    scale when both versions are bucketed by the key, in which case the
+    join is shuffle-free); the action column feeds incremental consumers
+    the same way a Delta change feed would."""
+    o = old.select(F.col(key).alias("__k"), F.col(fp_col).alias("__old_fp"))
+    n = new.select(F.col(key).alias("__nk"), F.col(fp_col).alias("__new_fp"))
+    j = o.join(n, o["__k"] == n["__nk"], "full_outer")
+    action = (
+        F.when(F.col("__k").isNull(), "insert")
+        .when(F.col("__nk").isNull(), "delete")
+        .when(F.col("__old_fp") != F.col("__new_fp"), "update")
+        .otherwise("unchanged")
+    )
+    return j.select(
+        F.coalesce("__k", "__nk").alias(key),
+        action.alias("action"),
+        F.col("__old_fp").alias("old_fp"),
+        F.col("__new_fp").alias("new_fp"),
+    )

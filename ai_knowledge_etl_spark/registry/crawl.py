@@ -537,3 +537,66 @@ def q_agg_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(r < 5, 1).otherwise(0)).alias("low_pages"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# --- iterative link-graph ranking -----------------------------------------------
+
+
+@register(
+    "rank-pages-iterative",
+    f"""
+WITH {syn.LINKS_CTE},
+e AS (
+  SELECT parent_id AS src, doc_id AS dst FROM links WHERE parent_id <> doc_id
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM documents),
+pr0 AS (
+  SELECT doc_id AS node, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM n) AS pr
+  FROM documents
+),
+c1 AS (
+  SELECT e.dst AS node, sum(CAST(p.pr / deg.d AS DECIMAL(28,18))) AS s
+  FROM e JOIN pr0 p ON e.src = p.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+),
+pr1 AS (
+  SELECT p.node,
+         CAST(0.15 AS DOUBLE) / (SELECT cnt FROM n)
+           + CAST(0.85 AS DOUBLE) * CAST(coalesce(c1.s, 0) AS DOUBLE) AS pr
+  FROM pr0 p LEFT JOIN c1 ON p.node = c1.node
+),
+c2 AS (
+  SELECT e.dst AS node, sum(CAST(p.pr / deg.d AS DECIMAL(28,18))) AS s
+  FROM e JOIN pr1 p ON e.src = p.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+),
+pr2 AS (
+  SELECT p.node,
+         CAST(0.15 AS DOUBLE) / (SELECT cnt FROM n)
+           + CAST(0.85 AS DOUBLE) * CAST(coalesce(c2.s, 0) AS DOUBLE) AS pr
+  FROM pr1 p LEFT JOIN c2 ON p.node = c2.node
+)
+SELECT node AS doc_id, round(pr, 12) AS pagerank FROM pr2
+""".strip(),
+    doc="PageRank over the crawl link graph, two power iterations "
+    "(operators/graph.py): per iteration two equi-joins + one groupBy — "
+    "the principled version of the reference's heuristic link scoring "
+    "(crawler-coordinator.md links/*.json). Mass sums reduce in "
+    "DECIMAL(28,18), so the cross-engine diff is exact despite different "
+    "shuffle orders; dangling mass drops identically on both sides.",
+)
+def q_rank_pages_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.operators import graph
+
+    docs = _docs(spark, sf_dir)
+    links = _links(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = links.where(F.col("parent_id") != F.col("doc_id")).select(
+        F.col("parent_id").alias("src"), F.col("doc_id").alias("dst")
+    )
+    n = docs.count()
+    pr = graph.pagerank(nodes, edges, n_nodes=n, n_iter=2)
+    return pr.select(
+        F.col("node").alias("doc_id"), F.round("pr", 12).alias("pagerank")
+    )

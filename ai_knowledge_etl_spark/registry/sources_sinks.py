@@ -681,3 +681,53 @@ def q_udf_av_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_knowledge_etl_spark.multimodal import av
 
     return av.fingerprint_kernel(_av_corpus(spark, sf_dir))
+
+
+@register(
+    "scan-cdc-diff",
+    """
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 11 <> 0
+),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN md5(text || ' v2') ELSE md5(text) END
+           AS fp
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, md5(text) AS fp
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'insert'
+            WHEN n.doc_id IS NULL THEN 'delete'
+            WHEN o.fp <> n.fp THEN 'update'
+            ELSE 'unchanged' END AS action,
+       o.fp AS old_fp, n.fp AS new_fp
+FROM v1 o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
+""".strip(),
+    doc="Change-data-capture diff between two table versions (the read "
+    "side of the incremental story, reference roadmap DESIGN.md:1694): "
+    "full-outer join on the key + fingerprint classify into insert/"
+    "delete/update/unchanged. With both versions bucketed by key the "
+    "join is shuffle-free (operators/incremental.cdc_diff; v1 drops "
+    "doc_id%11 -> deletes, v2 mutates %3 -> updates and appends %7 -> "
+    "inserts).",
+)
+def q_scan_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    v1 = d.where("doc_id % 11 != 0").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    v2 = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.md5(F.concat("text", F.lit(" v2")))
+        ).otherwise(F.md5("text")).alias("fp"),
+    ).unionByName(
+        d.where("doc_id % 7 = 0").select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.md5("text").alias("fp"),
+        )
+    )
+    return incremental.cdc_diff(v1, v2, key="doc_id", fp_col="fp")

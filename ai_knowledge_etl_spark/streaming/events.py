@@ -132,3 +132,40 @@ def streaming_session_counts(
             F.col("win.start").alias("session_start"), "user_id", "n_events"
         )
     )
+
+
+def streaming_interval_join(
+    clicks: DataFrame,
+    errors: DataFrame,
+    window_s: int = 60,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: clicks within `window_s` after an error
+    by the same user (SURVEY §2.J — Spark's stream-stream join with
+    watermarks on BOTH sides bounds the buffered state; the range
+    condition lets the engine evict rows older than watermark+window).
+    Batch twin: registry relational.py join-range-window.
+    """
+    e = (
+        with_event_time(errors)
+        .withWatermark("event_time", watermark)
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("event_time").alias("err_time"),
+        )
+    )
+    c = (
+        with_event_time(clicks)
+        .withWatermark("event_time", watermark)
+        .select(
+            F.col("user_id").alias("clk_user"),
+            F.col("event_time").alias("clk_time"),
+        )
+    )
+    return e.join(
+        c,
+        (F.col("err_user") == F.col("clk_user"))
+        & (F.col("clk_time") >= F.col("err_time"))
+        & (F.col("clk_time") < F.col("err_time") + F.expr(f"INTERVAL {window_s} seconds")),
+    ).select("err_id", "err_user", "err_time", "clk_time")

@@ -257,3 +257,44 @@ def test_transform_with_state_running_stats(spark, events_stream):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream):
+    """Stream-stream inner join (watermarks both sides + range condition)
+    must produce exactly the pairs the batch interval join produces."""
+    from ai_knowledge_etl_spark.streaming import events as EV
+
+    stream, batch = events_stream
+    clicks = stream.where("event_type = 'click'")
+    errors = stream.where("event_type = 'error'")
+    out = EV.streaming_interval_join(clicks, errors, window_s=3600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["err_id"], r["clk_time"])
+        for r in spark.sql("SELECT err_id, clk_time FROM t_ssj").collect()
+    }
+    b_err = EV.with_event_time(batch.where("event_type = 'error'")).select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("u"),
+        F.col("event_time").alias("et"),
+    )
+    b_clk = EV.with_event_time(batch.where("event_type = 'click'")).select(
+        F.col("user_id").alias("cu"), F.col("event_time").alias("ct")
+    )
+    want = {
+        (r["err_id"], r["ct"])
+        for r in b_err.join(
+            b_clk,
+            (F.col("u") == F.col("cu"))
+            & (F.col("ct") >= F.col("et"))
+            & (F.col("ct") < F.col("et") + F.expr("INTERVAL 3600 seconds")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
