@@ -731,3 +731,73 @@ def q_scan_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return incremental.cdc_diff(v1, v2, key="doc_id", fp_col="fp")
+
+
+@register(
+    "scan-schema-evolution",
+    """
+SELECT doc_id, source, quality_score
+FROM (
+  SELECT doc_id, source, NULL::DOUBLE AS quality_score
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL BY NAME
+  SELECT doc_id, source,
+         round(CAST(n_chars AS DOUBLE) / 1000, 4) AS quality_score
+  FROM documents WHERE doc_id % 2 = 1
+)
+""".strip(),
+    doc="Schema evolution: batch v2 added a quality_score column; the "
+    "unified scan NULL-fills v1 rows (sources/evolution.py — "
+    "unionByName(allowMissingColumns) in-frame, mergeSchema at file "
+    "level, tested over real drifted parquet dirs in "
+    "tests/test_sinks_sources.py).",
+)
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.sources import evolution
+
+    d = _docs(spark, sf_dir)
+    v1 = d.where("doc_id % 2 = 0").select("doc_id", "source")
+    v2 = d.where("doc_id % 2 = 1").select(
+        "doc_id",
+        "source",
+        F.round(F.col("n_chars").cast("double") / 1000, 4).alias(
+            "quality_score"
+        ),
+    )
+    return evolution.union_evolved(v1, v2).select(
+        "doc_id", "source", "quality_score"
+    )
+
+
+@register(
+    "filter-quarantine-split",
+    """
+SELECT reason, CAST(count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT CASE WHEN text IS NULL OR trim(text) = '' THEN 'empty'
+              WHEN strlen(text) < 80 THEN 'too_short'
+              WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'bad_lang'
+              ELSE 'ok' END AS reason
+  FROM documents
+)
+GROUP BY reason
+""".strip(),
+    doc="Dead-letter / quarantine split: every ingested row is routed to "
+    "exactly one bucket (empty / too_short / bad_lang / ok) — the "
+    "validation gate in front of every downstream op. First matching "
+    "reason wins so the split is a partition, not a multi-label tag; "
+    "narrow map + 4-group agg.",
+)
+def q_filter_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    reason = (
+        F.when(
+            F.col("text").isNull() | (F.trim("text") == ""), "empty"
+        )
+        .when(F.length("text") < 80, "too_short")
+        .when(~F.col("lang").isin("en", "de", "fr", "es"), "bad_lang")
+        .otherwise("ok")
+    )
+    return d.groupBy(reason.alias("reason")).agg(
+        F.count("*").alias("n_docs")
+    )

@@ -130,3 +130,57 @@ def test_incremental_upsert_rewrites_only_touched_buckets(
         for r in merged.where("doc_id IN (3, 17, 4)").collect()
     }
     assert revs[3] == 2 and revs[17] == 2 and revs[4] == 1
+
+
+def test_compaction_rewrites_only_small_files(spark, sf_dir, tmp_path):
+    """compact_parquet: many tiny files + one healthy file -> tiny files
+    bin-packed into few outputs, healthy file left alone, row parity."""
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_etl_spark.operators import compaction
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "frag")
+    # 16 tiny files
+    docs.where("doc_id % 2 = 0").repartition(16).write.mode(
+        "overwrite"
+    ).parquet(src)
+    # plus one healthy (big-enough) file alongside
+    docs.where("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    target = 64 * 1024  # 64 KB target so fixture files count as "small"
+    small, n_out = compaction.plan_compaction(src, target_bytes=target)
+    assert len(small) >= 16 and n_out >= 1
+
+    out = str(tmp_path / "compact")
+    stats = compaction.compact_parquet(spark, src, out, target_bytes=target)
+    assert stats["compacted_files"] == len(small)
+    assert stats["output_files"] < len(small)  # actually fewer files
+    n_rows_out = spark.read.parquet(out).count()
+    n_rows_small = spark.read.parquet(*small).count()
+    assert n_rows_out == n_rows_small  # no row lost or duplicated
+
+
+def test_schema_evolution_file_level_merge(spark, sf_dir, tmp_path):
+    """mergeSchema over really-drifted parquet dirs: v2 added a column;
+    unified read NULL-fills v1 rows and keeps v2 values."""
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_etl_spark.sources import evolution
+
+    docs = load_table(spark, sf_dir, "documents")
+    p1 = str(tmp_path / "batch1")
+    p2 = str(tmp_path / "batch2")
+    docs.where("doc_id % 2 = 0").select("doc_id", "source").write.parquet(p1)
+    docs.where("doc_id % 2 = 1").select(
+        "doc_id", "source", F.lit(0.5).alias("quality_score")
+    ).write.parquet(p2)
+
+    merged = evolution.read_merged(spark, p1, p2)
+    assert set(merged.columns) == {"doc_id", "source", "quality_score"}
+    assert merged.count() == docs.count()
+    v1_nulls = merged.where("doc_id % 2 = 0 AND quality_score IS NULL").count()
+    assert v1_nulls == docs.where("doc_id % 2 = 0").count()
+    assert merged.where("quality_score = 0.5").count() == docs.where(
+        "doc_id % 2 = 1"
+    ).count()
