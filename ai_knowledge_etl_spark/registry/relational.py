@@ -1780,3 +1780,36 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
         .alias("sum_value"),
     )
+
+
+# --- pure-SQL surface: one dialect-common string, two engines -------------------
+
+_REVENUE_BY_REGION_SQL = """
+SELECT r.r_name AS region, CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, year(o.o_orderdate)
+""".strip()
+
+
+@register(
+    "sql-revenue-by-region",
+    _REVENUE_BY_REGION_SQL,
+    doc="The SQL API surface: the SAME dialect-common string runs through "
+    "spark.sql over registered temp views AND through DuckDB as its own "
+    "oracle — proving a user can bring plain ANSI SQL to this engine and "
+    "Catalyst plans it (broadcasts the three dim joins, shuffles only "
+    "lineitem JOIN orders) with zero DataFrame code.",
+)
+def q_sql_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REVENUE_BY_REGION_SQL)

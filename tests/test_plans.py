@@ -123,3 +123,24 @@ def test_plan_audit_no_new_smells(spark, sf_dir):
         if unexpected:
             bad[name] = unexpected
     assert not bad, f"plan regressions: {bad}"
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    """union-and-LOCF as-of join: exactly one hash-partitioning exchange
+    on the join key (the window), never a range-join explosion."""
+    plan = _plan(spark, sf_dir, "join-asof-last-purchase")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    n_hash_exchanges = len(
+        re.findall(r"Exchange hashpartitioning", plan)
+    )
+    assert n_hash_exchanges == 1, f"expected 1 shuffle, saw {n_hash_exchanges}"
+
+
+def test_sql_surface_broadcasts_dims(spark, sf_dir):
+    """spark.sql over temp views must plan like the DataFrame twin:
+    dimension joins broadcast, fact-fact join shuffles."""
+    plan = _plan(spark, sf_dir, "sql-revenue-by-region")
+    assert plan.count("BroadcastHashJoin") >= 3
