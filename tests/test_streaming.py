@@ -298,3 +298,55 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_upsert_sink_converges_to_latest_state(
+    spark, sf_dir, tmp_path
+):
+    """foreachBatch upsert ingestion: after draining a multi-batch stream,
+    the table holds exactly ONE row per user — the latest event — same as
+    the batch argmax."""
+    from ai_knowledge_etl_spark.sources.catalog import load_table
+    from ai_knowledge_etl_spark.streaming import sink as SK
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("rev"), "value"
+    )
+    src = str(tmp_path / "stream_src")
+    # several files -> maxFilesPerTrigger forces multiple micro-batches,
+    # so the upsert path really merges across batches
+    batch.repartition(6).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    table = str(tmp_path / "upsert_table")
+    q = SK.start_upsert_stream(
+        stream,
+        table,
+        key="user_id",
+        rev_col="rev",
+        n_buckets=4,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["user_id"]: (r["rev"], r["value"])
+        for r in spark.read.parquet(table).collect()
+    }
+    from pyspark.sql import Window
+
+    want_rows = (
+        batch.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("rev"))
+            ),
+        )
+        .where("rn = 1")
+        .collect()
+    )
+    want = {r["user_id"]: (r["rev"], r["value"]) for r in want_rows}
+    assert got == want and len(got) > 1
