@@ -125,3 +125,30 @@ def test_redact_pii_leaves_no_matches(spark, sf_dir):
         & F.col("red").contains("<PHONE>")
     ).count()
     assert tagged == 50
+
+
+def test_hashed_shingles_give_identical_jaccard_pairs(spark, sf_dir):
+    """The int64-hashed production path must produce the same near-dup
+    pairs as the string-shingle oracle path (collisions are ~impossible
+    at fixture scale; this guards the wiring, e.g. hashing without the
+    blocking column)."""
+    from ai_knowledge_etl_spark.operators import dedup
+    from ai_knowledge_etl_spark.registry.northstar import _dup_corpus
+
+    sh = dedup.shingles(
+        _dup_corpus(spark, sf_dir), "doc_id", "text", n=3, keep=("source",)
+    )
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_pairs(
+            sh, "doc_id", "source", threshold=0.6
+        ).collect()
+    }
+    hashed = dedup.hash_shingles(sh, group_col="source")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_pairs(
+            hashed, "doc_id", "source", threshold=0.6
+        ).collect()
+    }
+    assert got == want and len(want) > 0
