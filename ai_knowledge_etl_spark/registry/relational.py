@@ -1813,3 +1813,73 @@ def q_sql_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_REVENUE_BY_REGION_SQL)
+
+
+@register(
+    "agg-retention-cohorts",
+    """
+WITH days AS (
+  SELECT user_id,
+         CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day
+  FROM events
+),
+cohort AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, day FROM days)
+SELECT c.cohort_day,
+       CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN cohort c ON a.user_id = c.user_id
+WHERE a.day - c.cohort_day <= 14
+GROUP BY c.cohort_day, a.day - c.cohort_day
+""".strip(),
+    doc="Retention cohort analysis: users grouped by first-seen day, "
+    "counted at each day offset for two weeks — the canonical "
+    "product-analytics rollup. Two aggs + one equi-join, all on user_id, "
+    "so one partitioning serves every stage; the cohort side is tiny "
+    "(one row per user) and broadcastable at any scale where users << "
+    "events.",
+)
+def q_agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr("ts div 1000000000 div 86400").alias("day")
+    )
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = days.distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .where(F.col("day") - F.col("cohort_day") <= 14)
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+@register(
+    "agg-top-event-per-user",
+    """
+SELECT user_id,
+       arg_max(event_id,
+               CAST(round(value * 100) AS BIGINT) * 10000000 + event_id)
+         AS top_event_id,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+FROM events
+GROUP BY user_id
+""".strip(),
+    doc="Single-pass argmax per group (Spark max_by == DuckDB arg_max): "
+    "the highest-value event per user WITHOUT a window+filter — one "
+    "partial-aggregating hash agg instead of a sort. The ordering key "
+    "folds event_id into the cents value so ties resolve identically in "
+    "both engines (argmax on ties is otherwise engine-defined).",
+)
+def q_agg_top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    key = cents * 10000000 + F.col("event_id")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", key).alias("top_event_id"),
+        F.max(cents).cast("long").alias("max_cents"),
+    )
