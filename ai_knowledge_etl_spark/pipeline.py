@@ -151,3 +151,69 @@ def extract(
     return ExtractResult(
         pages=pages, index=index, report=report, chunks=chunks, output=output
     )
+
+
+def prepare_training_set(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    min_chars: int = 80,
+    jaccard_threshold: float = 0.6,
+    context_budget: int = 512,
+) -> DataFrame:
+    """User-facing training-data pipeline over an extracted corpus — the
+    downstream half the reference leaves to its consumers, as ONE lazy
+    DataFrame graph:
+
+      quarantine → PII redaction → transitive near-dup clustering
+      (keep canonical docs only) → deterministic train/val/test split
+      → concat-and-chunk context-window packing
+
+    Returns one row per SURVIVING document with `split`, `first_window`/
+    `last_window`/`n_windows` (per split-stream packing), and the
+    redacted text. Every stage is the registry-tested operator; this
+    function is just the composition.
+    """
+    from ai_knowledge_etl_spark.operators import (
+        clustering,
+        packing,
+        sampling,
+    )
+
+    # 1. quarantine: drop rows that would poison downstream stages
+    clean = docs.where(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= min_chars)
+    )
+    # 2. redact PII before anything persists derived text
+    clean = clean.withColumn(text_col, TX.redact_pii(text_col))
+
+    # 3. transitive near-dup clustering; keep cluster canonicals + uniques
+    sh = dedup.shingles(clean, id_col, text_col, n=3, keep=(group_col,))
+    jac = dedup.jaccard_pairs(
+        dedup.hash_shingles(sh, group_col=group_col),
+        id_col,
+        group_col,
+        threshold=jaccard_threshold,
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    clusters = clustering.canonical_clusters(jac)
+    drop = clusters.where(~F.col("is_canonical")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    kept = clean.join(drop, id_col, "left_anti")
+
+    # 4. deterministic split, stable under appends/reruns
+    split = sampling.train_val_test(kept, id_col)
+
+    # 5. pack each split's per-group stream into context windows
+    with_tok = split.withColumn(
+        "n_tok", F.size(F.split(text_col, " ")).cast("long")
+    )
+    packed = packing.concat_chunk_pack(
+        with_tok,
+        order_col=id_col,
+        tok_col="n_tok",
+        budget=context_budget,
+        partition_col="split",
+    )
+    return packed

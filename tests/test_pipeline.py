@@ -91,3 +91,37 @@ def test_crawl_composes_extract_waves(spark, sf_dir):
             .limit(10)
         )
     assert len(total) == len(set(total)) and len(total) > 0
+
+
+def test_prepare_training_set_end_to_end(spark, sf_dir):
+    """The composed training pipeline: quarantine drops shorts, near-dups
+    collapse to canonicals, every survivor gets a split and a window
+    span, and PII never survives."""
+    from ai_knowledge_etl_spark import pipeline as P
+    from ai_knowledge_etl_spark.functions import text as TX
+    from ai_knowledge_etl_spark.registry.northstar import _dup_corpus
+
+    docs = _dup_corpus(spark, sf_dir)  # contains planted exact/near dups
+    out = P.prepare_training_set(docs).persist()
+
+    n_in = docs.count()
+    n_out = out.count()
+    assert 0 < n_out < n_in  # quarantine + dedup actually dropped rows
+
+    # planted exact duplicates (+200000) must not survive alongside their
+    # originals
+    survivors = {r["doc_id"] for r in out.select("doc_id").collect()}
+    clones = {s for s in survivors if s >= 200000}
+    assert all(s - 200000 not in survivors for s in clones)
+
+    # every survivor has a split and a sane window span
+    rows = out.select("split", "n_tok", "n_windows").collect()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert all(r["n_windows"] >= 1 for r in rows)
+
+    # no unredacted PII patterns remain
+    leaks = out.where(
+        F.col("text").rlike(TX.PII_EMAIL) | F.col("text").rlike(TX.PII_CARD)
+    ).count()
+    assert leaks == 0
+    out.unpersist()
