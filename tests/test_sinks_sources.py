@@ -184,3 +184,45 @@ def test_schema_evolution_file_level_merge(spark, sf_dir, tmp_path):
     assert merged.where("quality_score = 0.5").count() == docs.where(
         "doc_id % 2 = 1"
     ).count()
+
+
+def test_csv_jsonl_text_roundtrip(spark, sf_dir, tmp_path):
+    """Source-format completeness: the engine reads back csv, json-lines,
+    and text files it wrote, schema intact (the reference ingests
+    directories of heterogeneous files; these are the tabular formats)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    n = docs.count()
+
+    csv_p = str(tmp_path / "csv")
+    docs.write.option("header", True).csv(csv_p)
+    back_csv = (
+        spark.read.option("header", True)
+        .schema(docs.schema)
+        .csv(csv_p)
+    )
+    assert back_csv.count() == n
+    assert back_csv.schema == docs.schema
+
+    json_p = str(tmp_path / "jsonl")
+    docs.write.json(json_p)
+    back_json = spark.read.schema(docs.schema).json(json_p)
+    assert back_json.count() == n
+    assert (
+        back_json.agg(F.sum("n_chars")).first()[0]
+        == docs.agg(F.sum("n_chars")).first()[0]
+    )
+
+    txt_p = str(tmp_path / "txt")
+    docs.select(
+        F.concat_ws("\t", "doc_id", "source").alias("value")
+    ).write.text(txt_p)
+    back_txt = spark.read.text(txt_p)
+    assert back_txt.count() == n
+    parsed = back_txt.select(
+        F.split("value", "\t")[0].cast("long").alias("doc_id")
+    )
+    assert parsed.where("doc_id IS NULL").count() == 0
