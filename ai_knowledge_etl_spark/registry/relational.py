@@ -1883,3 +1883,96 @@ def q_agg_top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_id", key).alias("top_event_id"),
         F.max(cents).cast("long").alias("max_cents"),
     )
+
+
+@register(
+    "window-rank-suite",
+    """
+SELECT event_id, user_id,
+       CAST(dense_rank() OVER w AS INTEGER) AS drank,
+       round(percent_rank() OVER w, 6) AS prank,
+       round(cume_dist() OVER w, 6) AS cdist
+FROM (SELECT event_id, user_id, value FROM events WHERE event_id < 2000)
+WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+""".strip(),
+    doc="Ranking-window completeness: dense_rank / percent_rank / "
+    "cume_dist over one shared per-user window (unique (value, event_id) "
+    "ordering so ranks are engine-stable). One shuffle, one sort, three "
+    "rank functions evaluated in the same WindowExec pass.",
+)
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where("event_id < 2000")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.dense_rank().over(w).cast("int").alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "agg-variance-corr-exact",
+    """
+WITH cents AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         CAST(epoch_ns(ts) // 1000000000 % 86400 AS BIGINT) AS s
+  FROM events
+),
+mom AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v * v) AS BIGINT) AS svv,
+         CAST(sum(s) AS BIGINT) AS ss, CAST(sum(s * s) AS BIGINT) AS sss,
+         CAST(sum(v * s) AS BIGINT) AS svs
+  FROM cents GROUP BY user_id
+)
+SELECT user_id, n,
+       round((svv - CAST(sv AS DOUBLE) * sv / n) / (n - 1), 4) AS var_cents,
+       round((svs - CAST(sv AS DOUBLE) * ss / n)
+             / sqrt((svv - CAST(sv AS DOUBLE) * sv / n)
+                    * (sss - CAST(ss AS DOUBLE) * ss / n)), 6) AS corr_vs
+FROM mom WHERE n > 1
+""".strip(),
+    doc="Variance + correlation per user from raw integer moments "
+    "(n, sum, sum-of-squares, cross-sum) instead of the built-in "
+    "corr()/var_samp(): the moments are exact BIGINTs, so the derived "
+    "statistics are bit-identical across engines — built-in one-pass "
+    "covariance accumulates in float and diverges by summation order. "
+    "Map-side combine still applies (moments are algebraic aggregates).",
+)
+def q_agg_variance_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        (F.expr("ts div 1000000000") % 86400).cast("long").alias("s"),
+    )
+    mom = cents.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("svv"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("sss"),
+        F.sum(F.col("v") * F.col("s")).cast("long").alias("svs"),
+    )
+    var_ = (
+        F.col("svv") - F.col("sv").cast("double") * F.col("sv") / F.col("n")
+    ) / (F.col("n") - 1)
+    cov_num = (
+        F.col("svs") - F.col("sv").cast("double") * F.col("ss") / F.col("n")
+    )
+    den = F.sqrt(
+        (F.col("svv") - F.col("sv").cast("double") * F.col("sv") / F.col("n"))
+        * (F.col("sss") - F.col("ss").cast("double") * F.col("ss") / F.col("n"))
+    )
+    return (
+        mom.where("n > 1")
+        .select(
+            "user_id",
+            "n",
+            F.round(var_, 4).alias("var_cents"),
+            F.round(cov_num / den, 6).alias("corr_vs"),
+        )
+    )
