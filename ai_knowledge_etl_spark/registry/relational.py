@@ -1976,3 +1976,73 @@ def q_agg_variance_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cov_num / den, 6).alias("corr_vs"),
         )
     )
+
+
+@register(
+    "project-unpivot-stats",
+    """
+SELECT doc_id, metric, CAST(val AS BIGINT) AS val
+FROM (
+  SELECT doc_id, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(strlen(text) - strlen(replace(text, '.', '')) AS BIGINT)
+           AS n_periods
+  FROM documents
+)
+UNPIVOT (val FOR metric IN (n_chars, n_words, n_periods))
+""".strip(),
+    doc="Unpivot/melt: wide per-doc stats to long (doc_id, metric, value) "
+    "triples — the shape feature stores and metric pipelines ingest. "
+    "Spark's native unpivot (no UNION ALL self-scan: one pass, rows x3 "
+    "generated in the projection) vs DuckDB's UNPIVOT.",
+)
+def q_project_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    wide = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("."), F.lit("")))
+        ).cast("long").alias("n_periods"),
+    )
+    return wide.unpivot(
+        ids=["doc_id"],
+        values=["n_chars", "n_words", "n_periods"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "scalar-null-suite",
+    """
+SELECT doc_id,
+       coalesce(nullif(lang, 'zh'), 'redacted') AS lang_or_redacted,
+       (lang IS NOT DISTINCT FROM 'en') AS null_safe_en,
+       CASE WHEN lang IS NULL THEN -1 ELSE strlen(lang) END AS lang_len,
+       ifnull(NULL, doc_id) AS id_fallback
+FROM documents
+""".strip(),
+    doc="Null-semantics completeness: nullif/coalesce chains, null-safe "
+    "equality (Spark <=> == DuckDB IS NOT DISTINCT FROM), sentinel "
+    "defaulting — the three-valued-logic corners every SQL surface must "
+    "get right. Pure projection, codegen, no shuffle.",
+)
+def q_scalar_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.coalesce(F.nullif("lang", F.lit("zh")), F.lit("redacted")).alias(
+            "lang_or_redacted"
+        ),
+        F.col("lang").eqNullSafe("en").alias("null_safe_en"),
+        F.when(F.col("lang").isNull(), -1)
+        .otherwise(F.length("lang"))
+        .cast("long")
+        .alias("lang_len"),
+        F.ifnull(F.lit(None).cast("long"), F.col("doc_id")).alias(
+            "id_fallback"
+        ),
+    )
