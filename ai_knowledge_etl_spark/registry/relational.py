@@ -2046,3 +2046,70 @@ def q_scalar_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_fallback"
         ),
     )
+
+
+@register(
+    "agg-filtered-aggregates",
+    """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+         AS n_clicks,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+         AS n_errors,
+       CAST(sum(CAST(round(value * 100) AS BIGINT))
+            FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS purchase_cents,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+GROUP BY user_id
+""".strip(),
+    doc="FILTER-clause aggregates: per-user metrics over different row "
+    "subsets in ONE hash-agg pass — no self-joins, no CASE pyramids; "
+    "partial aggregation applies to every filtered column independently.",
+)
+def q_agg_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("long")
+        .alias("n_clicks"),
+        F.count(F.when(F.col("event_type") == "error", 1)).cast("long")
+        .alias("n_errors"),
+        F.sum(F.when(F.col("event_type") == "purchase", cents)).cast("long")
+        .alias("purchase_cents"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+
+
+@register(
+    "scalar-datetrunc-suite",
+    """
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+       CAST(date_trunc('week', o_orderdate) AS DATE) AS order_week,
+       CAST(last_day(o_orderdate) AS DATE) AS month_end,
+       CAST(isodow(o_orderdate) AS INTEGER) AS iso_weekday,
+       CAST(date_diff('day', date_trunc('year', o_orderdate), o_orderdate)
+            AS INTEGER) AS day_of_year0
+FROM orders WHERE o_orderkey < 3000
+""".strip(),
+    doc="Datetime-truncation parity corners: month/week truncation (both "
+    "engines start weeks on Monday), last_day, ISO weekday (Spark "
+    "weekday()+1 == DuckDB isodow), day-of-year as an explicit "
+    "date_diff from the year start (the built-in dayofyear is 1-based "
+    "in both, but the diff formulation pins the semantics). Pure "
+    "projection with a pushed-down key filter.",
+)
+def q_scalar_datetrunc_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where("o_orderkey < 3000")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).cast("date").alias("order_month"),
+        F.date_trunc("week", d).cast("date").alias("order_week"),
+        F.last_day(d).cast("date").alias("month_end"),
+        (F.weekday(d) + 1).cast("int").alias("iso_weekday"),
+        F.datediff(d.cast("date"), F.date_trunc("year", d).cast("date"))
+        .cast("int")
+        .alias("day_of_year0"),
+    )

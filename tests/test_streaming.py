@@ -350,3 +350,4 @@ def test_streaming_upsert_sink_converges_to_latest_state(
     )
     want = {r["user_id"]: (r["rev"], r["value"]) for r in want_rows}
     assert got == want and len(got) > 1
+
