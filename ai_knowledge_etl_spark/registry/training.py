@@ -201,3 +201,55 @@ def q_udf_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_phones.alias("n_phones"),
         F.md5(TX.redact_pii("text")).alias("red_fp"),
     )
+
+
+@register(
+    "udf-grouped-zscore",
+    """
+SELECT doc_id, source,
+       CAST(n_chars * cnt - total AS BIGINT) AS dev_n,
+       CAST(row_number() OVER (
+         PARTITION BY source
+         ORDER BY n_chars * cnt - total, doc_id) AS INTEGER) AS rk
+FROM (
+  SELECT doc_id, source, n_chars,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS cnt,
+         CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS total
+  FROM documents
+)
+""".strip(),
+    doc="Grouped-map Pandas UDF (applyInPandas): per-source length "
+    "normalization computed WHOLE-GROUP in pandas — the grouped-map "
+    "execution path (one Arrow batch per group, unlike mapInPandas's "
+    "partition batches). The deviance n*cnt-total is an exact integer, "
+    "so the kernel's output diffs bit-exactly against a pure window-SQL "
+    "oracle. At scale groups shuffle to executors whole: keep group "
+    "cardinality >> executor count and group size << executor memory.",
+)
+def q_udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+
+    def kernel(pdf):
+        import pandas as pd
+
+        cnt = len(pdf)
+        total = int(pdf["n_chars"].sum())
+        dev = pdf["n_chars"].astype("int64") * cnt - total
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "source": pdf["source"],
+                "dev_n": dev,
+            }
+        ).sort_values(["dev_n", "doc_id"], kind="mergesort")
+        out["rk"] = range(1, cnt + 1)
+        return out
+
+    from ai_knowledge_etl_spark.sources.catalog import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers(spark)
+    return d.groupBy("source").applyInPandas(
+        kernel, "doc_id long, source string, dev_n long, rk int"
+    )

@@ -81,3 +81,20 @@ def test_traversal_bands_partition_scores(spark):
     assert rows[10] == "dfs_deep" and rows[8] == "dfs_deep"
     assert rows[7] == "bfs" and rows[5] == "bfs"
     assert rows[4] == "prune" and rows[0] == "prune"
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """approx_percentile (the 100 TB path documented on agg-percentiles)
+    must land within 1% relative error of the exact quantile at fixture
+    scale — guards accuracy parameter regressions."""
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_etl_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx"),
+        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("exact"),
+    ).first()
+    for a, e in zip(row["approx"], row["exact"]):
+        assert abs(a - e) <= max(abs(e) * 0.01, 1e-9), (a, e)
