@@ -2113,3 +2113,156 @@ def q_scalar_datetrunc_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("day_of_year0"),
     )
+
+
+# --- TPC-H depth, wave 4: Q4/Q6/Q10/Q16 shapes ----------------------------------
+
+
+@register(
+    "agg-priority-exists-count",
+    """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority
+""".strip(),
+    doc="TPC-H-Q4 shape: EXISTS decorrelates to a left-semi join from "
+    "orders to lineitem (Catalyst rewrites it; no per-row subquery "
+    "execution), then a 5-group count. The date filter pushes to the "
+    "orders scan before the join.",
+)
+def q_agg_priority_exists_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("order_count")
+    )
+
+
+@register(
+    "agg-forecast-revenue",
+    """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""".strip(),
+    doc="TPC-H-Q6 shape (forecast revenue change): pure filter+sum with "
+    "every predicate pushed to the parquet scan (date range, discount "
+    "band, quantity cap all appear in PushedFilters) — the canonical "
+    "pushdown showcase; the aggregate is a single partial-combined "
+    "scalar.",
+)
+def q_agg_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "topk-returned-customers",
+    """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""".strip(),
+    doc="TPC-H-Q10 shape (top customers by returned revenue): the "
+    "returnflag filter pushes to the lineitem scan; customer/nation "
+    "broadcast; the LIMIT becomes TakeOrderedAndProject (per-partition "
+    "top-20 then a 20-row driver merge — never a global sort). "
+    "Deterministic tiebreak on c_custkey.",
+)
+def q_topk_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "agg-part-supplier-variety",
+    """
+SELECT p.p_brand, p.p_type,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type
+""".strip(),
+    doc="TPC-H-Q16 shape (supplier variety per part family; lineitem "
+    "stands in for partsupp): NOT IN over a subquery becomes a "
+    "null-aware anti join against the tiny supplier side (broadcast), "
+    "negated LIKE/equality prune part before ITS broadcast, and the "
+    "distinct-count shuffles once on the group key.",
+)
+def q_agg_part_supplier_variety(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13")
+        & ~F.col("p_type").like("PROMO%")
+    )
+    bad = _t(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )

@@ -88,6 +88,8 @@ PLAN_ALLOWLIST = {
     # Q15's scalar subquery: max over the per-supplier revenue view is a
     # single-row final combine, then rejoined as a 1-row broadcast
     "topk-supplier-revenue": {"SinglePartition"},
+    # Q6 is a single scalar sum (partial agg per partition, 1-row combine)
+    "agg-forecast-revenue": {"SinglePartition"},
     # brute-force ANN is definitionally queries × corpus; the query side is
     # broadcast (5 rows). The scale path is similarity-lsh-bucketed.
     "similarity-topk": {"BroadcastNestedLoopJoin"},
