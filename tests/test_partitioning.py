@@ -71,3 +71,4 @@ def test_salted_join_same_result(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
