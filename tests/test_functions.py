@@ -98,3 +98,57 @@ def test_approx_percentile_within_tolerance(spark, sf_dir):
     ).first()
     for a, e in zip(row["approx"], row["exact"]):
         assert abs(a - e) <= max(abs(e) * 0.01, 1e-9), (a, e)
+
+
+def test_observe_collects_pipeline_metrics_without_extra_pass(spark, sf_dir):
+    """df.observe(): validation metrics (row count, quarantine count,
+    char total) ride along the SAME job that materializes the result —
+    at 100 TB this replaces a second full scan per metric."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("ingest_metrics")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.length("text") < 80, 1).otherwise(0)).alias(
+            "n_quarantined"
+        ),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    kept = observed.where(F.length("text") >= 80).count()
+    m = obs.get
+    assert m["n_rows"] == docs.count()
+    assert m["n_rows"] - m["n_quarantined"] == kept
+    assert m["total_chars"] > 0
+
+
+def test_python_udtf_surface(spark):
+    """Spark 4 Python UDTF (@udtf): one input row -> N output rows with a
+    declared schema, lateral-joined in SQL — the table-function API the
+    chunking family can migrate to."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no int, piece string")
+    class SplitWords:
+        def eval(self, text: str, width: int):
+            words = text.split()
+            for i in range(0, len(words), width):
+                yield i // width, " ".join(words[i : i + width])
+
+    spark.udtf.register("split_words", SplitWords)
+    rows = spark.sql(
+        "SELECT t.id, s.chunk_no, s.piece "
+        "FROM VALUES (0, 'a b c d e'), (1, 'x y') AS t(id, txt), "
+        "LATERAL split_words(t.txt, 2) AS s"
+    ).collect()
+    got = {(r["id"], r["chunk_no"], r["piece"]) for r in rows}
+    assert got == {
+        (0, 0, "a b"),
+        (0, 1, "c d"),
+        (0, 2, "e"),
+        (1, 0, "x y"),
+    }
