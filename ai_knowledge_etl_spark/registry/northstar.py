@@ -955,3 +955,50 @@ def q_udf_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * (cpw / 3.0), 4
         ).alias("flesch_proxy"),
     )
+
+
+@register(
+    "dedup-fuzzy-levenshtein",
+    f"""
+WITH {DUP_CORPUS_CTE},
+pref AS (
+  SELECT doc_id, source, substring(text, 1, 40) AS p FROM dup_corpus
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+  FROM pref a JOIN pref b
+    ON a.source = b.source
+   AND substring(a.p, 1, 8) = substring(b.p, 1, 8)
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(levenshtein(pa, pb) AS INTEGER) AS edit_dist
+FROM cand
+WHERE levenshtein(pa, pb) <= 5
+""".strip(),
+    doc="Fuzzy dedup tier via edit distance: block on an 8-char prefix "
+    "(equi-join, never all-pairs), then levenshtein on 40-char prefixes "
+    "<= 5 — catches typo-level near-dups that shingle Jaccard misses. "
+    "levenshtein is a JVM builtin in Spark and a native function in "
+    "DuckDB, so the O(len^2) kernel never leaves the engine.",
+)
+def q_dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _dup_corpus(spark, sf_dir)
+    pref = d.select(
+        "doc_id", "source", F.substring("text", 1, 40).alias("p")
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.substring(F.col("a.p"), 1, 8) == F.substring(F.col("b.p"), 1, 8))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.col("a.p"), F.col("b.p")).alias("edit_dist"),
+    )
+    return cand.where(F.col("edit_dist") <= 5).select(
+        "doc_a", "doc_b", F.col("edit_dist").cast("int").alias("edit_dist")
+    )

@@ -2266,3 +2266,46 @@ def q_agg_part_supplier_variety(
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
+
+
+@register(
+    "window-rolling-range-frame",
+    """
+WITH daily AS (
+  SELECT CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+)
+SELECT day, cents,
+       CAST(sum(cents) OVER (
+         ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS rolling_7d_cents,
+       CAST(count(*) OVER (
+         ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS days_present
+FROM daily
+""".strip(),
+    doc="RANGE-frame rolling window (vs the ROWS frames elsewhere): a "
+    "7-day revenue sum keyed on the VALUE of the day column, so gaps in "
+    "the calendar shrink the frame instead of silently spanning them — "
+    "the semantics difference that makes time-series ROWS frames wrong. "
+    "Integer cents keep parity exact. The daily rollup shrinks input "
+    "to O(days) rows before the single-partition-safe ordered window.",
+)
+def q_window_rolling_range_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("ts div 1000000000 div 86400").cast("long").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("rolling_7d_cents"),
+        F.count("*").over(w).cast("long").alias("days_present"),
+    )

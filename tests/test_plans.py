@@ -90,6 +90,10 @@ PLAN_ALLOWLIST = {
     "topk-supplier-revenue": {"SinglePartition"},
     # Q6 is a single scalar sum (partial agg per partition, 1-row combine)
     "agg-forecast-revenue": {"SinglePartition"},
+    # rolling calendar window over the DAILY rollup: input is O(days)
+    # rows (30 at sf0.1, ~36k at a century of data) — bounded by the
+    # calendar, not the event volume, so the ordered window is safe
+    "window-rolling-range-frame": {"SinglePartition"},
     # brute-force ANN is definitionally queries × corpus; the query side is
     # broadcast (5 rows). The scale path is similarity-lsh-bucketed.
     "similarity-topk": {"BroadcastNestedLoopJoin"},
