@@ -253,3 +253,63 @@ def q_udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source").applyInPandas(
         kernel, "doc_id long, source string, dev_n long, rk int"
     )
+
+
+@register(
+    "udf-embed-quantize-int8",
+    """
+WITH d AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, e,
+         greatest(list_max(list_transform(e, x -> abs(x))), 0.000000001)
+           AS ma
+  FROM d
+),
+q AS (
+  SELECT vec_id, ma,
+         list_transform(e, x -> CAST(round(x * 127.0 / ma) AS BIGINT)) AS qi
+  FROM s
+)
+SELECT vec_id, round(127.0 / ma, 6) AS scale,
+       md5(array_to_string(list_transform(qi, x -> CAST(x AS STRING)), ','))
+         AS qfp
+FROM q
+""".strip(),
+    doc="Symmetric int8 quantization of the embedding column (the 4x "
+    "storage/bandwidth cut every large-scale ANN index takes): per-vector "
+    "scale = 127/max|x|, elements rounded to int8. The quantized vector "
+    "is fingerprinted (md5 of the int list) so the oracle verifies every "
+    "ELEMENT of every vector, not just the scale. Pure higher-order "
+    "array expressions, JVM-side, no shuffle; |x| <= max|x| means no "
+    "clamping branch is needed.",
+)
+def q_udf_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    s = d.select(
+        "vec_id",
+        "e",
+        F.greatest(
+            F.array_max(F.transform("e", F.abs)), F.lit(1e-9)
+        ).alias("ma"),
+    )
+    q = s.select(
+        "vec_id",
+        "ma",
+        F.transform(
+            "e", lambda x: F.round(x * 127.0 / F.col("ma")).cast("long")
+        ).alias("qi"),
+    )
+    return q.select(
+        "vec_id",
+        F.round(F.lit(127.0) / F.col("ma"), 6).alias("scale"),
+        F.md5(
+            F.concat_ws(",", F.transform("qi", lambda x: x.cast("string")))
+        ).alias("qfp"),
+    )

