@@ -150,3 +150,57 @@ def test_sql_surface_broadcasts_dims(spark, sf_dir):
     dimension joins broadcast, fact-fact join shuffles."""
     plan = _plan(spark, sf_dir, "sql-revenue-by-region")
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark, sf_dir):
+    """Runtime filtering (the 100 TB semi-join reduction): with a
+    selective dimension filter and broadcast disabled, the optimizer
+    must inject a bloom filter built from the dim side and probe it on
+    the fact side BEFORE the shuffle — and results must equal the
+    unfiltered plan's."""
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_etl_spark.sources.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        got = {(r["o_orderpriority"], r["n"]) for r in j.collect()}
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, "no bloom filter was injected"
+        assert "BloomFilterMightContain" in plan or "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # same answer without the runtime filter
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        "o_orderpriority = '1-URGENT'"
+    )
+    want = {
+        (r["o_orderpriority"], r["n"])
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
