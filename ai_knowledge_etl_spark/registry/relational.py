@@ -2309,3 +2309,149 @@ def q_window_rolling_range_frame(
         F.sum("cents").over(w).cast("long").alias("rolling_7d_cents"),
         F.count("*").over(w).cast("long").alias("days_present"),
     )
+
+
+# --- TPC-H depth, wave 5: Q3/Q5/Q18 shapes --------------------------------------
+
+
+@register(
+    "topk-unshipped-orders",
+    """
+SELECT l.l_orderkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       CAST(o.o_orderdate AS DATE) AS order_date, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_nationkey % 5 = 0
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""".strip(),
+    doc="TPC-H-Q3 shape (unshipped orders: ordered before / shipped "
+    "after the cutoff, customer segment filter): both date predicates "
+    "push to their scans, customer broadcasts, and the top-10 is "
+    "TakeOrderedAndProject with an l_orderkey tiebreak.",
+)
+def q_topk_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where("c_nationkey % 5 = 0")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "agg-local-supplier-volume",
+    """
+SELECT n.n_name AS nation,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+GROUP BY n.n_name
+""".strip(),
+    doc="TPC-H-Q5 shape (local supplier volume): the distinctive "
+    "c_nationkey = s_nationkey SECOND join condition restricts to "
+    "orders served by a supplier in the customer's own nation — a "
+    "compound-key equi-join Catalyst folds into the supplier broadcast, "
+    "not a filter afterward.",
+)
+def q_agg_local_supplier_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (F.col("c_nationkey") == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "join-large-volume-customers",
+    """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS order_date,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate
+""".strip(),
+    doc="TPC-H-Q18 shape (large-volume customers): IN over a HAVING "
+    "aggregate decorrelates to a semi join against the per-order "
+    "quantity rollup — the rollup reuses lineitem's orderkey "
+    "partitioning for both the HAVING agg and the semi join, so the "
+    "subquery costs one extra agg, not an extra shuffle chain.",
+)
+def q_join_large_volume_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .where(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("big_key"))
+    )
+    return (
+        li.join(big, li.l_orderkey == F.col("big_key"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+    )
