@@ -138,3 +138,140 @@ def cdc_diff(
         F.col("__old_fp").alias("old_fp"),
         F.col("__new_fp").alias("new_fp"),
     )
+
+
+# --- versioned upserts (manifest-based time travel on plain parquet) ------------
+#
+# upsert_parquet above is IN-PLACE (dynamic partition overwrite): simple,
+# but old bucket files are replaced, so history is gone. The versioned
+# variant below never rewrites a file: each upsert writes the merged
+# TOUCHED buckets under a new v{N}/ directory and a JSON manifest maps
+# every bucket to the version directory holding its current file — the
+# same files-plus-manifest design Delta/Iceberg use, with a readable
+# plain-parquet layout. Readers pin a manifest, so concurrent reads see
+# a consistent snapshot while writers add versions; `vacuum` deletes
+# version dirs no kept manifest references.
+
+import json as _json
+import os as _os
+
+
+def _manifest_dir(path: str) -> str:
+    return _os.path.join(path, "_manifests")
+
+
+def _latest_version(path: str) -> int:
+    md = _manifest_dir(path)
+    if not _os.path.isdir(md):
+        return 0
+    vs = [
+        int(f[1:-5])
+        for f in _os.listdir(md)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(vs, default=0)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_os.path.join(_manifest_dir(path), f"v{version}.json")) as fh:
+        return _json.load(fh)
+
+
+def upsert_parquet_versioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str = "doc_id",
+    rev_col: str = "rev",
+    n_buckets: int = 16,
+) -> int:
+    """Append-only upsert: merge `updates` into the touched buckets,
+    write them under v{N}/, publish manifest v{N}. Returns N. Untouched
+    buckets keep their existing files — zero rewrite amplification, and
+    every prior version stays readable until vacuumed."""
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).alias(
+        "__bucket"
+    )
+    upd = updates.withColumn("__bucket", bucket)
+    prev_v = _latest_version(path)
+    new_v = prev_v + 1
+    if prev_v == 0:
+        merged = upd
+        touched = list(range(n_buckets))
+        bucket_map: dict[str, str] = {}
+    else:
+        manifest = _read_manifest(path, prev_v)
+        bucket_map = dict(manifest["buckets"])
+        touched = [
+            int(r["__bucket"])
+            for r in upd.select("__bucket").distinct().collect()
+        ]
+        current_dirs = [
+            _os.path.join(path, bucket_map[str(b)], f"__bucket={b}")
+            for b in touched
+            if str(b) in bucket_map
+        ]
+        if current_dirs:
+            # leaf dirs read directly (no basePath: the v{N}/ layer is not
+            # a partition key); __bucket re-derives from the key
+            base = spark.read.parquet(*current_dirs)
+            base = base.withColumn(
+                "__bucket",
+                F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)),
+            )
+            merged = merge_latest(base, upd, key=key, rev_col=rev_col)
+        else:
+            merged = upd
+    (
+        merged.where(F.col("__bucket").isin([int(t) for t in touched]))
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(_os.path.join(path, f"v{new_v}"))
+    )
+    for b in touched:
+        bucket_map[str(b)] = f"v{new_v}"
+    _os.makedirs(_manifest_dir(path), exist_ok=True)
+    with open(
+        _os.path.join(_manifest_dir(path), f"v{new_v}.json"), "w"
+    ) as fh:
+        _json.dump({"version": new_v, "buckets": bucket_map}, fh)
+    return new_v
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: the table exactly as of manifest `version`
+    (default: latest). Partition pruning on __bucket still applies."""
+    v = version if version is not None else _latest_version(path)
+    manifest = _read_manifest(path, v)
+    dirs = [
+        _os.path.join(path, vdir, f"__bucket={b}")
+        for b, vdir in sorted(manifest["buckets"].items(), key=lambda kv: int(kv[0]))
+    ]
+    return spark.read.parquet(*dirs)
+
+
+def vacuum(path: str, keep_last: int = 2) -> list[str]:
+    """Delete version directories not referenced by the last `keep_last`
+    manifests (and drop the older manifests). Returns removed dirs."""
+    import shutil
+
+    latest = _latest_version(path)
+    keep_versions = list(range(max(1, latest - keep_last + 1), latest + 1))
+    referenced = set()
+    for v in keep_versions:
+        referenced.update(_read_manifest(path, v)["buckets"].values())
+    removed = []
+    for d in _os.listdir(path):
+        if d.startswith("v") and d != "_manifests":
+            if d not in referenced and _os.path.isdir(
+                _os.path.join(path, d)
+            ):
+                shutil.rmtree(_os.path.join(path, d))
+                removed.append(d)
+    for f in _os.listdir(_manifest_dir(path)):
+        v = int(f[1:-5])
+        if v not in keep_versions:
+            _os.remove(_os.path.join(_manifest_dir(path), f))
+    return removed
