@@ -275,3 +275,21 @@ def vacuum(path: str, keep_last: int = 2) -> list[str]:
         if v not in keep_versions:
             _os.remove(_os.path.join(_manifest_dir(path), f))
     return removed
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    key: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Change feed between two manifest versions (the Delta
+    table_changes idiom): snapshot-read both versions and classify each
+    key as insert/delete/update/unchanged. Consumers poll this instead
+    of re-reading the table — downstream incremental jobs process only
+    what changed between versions."""
+    old = read_version(spark, path, from_version)
+    new = read_version(spark, path, to_version)
+    return cdc_diff(old, new, key=key, fp_col=fp_col)

@@ -319,3 +319,33 @@ def test_versioned_upsert_time_travel_and_vacuum(spark, sf_dir, tmp_path):
     # snapshots 2 and 3 still read fine after vacuum
     assert inc.read_version(spark, path, 3).count() == n
     assert inc.read_version(spark, path, 2).where("rev = 2").count() > 0
+
+
+def test_table_changes_between_versions(spark, sf_dir, tmp_path):
+    """Change feed over the versioned table: only the rows the v2 batch
+    touched surface as updates; everything else reads unchanged."""
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_etl_spark.operators import incremental as inc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lit(1).alias("rev"), F.md5("text").alias("fp")
+    )
+    path = str(tmp_path / "cf")
+    inc.upsert_parquet_versioned(spark, path, docs, n_buckets=4)
+    upd = (
+        docs.where("doc_id % 25 = 0")
+        .withColumn("rev", F.lit(2))
+        .withColumn("fp", F.md5(F.concat(F.col("fp"), F.lit("x"))))
+    )
+    inc.upsert_parquet_versioned(spark, path, upd, n_buckets=4)
+
+    feed = inc.table_changes(spark, path, 1, 2)
+    by_action = {
+        r["action"]: r["n"]
+        for r in feed.groupBy("action").agg(F.count("*").alias("n")).collect()
+    }
+    n_upd = docs.where("doc_id % 25 = 0").count()
+    assert by_action.get("update", 0) == n_upd
+    assert by_action.get("unchanged", 0) == docs.count() - n_upd
+    assert "insert" not in by_action and "delete" not in by_action
