@@ -2455,3 +2455,52 @@ def q_join_large_volume_customers(
         )
         .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
     )
+
+
+_LATERAL_TOPN_SQL = """
+SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+""".strip()
+
+
+@register(
+    "sql-lateral-topn",
+    _LATERAL_TOPN_SQL,
+    doc="Correlated LATERAL subquery (top-2 customers per nation), the "
+    "same dialect-common string through spark.sql and DuckDB. Catalyst "
+    "decorrelates the lateral into a ranked window join rather than "
+    "executing the inner query per outer row — assert-worthy because "
+    "naive nested-loop lateral evaluation would be O(nations x "
+    "customers).",
+)
+def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPN_SQL)
+
+
+@register(
+    "setop-except-all",
+    """
+SELECT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'view'
+  EXCEPT ALL
+  SELECT user_id FROM events WHERE event_type = 'error'
+)
+ORDER BY user_id
+""".strip(),
+    doc="EXCEPT ALL (bag difference — each error occurrence cancels ONE "
+    "view occurrence per user, unlike EXCEPT's set semantics): Spark "
+    "plans it as a counted hash aggregation, one shuffle, no join.",
+)
+def q_setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where("event_type = 'view'").select("user_id")
+    errors = ev.where("event_type = 'error'").select("user_id")
+    return views.exceptAll(errors).orderBy("user_id")
