@@ -2504,3 +2504,78 @@ def q_setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.where("event_type = 'view'").select("user_id")
     errors = ev.where("event_type = 'error'").select("user_id")
     return views.exceptAll(errors).orderBy("user_id")
+
+
+@register(
+    "scalar-bitwise-suite",
+    """
+SELECT event_id,
+       CAST(event_id & 255 AS BIGINT) AS low_byte,
+       CAST(event_id | 4096 AS BIGINT) AS with_flag,
+       CAST(xor(event_id, 21845) AS BIGINT) AS toggled,
+       CAST(event_id << 2 AS BIGINT) AS shl2,
+       CAST(event_id >> 3 AS BIGINT) AS shr3,
+       CAST(bit_count(event_id) AS INTEGER) AS popcount
+FROM events WHERE event_id < 5000
+""".strip(),
+    doc="Bit-manipulation completeness (flag packing, the idiom behind "
+    "bitmap presence/permission columns): and/or/xor/shifts/popcount as "
+    "JVM intrinsics in codegen — never a UDF.",
+)
+def q_scalar_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where("event_id < 5000")
+    e = F.col("event_id")
+    return ev.select(
+        "event_id",
+        e.bitwiseAND(255).cast("long").alias("low_byte"),
+        e.bitwiseOR(4096).cast("long").alias("with_flag"),
+        e.bitwiseXOR(21845).cast("long").alias("toggled"),
+        F.shiftleft(e, 2).cast("long").alias("shl2"),
+        F.shiftright(e, 3).cast("long").alias("shr3"),
+        F.bit_count(e).cast("int").alias("popcount"),
+    )
+
+
+@register(
+    "agg-presence-bitmap",
+    """
+WITH days AS (
+  SELECT user_id,
+         CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day
+  FROM events
+),
+cohort AS (SELECT user_id, min(day) AS day0 FROM days GROUP BY user_id)
+SELECT d.user_id,
+       CAST(bit_or(1 << CAST(d.day - c.day0 AS INTEGER)) AS BIGINT)
+         AS presence_mask,
+       CAST(bit_count(bit_or(1 << CAST(d.day - c.day0 AS INTEGER)))
+            AS INTEGER) AS active_days
+FROM days d JOIN cohort c ON d.user_id = c.user_id
+WHERE d.day - c.day0 < 63
+GROUP BY d.user_id
+""".strip(),
+    doc="Presence bitmap: each user's active days since first-seen packed "
+    "into one BIGINT via bit_or(1 << offset) — the compact retention "
+    "encoding that turns cohort math into popcounts and ANDs (62-day "
+    "horizon fits a signed 64-bit mask). One agg for the cohort start, "
+    "one for the mask, both on user_id: a single partitioning serves "
+    "both.",
+)
+def q_agg_presence_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr("ts div 1000000000 div 86400").alias("day")
+    )
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("day0"))
+    mask = F.expr(
+        "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(day - day0 AS INT)))"
+    )
+    return (
+        days.join(cohort, "user_id")
+        .where(F.col("day") - F.col("day0") < 63)
+        .groupBy("user_id")
+        .agg(
+            mask.cast("long").alias("presence_mask"),
+            F.bit_count(mask).cast("int").alias("active_days"),
+        )
+    )

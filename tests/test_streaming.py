@@ -351,3 +351,39 @@ def test_streaming_upsert_sink_converges_to_latest_state(
     want = {r["user_id"]: (r["rev"], r["value"]) for r in want_rows}
     assert got == want and len(got) > 1
 
+
+
+def test_stream_static_broadcast_enrich(spark, sf_dir, events_stream):
+    """Stream-static join: each micro-batch enriches against a static
+    dimension (user cohort lookup, broadcast — no state store involved);
+    totals must equal the batch join."""
+    from ai_knowledge_etl_spark.sources.catalog import load_table
+
+    stream, batch = events_stream
+    dim = (
+        batch.groupBy("user_id")
+        .agg(F.min(F.expr("ts div 1000000000 div 86400")).alias("day0"))
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id").groupBy(
+        "day0"
+    ).agg(F.count("*").alias("n"))
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("t_ss_enrich")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["day0"], r["n"])
+        for r in spark.sql("SELECT * FROM t_ss_enrich").collect()
+    }
+    want = {
+        (r["day0"], r["n"])
+        for r in batch.join(dim, "user_id")
+        .groupBy("day0")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
