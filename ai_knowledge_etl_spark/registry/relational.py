@@ -2579,3 +2579,36 @@ def q_agg_presence_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count(mask).cast("int").alias("active_days"),
         )
     )
+
+
+@register(
+    "agg-event-transitions",
+    """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+FROM ordered WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""".strip(),
+    doc="Event-transition matrix (Markov sequence mining): per-user "
+    "lead() over a unique (ts, event_id) ordering, then count each "
+    "(current, next) pair — funnel/journey analytics as one window pass "
+    "+ one 25-cell agg. The window and any downstream per-user op share "
+    "the user_id partitioning.",
+)
+def q_agg_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        ordered.where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
