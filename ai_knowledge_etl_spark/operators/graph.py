@@ -59,3 +59,74 @@ def pagerank(
             )
         )
     return pr
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census over a directed edge list `edges(src, dst)`:
+    one row (n_triangles, n_wedges, global_clustering).
+
+    Scale-first formulation (the classic degree-ordered count, cf. the
+    MapReduce triangle-enumeration literature): canonicalize to distinct
+    undirected edges, then orient every edge from its lower-(degree, id)
+    endpoint to the higher one. The orientation is a total order, so each
+    triangle is counted exactly once, and — the point at scale — every
+    join fan-out is bounded by the graph's degeneracy, not by the max
+    degree: a celebrity node with 10M undirected neighbors has out-degree
+    ~sqrt(|E|) after orientation, so the path-join never explodes on skew.
+    Two shuffles (path join + existence semi-join) and one small agg.
+
+    n_wedges = sum_v C(deg_v, 2); global_clustering = 3*T / wedges (one
+    IEEE division — deterministic across engines).
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+    )
+    o2 = oriented.select(F.col("u").alias("u2"), F.col("w").alias("w2"))
+    paths = oriented.join(
+        o2, (F.col("w") == F.col("u2")) & (F.col("u") != F.col("w2"))
+    ).select(F.col("u").alias("x"), F.col("w2").alias("y"))
+    # close the wedge: does an oriented edge connect the two endpoints
+    # (either direction — orientation order of x,y is unknown here)?
+    closing = oriented.select(
+        F.least("u", "w").alias("cx"), F.greatest("u", "w").alias("cy")
+    )
+    tri = paths.select(
+        F.least("x", "y").alias("cx"), F.greatest("x", "y").alias("cy")
+    ).join(closing, ["cx", "cy"], "left_semi")
+    n_tri = tri.agg(F.count("*").cast("long").alias("n_triangles"))
+    n_wedge = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+    )
+    return n_tri.crossJoin(n_wedge).select(
+        "n_triangles",
+        "n_wedges",
+        (
+            F.lit(3.0)
+            * F.col("n_triangles")
+            / F.greatest(F.col("n_wedges"), F.lit(1))
+        ).alias("global_clustering"),
+    )

@@ -600,3 +600,47 @@ def q_rank_pages_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("doc_id"), F.round("pr", 12).alias("pagerank")
     )
+
+
+@register(
+    "join-triangle-count",
+    f"""
+WITH {syn.LINKS_CTE},
+e AS (
+  SELECT parent_id AS src, doc_id AS dst FROM links WHERE parent_id <> doc_id
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+  GROUP BY v
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS t
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+wd AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT t AS n_triangles, n_wedges,
+       3.0 * t / greatest(n_wedges, 1) AS global_clustering
+FROM tri, wd
+""".strip(),
+    doc="Triangle census of the crawl link graph: n_triangles, n_wedges, "
+    "global clustering coefficient (the link-neighborhood cohesion signal "
+    "next to rank-pages-iterative; reference keeps links/*.json, "
+    "crawler-coordinator.md). Spark side uses the degree-ordered "
+    "enumeration (operators/graph.triangle_stats) whose join fan-out is "
+    "bounded by graph degeneracy — skew-proof where the oracle's naive "
+    "3-way self-join is not; both count each triangle exactly once, so "
+    "parity checks the optimization.",
+)
+def q_join_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.operators import graph
+
+    edges = _links(spark, sf_dir).select(
+        F.col("parent_id").alias("src"), F.col("doc_id").alias("dst")
+    )
+    return graph.triangle_stats(edges)

@@ -2612,3 +2612,233 @@ def q_agg_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+@register(
+    "agg-timeseries-gapfill",
+    """
+WITH bounds AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+         CAST(max(o_orderdate) AS DATE) AS d1
+  FROM orders
+),
+spine AS (
+  SELECT r_name,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM region, bounds
+),
+actual AS (
+  SELECT r.r_name, CAST(o.o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, CAST(o.o_orderdate AS DATE)
+)
+SELECT s.r_name, s.day,
+       CAST(coalesce(last_value(a.revenue IGNORE NULLS) OVER (
+              PARTITION BY s.r_name ORDER BY s.day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            CAST(0 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue_filled,
+       a.revenue IS NULL AS is_gap
+FROM spine s
+LEFT JOIN actual a ON s.r_name = a.r_name AND s.day = a.day
+""".strip(),
+    doc="Time-series gap-fill: dense per-region daily revenue — calendar "
+    "spine (sequence+explode / generate_series) LEFT-joined to actuals, "
+    "missing days filled by LOCF (last_value IGNORE NULLS over an "
+    "explicit ROWS frame; leading gap -> 0). Revenue stays DECIMAL end "
+    "to end, so the fill is exact on both engines. Scale: the fact-side "
+    "3-join broadcasts the dims and aggregates before the spine join, so "
+    "the window runs over region x day cells (tiny vs the fact table); "
+    "the spine itself is data-independent and broadcastable.",
+)
+def q_agg_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    spine = (
+        region.crossJoin(F.broadcast(bounds))
+        .select(
+            "r_name",
+            F.explode(
+                F.expr("sequence(d0, d1, interval 1 day)")
+            ).alias("day"),
+        )
+    )
+    actual = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(_dec("o_totalprice"))
+            .cast("decimal(18,2)")
+            .alias("revenue")
+        )
+    )
+    w = (
+        Window.partitionBy(spine["r_name"])
+        .orderBy(spine["day"])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(
+        actual,
+        (spine["r_name"] == actual["r_name"]) & (spine["day"] == actual["day"]),
+        "left",
+    )
+    return joined.select(
+        spine["r_name"],
+        spine["day"],
+        F.coalesce(
+            F.last(actual["revenue"], ignorenulls=True).over(w),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .cast("decimal(18,2)")
+        .alias("revenue_filled"),
+        actual["revenue"].isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "agg-mad-outliers",
+    """
+WITH x AS (
+  SELECT l_returnflag AS grp, CAST(l_extendedprice AS DECIMAL(12,2)) AS v
+  FROM lineitem
+),
+ranked AS (
+  SELECT grp, v,
+         row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY grp) AS cnt
+  FROM x
+),
+med AS (
+  SELECT grp,
+         CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN v ELSE CAST(0 AS DECIMAL(12,2)) END)
+            + sum(CASE WHEN rn = (cnt + 2) // 2 THEN v ELSE CAST(0 AS DECIMAL(12,2)) END)
+            AS DECIMAL(14,2)) AS med2
+  FROM ranked GROUP BY grp
+),
+dev AS (
+  SELECT r.grp, r.v, CAST(abs(2 * r.v - m.med2) AS DECIMAL(15,2)) AS d2
+  FROM ranked r JOIN med m ON r.grp = m.grp
+),
+devranked AS (
+  SELECT grp, d2,
+         row_number() OVER (PARTITION BY grp ORDER BY d2) AS rn,
+         count(*) OVER (PARTITION BY grp) AS cnt
+  FROM dev
+),
+mad AS (
+  SELECT grp,
+         CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN d2 ELSE CAST(0 AS DECIMAL(15,2)) END)
+            + sum(CASE WHEN rn = (cnt + 2) // 2 THEN d2 ELSE CAST(0 AS DECIMAL(15,2)) END)
+            AS DECIMAL(17,2)) AS mad4
+  FROM devranked GROUP BY grp
+)
+SELECT dv.grp AS l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(m.med2 * 0.5 AS DECIMAL(18,3)) AS median_price,
+       CAST(a.mad4 * 0.25 AS DECIMAL(18,4)) AS mad,
+       CAST(count(*) FILTER (WHERE 2 * dv.d2 > 3 * a.mad4) AS BIGINT)
+         AS n_outliers
+FROM dev dv
+JOIN med m ON dv.grp = m.grp
+JOIN mad a ON dv.grp = a.grp
+GROUP BY dv.grp, m.med2, a.mad4
+""".strip(),
+    doc="Robust outlier census per return flag: median + MAD (median "
+    "absolute deviation), flag |v - median| > 3*MAD. Exact-parity trick: "
+    "medians are stated manually (avg of the two bracketing ranks) and "
+    "the whole computation runs in doubled/quadrupled DECIMAL space "
+    "(med2 = 2*median, mad4 = 4*MAD, test 2*d2 > 3*mad4), so no "
+    "division ever happens and both engines agree bit-for-bit — "
+    "built-in median/quantile_cont interpolate differently across "
+    "engines. Scale: exact grouped medians need a per-group sort "
+    "(2 window passes here, partitioned by the 7 return flags); at 100 TB "
+    "swap in approx_percentile / t-digest sketches — this is the exact "
+    "twin that validates them. Skewed group cardinality is bounded "
+    "(3 flags), so per-partition sort memory is the row share, and AQE "
+    "splits any straggler partition.",
+)
+def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("v"),
+    )
+    wv = Window.partitionBy("grp").orderBy("v")
+    wp = Window.partitionBy("grp")
+    ranked = x.select(
+        "grp",
+        "v",
+        F.row_number().over(wv).alias("rn"),
+        F.count("*").over(wp).alias("cnt"),
+    )
+    lo = F.expr("(cnt + 1) div 2")
+    hi = F.expr("(cnt + 2) div 2")
+    zero2 = F.lit(0).cast("decimal(12,2)")
+    med = ranked.groupBy("grp").agg(
+        (
+            F.sum(F.when(F.col("rn") == lo, F.col("v")).otherwise(zero2))
+            + F.sum(F.when(F.col("rn") == hi, F.col("v")).otherwise(zero2))
+        )
+        .cast("decimal(14,2)")
+        .alias("med2")
+    )
+    dev = ranked.join(F.broadcast(med), "grp").select(
+        "grp",
+        "v",
+        F.abs(F.lit(2) * F.col("v") - F.col("med2"))
+        .cast("decimal(15,2)")
+        .alias("d2"),
+    )
+    wd = Window.partitionBy("grp").orderBy("d2")
+    devranked = dev.select(
+        "grp",
+        "d2",
+        F.row_number().over(wd).alias("rn"),
+        F.count("*").over(wp).alias("cnt"),
+    )
+    zero3 = F.lit(0).cast("decimal(15,2)")
+    mad = devranked.groupBy("grp").agg(
+        (
+            F.sum(F.when(F.col("rn") == lo, F.col("d2")).otherwise(zero3))
+            + F.sum(F.when(F.col("rn") == hi, F.col("d2")).otherwise(zero3))
+        )
+        .cast("decimal(17,2)")
+        .alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .join(F.broadcast(med), "grp")
+        .groupBy("grp", "med2", "mad4")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count_if(
+                F.lit(2) * F.col("d2") > F.lit(3) * F.col("mad4")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            "n",
+            F.expr("CAST(med2 * 0.5 AS DECIMAL(18,3))").alias("median_price"),
+            F.expr("CAST(mad4 * 0.25 AS DECIMAL(18,4))").alias("mad"),
+            "n_outliers",
+        )
+    )

@@ -453,3 +453,65 @@ def q_sink_pipe_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("}"),
         ).alias("metadata"),
     )
+
+
+@register(
+    "udf-tfidf-keywords",
+    """
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokens WHERE term <> '' GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) / df.df AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term ASC
+         ) AS rnk
+  FROM tf JOIN df ON tf.term = df.term
+)
+SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tf, df, score
+FROM scored WHERE rnk <= 3
+""".strip(),
+    doc="TF-IDF-family keyword extraction: top-3 characteristic terms per "
+    "document, scored tf/df (rational idf — a single IEEE division is "
+    "correctly rounded on both engines, whereas ln() differs by ulps "
+    "between libm and Math.log, so the cross-engine diff stays exact). "
+    "Reference analog: the keyword/topic surface of agents/extractor.md. "
+    "Scale: tokenize+explode is map-side; tf is one shuffle on "
+    "(doc_id,term); df aggregates the much smaller tf frame per term and "
+    "is broadcast back (vocabulary ≪ corpus); top-k is a per-doc window "
+    "on the tf partitioning — no global sort anywhere.",
+)
+def q_udf_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = tokens.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    score = F.col("tf").cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(
+        score.desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .select(
+            "doc_id",
+            F.row_number().over(w).cast("int").alias("rnk"),
+            "term",
+            "tf",
+            "df",
+            score.alias("score"),
+        )
+        .where(F.col("rnk") <= 3)
+    )

@@ -109,6 +109,13 @@ PLAN_ALLOWLIST = {
     "plan-batches": {"SinglePartition"},
     "window-page-id": {"SinglePartition"},
     "stream-visited-state": {"SinglePartition"},
+    # calendar-spine construction: global min/max of o_orderdate is a 1-row
+    # scalar agg (SinglePartition inherent), cross-joined to the 5-row
+    # region dim (1-row BNLJ) — data-independent, tiny, never grows with SF
+    "agg-timeseries-gapfill": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    # final census row: n_triangles x n_wedges are each 1-row scalar aggs
+    # (SinglePartition inherent) combined by a 1-row x 1-row cross join
+    "join-triangle-count": {"SinglePartition", "BroadcastNestedLoopJoin"},
 }
 _SMELLS = (
     "CartesianProduct",
