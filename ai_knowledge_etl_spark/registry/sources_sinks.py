@@ -801,3 +801,87 @@ def q_filter_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy(reason.alias("reason")).agg(
         F.count("*").alias("n_docs")
     )
+
+
+@register(
+    "sink-incremental-agg",
+    """
+WITH v1 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'MOVED'
+              ELSE o_orderpriority END AS o_orderpriority,
+         CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.00
+                   ELSE o_totalprice END AS DECIMAL(12,2)) AS price
+  FROM orders WHERE o_orderkey % 17 <> 0
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(price) AS DECIMAL(18,2)) AS revenue
+FROM v1 GROUP BY o_orderpriority
+""".strip(),
+    doc="Incremental materialized-aggregate maintenance (the write side of "
+    "the CDC story next to scan-cdc-diff; reference roadmap "
+    "DESIGN.md:1694): the Spark path NEVER re-aggregates v1 directly — it "
+    "takes the v0 aggregate as base, diffs v0/v1 on the key, drops "
+    "unchanged rows BEFORE any shuffle (work is proportional to the "
+    "change set, not the table), and merges signed contributions "
+    "(-old/+new, handling deletes, inserts, price updates and "
+    "group-migration updates). The oracle aggregates v1 directly, so "
+    "parity proves base+delta == full recompute. Counts and DECIMAL sums "
+    "are the self-maintainable aggregate class; min/max would need the "
+    "deletion-aware variants.",
+)
+def q_sink_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    v0 = orders.where(k % 13 != 0).select(
+        k.alias("key"),
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    v1 = orders.where(k % 17 != 0).select(
+        k.alias("key"),
+        F.when(k % 11 == 0, F.lit("MOVED"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("grp"),
+        F.when(
+            k % 7 == 0,
+            (F.col("o_totalprice") + F.lit(10.00)).cast("decimal(12,2)"),
+        )
+        .otherwise(F.col("o_totalprice").cast("decimal(12,2)"))
+        .alias("price"),
+    )
+    base = v0.groupBy("grp").agg(
+        F.count("*").cast("long").alias("dn"),
+        F.sum("price").cast("decimal(18,2)").alias("drev"),
+    )
+    o = v0.alias("o")
+    n = v1.alias("n")
+    diff = o.join(n, F.col("o.key") == F.col("n.key"), "full_outer").where(
+        F.col("o.key").isNull()
+        | F.col("n.key").isNull()
+        | (F.col("o.grp") != F.col("n.grp"))
+        | (F.col("o.price") != F.col("n.price"))
+    )
+    minus = diff.where(F.col("o.key").isNotNull()).select(
+        F.col("o.grp").alias("grp"),
+        F.lit(-1).cast("long").alias("dn"),
+        (-F.col("o.price")).cast("decimal(18,2)").alias("drev"),
+    )
+    plus = diff.where(F.col("n.key").isNotNull()).select(
+        F.col("n.grp").alias("grp"),
+        F.lit(1).cast("long").alias("dn"),
+        F.col("n.price").cast("decimal(18,2)").alias("drev"),
+    )
+    return (
+        base.unionByName(minus)
+        .unionByName(plus)
+        .groupBy("grp")
+        .agg(
+            F.sum("dn").cast("long").alias("n_orders"),
+            F.sum("drev").cast("decimal(18,2)").alias("revenue"),
+        )
+        .where(F.col("n_orders") > 0)
+        .select(
+            F.col("grp").alias("o_orderpriority"), "n_orders", "revenue"
+        )
+    )

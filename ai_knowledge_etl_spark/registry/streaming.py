@@ -225,3 +225,60 @@ def q_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     links = syn.with_links_columns(_docs(spark, sf_dir))
     urls_df = links.select(U.domain("url").alias("domain"), "url")
     return politeness.pacing_schedule(urls_df, "domain", "url", 2.0)
+
+
+@register(
+    "stream-trending-topk",
+    """
+WITH exploded AS (
+  SELECT event_type,
+         unnest(generate_series(0, 1)) AS off,
+         epoch_ns(ts) // 1000000000 // 1800 AS slot
+  FROM events
+),
+counted AS (
+  SELECT (slot - off) * 1800 AS window_start_s, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM exploded GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+              PARTITION BY window_start_s
+              ORDER BY n DESC, event_type ASC) AS rnk
+  FROM counted
+)
+SELECT window_start_s, CAST(rnk AS INTEGER) AS rnk, event_type, n
+FROM ranked WHERE rnk <= 2
+""".strip(),
+    doc="Trending top-k: sliding 1h/30min windows, top-2 event types per "
+    "window (count DESC, type ASC tiebreak) — the dashboard 'what is hot "
+    "right now' pattern. Batch twin of the streaming form (readStream + "
+    "window() + foreachBatch rank); each event explodes into exactly 2 "
+    "overlapping windows, one hash-agg on (window, type), then a window "
+    "rank partitioned BY window start — the agg and the rank share the "
+    "window_start partitioning, and cardinality after the agg is "
+    "windows x types, independent of event volume.",
+)
+def q_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    exploded = ev.select(
+        "event_type",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("off"),
+        F.expr("ts div 1000000000 div 1800").alias("slot"),
+    )
+    counted = exploded.groupBy(
+        ((F.col("slot") - F.col("off")) * 1800).alias("window_start_s"),
+        "event_type",
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("window_start_s").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counted.select(
+            "window_start_s",
+            F.row_number().over(w).cast("int").alias("rnk"),
+            "event_type",
+            "n",
+        )
+        .where(F.col("rnk") <= 2)
+    )

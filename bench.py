@@ -80,6 +80,8 @@ def duckdb_oracle_wall() -> tuple[float, int]:
 # unlisted is light and runs last in name order).
 HEAVY_FIRST = {
     "dedup-cluster-cc": 52,
+    "agg-mad-outliers": 24,
+    "join-triangle-count": 14,
     "scan-web-jina": 34,
     "scan-web-trafilatura": 33,
     "scan-pdf": 33,
