@@ -282,3 +282,86 @@ def q_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= 2)
     )
+
+
+@register(
+    "agg-session-paths",
+    """
+WITH secs AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000000000 AS sec
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN sec - lag(sec) OVER
+                  (PARTITION BY user_id ORDER BY sec ASC, event_id ASC) > 1800
+                 THEN 1 ELSE 0 END AS new_session
+  FROM secs
+),
+sess AS (
+  SELECT *, CAST(sum(new_session) OVER
+                  (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+            AS session_id
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY sec ASC, event_id ASC) AS path
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC LIMIT 20
+""".strip(),
+    doc="Session-path mining (customer-journey analytics): gap-based "
+    "sessionization (30 min), then each session's ordered event-type "
+    "sequence as a '>'-joined path, then the 20 most common paths. "
+    "Determinism without ordered string_agg (Spark collect_list order "
+    "follows shuffle order): collect structs (sec, event_id, type), "
+    "array_sort on the unique (sec, event_id) prefix, then transform+ "
+    "array_join — sort-by-value inside the row, immune to partitioning. "
+    "Scale: the sessionize window, the path agg, and nothing else touch "
+    "per-user data (one user_id partitioning end to end); the path "
+    "popularity agg reduces to distinct paths, and top-20 is "
+    "TakeOrderedAndProject (no global sort).",
+)
+def q_agg_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    secs = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000000000").alias("sec"),
+    )
+    wo = Window.partitionBy("user_id").orderBy(
+        F.col("sec").asc(), F.col("event_id").asc()
+    )
+    flagged = secs.withColumn(
+        "new_session",
+        F.when(
+            F.col("sec") - F.lag("sec").over(wo) > 1800, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("sec", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
