@@ -2842,3 +2842,176 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "window-cumulative-distinct",
+    """
+WITH firsts AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS tns, event_type,
+         row_number() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY epoch_ns(ts) ASC, event_id ASC) AS occ
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) OVER (
+              PARTITION BY user_id ORDER BY tns ASC, event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS INTEGER) AS distinct_types_so_far
+FROM firsts
+""".strip(),
+    doc="Running count-distinct per user: COUNT(DISTINCT) over a running "
+    "frame is unsupported in both engines' window functions, so it "
+    "decomposes into a first-occurrence flag (row_number==1 per "
+    "(user,type)) plus a running sum of flags — the standard rewrite "
+    "that turns an O(frame) distinct into two linear window passes. "
+    "Scale: both windows are user-bounded; the (user,type) pass "
+    "sub-partitions the (user) pass, so skew is capped by the busiest "
+    "user's row share either way.",
+)
+def q_window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    firsts = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.row_number().over(w1).alias("occ"),
+    )
+    return firsts.select(
+        "user_id",
+        "event_id",
+        F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+        .over(w2)
+        .cast("int")
+        .alias("distinct_types_so_far"),
+    )
+
+
+@register(
+    "agg-cooccurrence-lift",
+    """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+supp AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM ut GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       CAST(p.n_both AS DOUBLE) * (SELECT n_users FROM n)
+         / (sa.n_t * sb.n_t) AS lift
+FROM pairs p
+JOIN supp sa ON p.type_a = sa.event_type
+JOIN supp sb ON p.type_b = sb.event_type
+""".strip(),
+    doc="Event-type co-occurrence lift (market-basket association over "
+    "user baskets): P(a,b)/(P(a)P(b)) per unordered type pair. The "
+    "distinct (user,type) projection collapses event volume to at most "
+    "users x types rows BEFORE the self-join, so the pair join is "
+    "bounded by types^2 per user, never events^2; supports are "
+    "broadcast back onto the 10-row pair frame. All counts integer, "
+    "one final IEEE division (exact cross-engine).",
+)
+def q_agg_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("n_users")
+    )
+    supp = ut.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_t")
+    )
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    sa = supp.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    sb = supp.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                * F.col("n_users")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "join-absent-followup",
+    """
+WITH c AS (
+  SELECT user_id, CAST(min(epoch_ns(ts) // 1000000000) AS BIGINT) AS t_click
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+)
+SELECT c.user_id, c.t_click
+FROM c
+WHERE NOT EXISTS (
+  SELECT 1 FROM events e
+  WHERE e.user_id = c.user_id AND e.event_type = 'purchase'
+    AND epoch_ns(e.ts) // 1000000000 > c.t_click
+    AND epoch_ns(e.ts) // 1000000000 <= c.t_click + 3600
+)
+""".strip(),
+    doc="Absent-followup mining (the funnel complement): users whose "
+    "first click is not followed by a purchase within one hour — NOT "
+    "EXISTS with a band correlate, which Spark plans as a left-anti join with a "
+    "range residual on the equi-shuffled user_id. The purchase side is "
+    "filtered to one event type BEFORE the shuffle (predicate pushed to "
+    "the scan), so the anti-join probes a small fraction of events.",
+)
+def q_join_absent_followup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.expr("ts div 1000000000")).cast("long").alias("t_click")
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.expr("ts div 1000000000").alias("p_sec"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_sec") > F.col("t_click"))
+        & (F.col("p_sec") <= F.col("t_click") + 3600),
+        "left_anti",
+    )

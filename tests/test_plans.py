@@ -116,6 +116,9 @@ PLAN_ALLOWLIST = {
     # final census row: n_triangles x n_wedges are each 1-row scalar aggs
     # (SinglePartition inherent) combined by a 1-row x 1-row cross join
     "join-triangle-count": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    # n_users is a 1-row scalar agg broadcast onto the types^2-row pair
+    # frame (1-row BNLJ) — both bounded by type cardinality, not events
+    "agg-cooccurrence-lift": {"SinglePartition", "BroadcastNestedLoopJoin"},
 }
 _SMELLS = (
     "CartesianProduct",
