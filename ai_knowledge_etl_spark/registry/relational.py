@@ -3015,3 +3015,263 @@ def q_join_absent_followup(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_sec") <= F.col("t_click") + 3600),
         "left_anti",
     )
+
+
+@register(
+    "window-activity-streaks",
+    """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day
+  FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - row_number() OVER (
+           PARTITION BY user_id ORDER BY day ASC) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, CAST(count(*) AS BIGINT) AS streak_len,
+         CAST(min(day) AS BIGINT) AS start_day
+  FROM islands GROUP BY user_id, island
+),
+best AS (
+  SELECT user_id, streak_len, start_day,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY streak_len DESC, start_day ASC) AS rnk
+  FROM streaks
+)
+SELECT user_id, streak_len AS longest_streak_days, start_day
+FROM best WHERE rnk = 1
+""".strip(),
+    doc="Longest consecutive-day activity streak per user — the classic "
+    "gaps-and-islands rewrite: day minus per-user row_number is constant "
+    "within a consecutive run, so islands fall out of one window pass + "
+    "one groupBy (no self-join, no recursion). Tiebreak on earliest "
+    "start. Scale: everything is user_id-partitioned; the distinct "
+    "day projection collapses event volume to user x active-day rows "
+    "before any window sees it.",
+)
+def q_window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr("ts div 1000000000 div 86400").alias("day")
+    ).distinct()
+    wi = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        "day",
+        (F.col("day") - F.row_number().over(wi)).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("streak_len"),
+        F.min("day").cast("long").alias("start_day"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), F.col("start_day").asc()
+    )
+    return (
+        streaks.select(
+            "user_id",
+            "streak_len",
+            "start_day",
+            F.row_number().over(wb).alias("rnk"),
+        )
+        .where(F.col("rnk") == 1)
+        .select(
+            "user_id",
+            F.col("streak_len").alias("longest_streak_days"),
+            "start_day",
+        )
+    )
+
+
+@register(
+    "agg-gini-revenue",
+    """
+WITH cust AS (
+  SELECT n.n_regionkey AS rk, o.o_custkey,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_regionkey, o.o_custkey
+),
+ranked AS (
+  SELECT rk, rev,
+         row_number() OVER (
+           PARTITION BY rk ORDER BY rev ASC, o_custkey ASC) AS i
+  FROM cust
+),
+sums AS (
+  SELECT rk, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(i * rev) AS DECIMAL(28,2)) AS s1,
+         CAST(sum(rev) AS DECIMAL(28,2)) AS s2
+  FROM ranked GROUP BY rk
+)
+SELECT r.r_name, n AS n_customers,
+       CAST(2 * s1 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE))
+         - CAST(n + 1 AS DOUBLE) / n AS gini
+FROM sums JOIN region r ON sums.rk = r.r_regionkey
+""".strip(),
+    doc="Revenue concentration (Gini coefficient) per region over "
+    "customer lifetime revenue: G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n "
+    "on revenues ranked ascending. Numerators accumulate in "
+    "DECIMAL(28,2) (exact under any shuffle order); the two final IEEE "
+    "divisions and one subtraction are correctly rounded from identical "
+    "inputs on both engines. Scale: per-customer rollup shuffles once "
+    "on (region, customer); the rank window and the moment sums ride "
+    "the region partitioning; ties broken by custkey so ranks are "
+    "stable.",
+)
+def q_agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_regionkey").alias("rk"), "o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).cast("decimal(18,2)").alias("rev"))
+    )
+    wr = Window.partitionBy("rk").orderBy(
+        F.col("rev").asc(), F.col("o_custkey").asc()
+    )
+    ranked = cust.select(
+        "rk", "rev", F.row_number().over(wr).alias("i")
+    )
+    sums = ranked.groupBy("rk").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("i") * F.col("rev")).cast("decimal(28,2)").alias("s1"),
+        F.sum("rev").cast("decimal(28,2)").alias("s2"),
+    )
+    return sums.join(
+        F.broadcast(region), sums["rk"] == region["r_regionkey"]
+    ).select(
+        "r_name",
+        F.col("n").alias("n_customers"),
+        (
+            (F.lit(2) * F.col("s1")).cast("double")
+            / (F.col("n").cast("double") * F.col("s2").cast("double"))
+            - (F.col("n") + 1).cast("double") / F.col("n")
+        ).alias("gini"),
+    )
+
+
+@register(
+    "agg-rfm-segments",
+    """
+WITH anchor AS (SELECT CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+rfm AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(max(o_orderdate) AS DATE),
+                   (SELECT d1 FROM anchor)) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey,
+         CASE WHEN recency_days <= 90 THEN 4 WHEN recency_days <= 365 THEN 3
+              WHEN recency_days <= 730 THEN 2 ELSE 1 END AS r,
+         CASE WHEN frequency >= 20 THEN 4 WHEN frequency >= 10 THEN 3
+              WHEN frequency >= 5 THEN 2 ELSE 1 END AS f,
+         CASE WHEN monetary >= 1500000 THEN 4 WHEN monetary >= 750000 THEN 3
+              WHEN monetary >= 250000 THEN 2 ELSE 1 END AS m
+  FROM rfm
+)
+SELECT CASE
+         WHEN r >= 3 AND f >= 3 AND m >= 3 THEN 'champion'
+         WHEN r >= 3 AND f >= 2 THEN 'loyal'
+         WHEN r <= 2 AND f >= 3 THEN 'at_risk'
+         WHEN r <= 2 AND f <= 2 AND m >= 3 THEN 'big_spender_lapsed'
+         ELSE 'hibernating' END AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(min(r * 100 + f * 10 + m) AS INTEGER) AS min_rfm_code,
+       CAST(max(r * 100 + f * 10 + m) AS INTEGER) AS max_rfm_code
+FROM scored GROUP BY 1
+""".strip(),
+    doc="RFM customer segmentation: per-customer recency (days since "
+    "last order, anchored at the dataset max date), frequency, monetary "
+    "rollup; banded 1-4 by fixed business thresholds (threshold bands "
+    "instead of global ntile quartiles — no single-partition window, "
+    "embarrassingly parallel, and the scores are stable as data grows); "
+    "customers collapse into named lifecycle segments. One shuffle on "
+    "custkey, then a 5-row segment agg. The anchor date is a 1-row "
+    "scalar broadcast.",
+)
+def q_agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("d1")
+    )
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(_dec("o_totalprice"))
+            .cast("decimal(18,2)")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("d1"), F.col("last_order")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    r = (
+        F.when(F.col("recency_days") <= 90, 4)
+        .when(F.col("recency_days") <= 365, 3)
+        .when(F.col("recency_days") <= 730, 2)
+        .otherwise(1)
+    )
+    f_ = (
+        F.when(F.col("frequency") >= 20, 4)
+        .when(F.col("frequency") >= 10, 3)
+        .when(F.col("frequency") >= 5, 2)
+        .otherwise(1)
+    )
+    m = (
+        F.when(F.col("monetary") >= 1500000, 4)
+        .when(F.col("monetary") >= 750000, 3)
+        .when(F.col("monetary") >= 250000, 2)
+        .otherwise(1)
+    )
+    scored = rfm.select(
+        r.alias("r"), f_.alias("f"), m.alias("m")
+    )
+    seg = (
+        F.when(
+            (F.col("r") >= 3) & (F.col("f") >= 3) & (F.col("m") >= 3),
+            "champion",
+        )
+        .when((F.col("r") >= 3) & (F.col("f") >= 2), "loyal")
+        .when((F.col("r") <= 2) & (F.col("f") >= 3), "at_risk")
+        .when(
+            (F.col("r") <= 2) & (F.col("f") <= 2) & (F.col("m") >= 3),
+            "big_spender_lapsed",
+        )
+        .otherwise("hibernating")
+    )
+    code = F.col("r") * 100 + F.col("f") * 10 + F.col("m")
+    return (
+        scored.groupBy(seg.alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.min(code).cast("int").alias("min_rfm_code"),
+            F.max(code).cast("int").alias("max_rfm_code"),
+        )
+    )

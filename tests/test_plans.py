@@ -119,6 +119,9 @@ PLAN_ALLOWLIST = {
     # n_users is a 1-row scalar agg broadcast onto the types^2-row pair
     # frame (1-row BNLJ) — both bounded by type cardinality, not events
     "agg-cooccurrence-lift": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    # recency anchor date: 1-row scalar max broadcast onto the per-customer
+    # rollup (1-row BNLJ) — data-independent size
+    "agg-rfm-segments": {"SinglePartition", "BroadcastNestedLoopJoin"},
 }
 _SMELLS = (
     "CartesianProduct",
