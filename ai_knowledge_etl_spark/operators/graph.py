@@ -119,7 +119,10 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     ).join(closing, ["cx", "cy"], "left_semi")
     n_tri = tri.agg(F.count("*").cast("long").alias("n_triangles"))
     n_wedge = deg.agg(
-        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+        # sum over an empty deg frame is NULL, not 0 (all-self-loop input)
+        F.coalesce(F.sum(F.expr("d * (d - 1) div 2")), F.lit(0))
+        .cast("long")
+        .alias("n_wedges")
     )
     return n_tri.crossJoin(n_wedge).select(
         "n_triangles",
