@@ -72,3 +72,91 @@ def test_salted_join_same_result(spark, sf_dir):
         map(tuple, salted.collect())
     )
 
+
+
+def test_zorder_clusters_both_dimensions(spark):
+    """Z-order layout: per-partition spans stay narrow on BOTH columns,
+    where a single-column sort leaves the other column spanning ~the full
+    range. Uses the span product as a proxy for parquet min/max pruning."""
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_etl_spark.operators.partitioning import zorder_key
+
+    n = 1 << 14
+    bits = 7  # both dims in [0, 128)
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        (F.pmod(F.xxhash64("id"), F.lit(128))).alias("y"),
+    )
+
+    def file_stats(frame, order_col):
+        """per-'file' (partition) min/max footer stats, as pruning sees them"""
+        return (
+            frame.repartitionByRange(16, order_col)
+            .sortWithinPartitions(order_col)
+            .withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .agg(
+                F.min("x").alias("x0"), F.max("x").alias("x1"),
+                F.min("y").alias("y0"), F.max("y").alias("y1"),
+            )
+            .collect()
+        )
+
+    def files_hit(stats, col, lo, hi):
+        a, b = (("x0", "x1") if col == "x" else ("y0", "y1"))
+        return sum(1 for r in stats if r[a] <= hi and r[b] >= lo)
+
+    xsorted = file_stats(df, "x")
+    zdf = df.withColumn("z", zorder_key("x", "y", bits))
+    zordered = file_stats(zdf, "z")
+
+    # narrow range filter on x: both layouts prune well
+    assert files_hit(xsorted, "x", 10, 19) <= 4
+    assert files_hit(zordered, "x", 10, 19) <= 8
+    # narrow range filter on y: x-sort reads EVERY file, z-order skips most
+    assert files_hit(xsorted, "y", 10, 19) == 16
+    assert files_hit(zordered, "y", 10, 19) <= 8
+
+
+def test_zorder_key_is_bijective_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_etl_spark.operators.partitioning import zorder_key
+
+    df = spark.range(256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y")
+    )
+    out = df.withColumn("z", zorder_key("x", "y", 4))
+    assert out.select("z").distinct().count() == 256
+    # known value: x=0b11, y=0b01 -> z interleaves to 0b0111 = 7
+    row = out.where((F.col("x") == 3) & (F.col("y") == 1)).collect()[0]
+    assert row["z"] == 7
+
+
+def test_write_zordered_files_cover_rectangles(spark, tmp_path):
+    """End-to-end layout check: each parquet file written by write_zordered
+    covers a bounded rectangle of (x, y), so footer stats prune on either
+    column; a y-filter skips most files where an x-sorted write skips none."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_etl_spark.operators.partitioning import write_zordered
+
+    df = spark.range(1 << 14).select(
+        (F.col("id") % 128).alias("x"),
+        (F.pmod(F.xxhash64("id"), F.lit(128))).alias("y"),
+    )
+    path = str(tmp_path / "zorder")
+    write_zordered(df, path, "x", "y", bits=7, n_files=16)
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) >= 12  # range partitioner may merge a boundary or two
+    hit = 0
+    for f in files:
+        r = spark.read.parquet(f).agg(
+            F.min("y").alias("y0"), F.max("y").alias("y1")
+        ).collect()[0]
+        if r["y0"] <= 19 and r["y1"] >= 10:
+            hit += 1
+    assert hit <= len(files) // 2, f"{hit}/{len(files)} files hit"

@@ -349,3 +349,20 @@ def test_table_changes_between_versions(spark, sf_dir, tmp_path):
     assert by_action.get("update", 0) == n_upd
     assert by_action.get("unchanged", 0) == docs.count() - n_upd
     assert "insert" not in by_action and "delete" not in by_action
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC source-format coverage (same contract as the csv/jsonl test):
+    values and schema survive the round trip; no oracle (DuckDB reads no
+    ORC), so parquet content is the reference."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    p = str(tmp_path / "orc")
+    docs.write.orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    ref = {r["doc_id"]: r for r in docs.collect()}
+    for r in back.collect():
+        assert ref[r["doc_id"]] == r
