@@ -3275,3 +3275,167 @@ def q_agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(code).cast("int").alias("max_rfm_code"),
         )
     )
+
+
+@register(
+    "agg-dau-wau-stickiness",
+    """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day
+  FROM events
+),
+dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+),
+spread AS (
+  SELECT user_id, day + unnest(generate_series(0, 6)) AS wday FROM ud
+),
+wau AS (
+  SELECT wday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM spread GROUP BY wday
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud)
+SELECT d.day, d.dau, w.wau,
+       CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+FROM dau d JOIN wau w ON d.day = w.day, bounds
+WHERE d.day >= bounds.d0 + 6 AND d.day <= bounds.d1
+""".strip(),
+    doc="DAU / trailing-7-day WAU / stickiness (DAU/WAU) per day — the "
+    "engagement dashboard triple. Sliding distinct users can't ride a "
+    "window frame (COUNT DISTINCT over RANGE is unsupported), so each "
+    "active (user, day) is exploded into the 7 trailing days it "
+    "contributes to, then one count-distinct per day — volume is "
+    "active-pairs x 7, bounded by the distinct projection made FIRST. "
+    "Warm-up days (no full trailing week) are trimmed. One IEEE "
+    "division for stickiness.",
+)
+def q_agg_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr("ts div 1000000000 div 86400").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    spread = ud.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+    ).select("user_id", (F.col("day") + F.col("off")).alias("wday"))
+    wau = spread.groupBy(F.col("wday").alias("day")).agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    )
+    bounds = ud.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    return (
+        dau.join(wau, "day")
+        .crossJoin(F.broadcast(bounds))
+        .where(
+            (F.col("day") >= F.col("d0") + 6) & (F.col("day") <= F.col("d1"))
+        )
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
+
+
+@register(
+    "agg-conversion-latency",
+    """
+WITH c AS (
+  SELECT user_id, CAST(min(epoch_ns(ts) // 1000000000) AS BIGINT) AS t_click
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+conv AS (
+  SELECT c.user_id, c.t_click,
+         CAST(min(epoch_ns(e.ts) // 1000000000) AS BIGINT) AS t_purchase
+  FROM c JOIN events e
+    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+   AND epoch_ns(e.ts) // 1000000000 > c.t_click
+  GROUP BY c.user_id, c.t_click
+),
+delays AS (
+  SELECT CAST((t_click // 86400 + 3) % 7 AS INTEGER) AS click_dow,
+         t_purchase - t_click AS delay_s
+  FROM conv
+),
+ranked AS (
+  SELECT click_dow, delay_s,
+         row_number() OVER (
+           PARTITION BY click_dow ORDER BY delay_s ASC) AS rn,
+         count(*) OVER (PARTITION BY click_dow) AS cnt
+  FROM delays
+)
+SELECT click_dow, CAST(max(cnt) AS BIGINT) AS n_conversions,
+       CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN delay_s END) AS BIGINT)
+         AS median_delay_s,
+       CAST(max(CASE WHEN rn = (9 * cnt + 9) // 10 THEN delay_s END) AS BIGINT)
+         AS p90_delay_s
+FROM ranked GROUP BY click_dow
+""".strip(),
+    doc="Conversion latency: first click -> first subsequent purchase "
+    "delay per user, with discrete (lower-)median and p90 by click "
+    "weekday. Percentiles are picked at explicit ranks (row_number "
+    "against the partition count) — percentile_disc/cont interpolate "
+    "differently across engines, rank selection cannot. Weekday from "
+    "pure integer epoch math (no timezone functions). Scale: per-user "
+    "firsts shuffle once on user_id; the rank window partitions on the "
+    "7 weekday groups of the already-tiny conversion frame.",
+)
+def q_agg_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.expr("ts div 1000000000")).cast("long").alias("t_click")
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.expr("ts div 1000000000").alias("p_sec"),
+    )
+    conv = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_sec") > F.col("t_click")),
+        )
+        .groupBy("user_id", "t_click")
+        .agg(F.min("p_sec").cast("long").alias("t_purchase"))
+    )
+    delays = conv.select(
+        (
+            ((F.expr("t_click div 86400") + 3) % 7)
+            .cast("int")
+            .alias("click_dow")
+        ),
+        (F.col("t_purchase") - F.col("t_click")).alias("delay_s"),
+    )
+    wr = Window.partitionBy("click_dow").orderBy("delay_s")
+    wp = Window.partitionBy("click_dow")
+    ranked = delays.select(
+        "click_dow",
+        "delay_s",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wp).alias("cnt"),
+    )
+    return ranked.groupBy("click_dow").agg(
+        F.max("cnt").cast("long").alias("n_conversions"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("delay_s"))
+        )
+        .cast("long")
+        .alias("median_delay_s"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(9 * cnt + 9) div 10"),
+                F.col("delay_s"),
+            )
+        )
+        .cast("long")
+        .alias("p90_delay_s"),
+    )

@@ -122,6 +122,9 @@ PLAN_ALLOWLIST = {
     # recency anchor date: 1-row scalar max broadcast onto the per-customer
     # rollup (1-row BNLJ) — data-independent size
     "agg-rfm-segments": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    # warm-up-trim bounds: 1-row scalar min/max broadcast onto the
+    # per-day frame (1-row BNLJ)
+    "agg-dau-wau-stickiness": {"SinglePartition", "BroadcastNestedLoopJoin"},
 }
 _SMELLS = (
     "CartesianProduct",
