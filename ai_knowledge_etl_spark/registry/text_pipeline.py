@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ai_knowledge_etl_spark.functions import scoring, text
 from ai_knowledge_etl_spark.operators import chunking
@@ -452,6 +453,63 @@ def q_sink_pipe_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit('","section":'), F.col("chunk_idx").cast("string"),
             F.lit("}"),
         ).alias("metadata"),
+    )
+
+
+@register(
+    "sink-pipe-docs",
+    f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n_pages
+  FROM documents
+)
+SELECT source,
+       '# Documentation: ' || source || {NL}
+       || 'Pages: ' || CAST(max(n_pages) AS STRING) || {NL}
+       || string_agg(
+            '- [doc_' || lpad(CAST(doc_id AS STRING), 6, '0') || '](doc_'
+            || lpad(CAST(doc_id AS STRING), 6, '0') || '.md) '
+            || CAST(n_chars AS STRING) || ' chars',
+            {NL} ORDER BY doc_id) AS docs_index
+FROM ranked WHERE rn <= 10 GROUP BY source
+""".strip(),
+    doc="--pipe=docs sink: per-source documentation index page — title, "
+    "page count, and a TOC of the first 10 docs with zero-padded ids so "
+    "lexical and numeric orderings agree (reference: "
+    "agents/output-transformer.md:140-370 'docs' format; README.md:115-123). "
+    "Scale: the TOC is capped per group by a rank window BEFORE the "
+    "string aggregation, so the concat never sees more than 10 rows per "
+    "source regardless of corpus size.",
+)
+def q_sink_pipe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nl = F.lit("\n")
+    d = _docs(spark, sf_dir).select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    wp = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n_pages"),
+    ).where(F.col("rn") <= 10)
+    pad = F.lpad(F.col("doc_id").cast("string"), 6, "0")
+    entry = F.concat(
+        F.lit("- [doc_"), pad, F.lit("](doc_"), pad, F.lit(".md) "),
+        F.col("n_chars").cast("string"), F.lit(" chars"),
+    )
+    return (
+        ranked.select("source", "n_pages", entry.alias("entry"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit("# Documentation: "), F.col("source"), nl,
+                F.lit("Pages: "), F.max("n_pages").cast("string"), nl,
+                F.concat_ws("\n", F.array_sort(F.collect_list("entry"))),
+            ).alias("docs_index")
+        )
     )
 
 

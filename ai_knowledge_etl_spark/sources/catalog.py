@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _SHIPPED: set[int] = set()
 _ZIP_PATH: str | None = None
@@ -75,11 +76,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_package_on_workers(spark)
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as an int64 nanosecond epoch instead.
-        # Runtime-settable, so this works under the driver's own session.
-        # Parity convention: Spark `ts` (BIGINT ns) == DuckDB `epoch_ns(ts)`.
+        # Fixture generations have stored events.ts as parquet
+        # TIMESTAMP(NANOS) (rejected by the vectorized reader unless read
+        # as int64) or TIMESTAMP(MICROS). Normalize both to the repo-wide
+        # parity convention: Spark `ts` is a BIGINT nanosecond epoch ==
+        # DuckDB `epoch_ns(ts)`. Session timezone is UTC, so NTZ→LTZ cast
+        # preserves the wall-clock instant.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "timestamp_ntz":
+            # timestampdiff over two NTZ operands is timezone-independent,
+            # unlike unix_micros(cast(ntz as ltz)) which would shift by the
+            # (caller-controlled) session timezone.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"
+                ),
+            )
+        elif ts_type == "timestamp":
+            df = df.withColumn("ts", F.unix_micros(F.col("ts")) * 1000)
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
