@@ -46,13 +46,21 @@ def connected_components(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
+        # localCheckpoint, NOT persist: persist caches row data but the
+        # logical plan of round N still nests rounds 0..N-1, so Catalyst
+        # re-analyzes a quadratically growing plan every iteration (measured:
+        # a 10-round chain graph goes from minutes-to-hung to sub-second per
+        # round). Checkpointing truncates lineage so every round plans
+        # against a flat scan. On a multi-executor cluster prefer
+        # spark.sparkContext.setCheckpointDir + .checkpoint() for fault
+        # tolerance; local mode has no executor loss to survive.
+        .localCheckpoint()
     )
     labels = (
         e.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         # each node offers its label to every neighbor; take the min offer
@@ -70,14 +78,16 @@ def connected_components(
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("__chg"),
             )
+            # eager: materializes every partition exactly once AND truncates
+            # lineage, so the convergence probe below reads checkpointed rows
+            .localCheckpoint()
         )
-        new_labels = new_labels.persist()
-        changed = new_labels.where("__chg").limit(1).count()
-        labels.unpersist()
+        changed = new_labels.agg(
+            F.max(F.coalesce("__chg", F.lit(False)))
+        ).first()[0]
         labels = new_labels.drop("__chg")
-        if changed == 0:
+        if not changed:
             break
-    e.unpersist()
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
