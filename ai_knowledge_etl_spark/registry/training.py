@@ -313,3 +313,159 @@ def q_udf_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.transform("qi", lambda x: x.cast("string")))
         ).alias("qfp"),
     )
+
+
+@register(
+    "filter-contamination-ngram",
+    """
+WITH eval_docs AS (
+  SELECT doc_id AS eval_id, substring(text, 1, 120) AS text
+  FROM documents WHERE doc_id % 25 = 0
+),
+eval_sh AS (
+  SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS shingle
+  FROM (SELECT string_split(text, ' ') AS w FROM eval_docs),
+       unnest(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
+),
+doc_sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM doc_sh JOIN eval_sh USING (shingle)
+GROUP BY doc_id HAVING count(*) >= 3
+""".strip(),
+    doc="Benchmark-contamination detection (the pre-training hygiene check "
+    "run before any eval is trusted): an 'eval set' — here the 120-char "
+    "prefixes of every 25th doc, standing in for leaked benchmark "
+    "questions — is shingled into word 5-grams and every training doc "
+    "sharing >= 3 distinct 5-grams with it is flagged with its overlap "
+    "count. Scale: the eval shingle set is tiny and broadcast, so the "
+    "check is a narrow map-side semi-join over the corpus shingles — no "
+    "wide shuffle touches the 100 TB side; distinct-per-doc shingles "
+    "bound the count at the doc's shingle cardinality.",
+)
+def q_filter_contamination_ngram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ai_knowledge_etl_spark.operators import dedup
+
+    d = _docs(spark, sf_dir)
+    eval_docs = d.where(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.substring("text", 1, 120).alias("text"),
+    )
+    eval_sh = (
+        dedup.shingles(eval_docs, "eval_id", "text", n=5)
+        .select("shingle")
+        .distinct()
+    )
+    doc_sh = dedup.shingles(d, "doc_id", "text", n=5)
+    return (
+        doc_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
+
+
+@register(
+    "sample-domain-reweight",
+    """
+WITH cnts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_src
+  FROM cnts
+),
+thr AS (
+  SELECT source, n_docs,
+         least(4294967296 * total // (n_src * n_docs), 4294967296) AS t_int
+  FROM cnts, tot
+)
+SELECT d.source, max(t.n_docs) AS n_docs,
+       CAST(max(t.t_int) AS BIGINT) AS t_int,
+       CAST(count(*) AS BIGINT) AS n_sampled
+FROM documents d JOIN thr t USING (source)
+WHERE lpad(substring(md5(CAST(d.doc_id AS STRING)), 1, 8), 9, '0')
+      < printf('%09x', t.t_int)
+GROUP BY d.source
+""".strip(),
+    doc="Domain reweighting toward a uniform source mixture (the 'data "
+    "mixture' knob of corpus curation): per-source sampling rate = "
+    "target/actual share, applied as a DETERMINISTIC md5-keyed filter so "
+    "both engines — and any two cluster runs — select the identical row "
+    "set. The rate threshold is derived in pure 64-bit integer arithmetic "
+    "(floor(2^32 * total / (n_src * n_docs))) and compared in hex-string "
+    "space; no float division anywhere, so there is no ulp edge for the "
+    "two engines to disagree on. Scale: thresholds are a tiny broadcast "
+    "dim; the sample itself is a narrow filter, no shuffle of the corpus.",
+)
+def q_sample_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    cnts = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    tot = cnts.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_src"),
+    )
+    thr = cnts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.expr("4294967296 * total div (n_src * n_docs)"),
+            F.lit(4294967296),
+        ).alias("t_int"),
+    )
+    tag = F.lpad(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 9, "0")
+    return (
+        d.select("doc_id", "source", tag.alias("tag"))
+        .join(F.broadcast(thr), "source")
+        .where(F.col("tag") < F.format_string("%09x", F.col("t_int")))
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("t_int").cast("long").alias("t_int"),
+            F.count("*").cast("long").alias("n_sampled"),
+        )
+    )
+
+
+@register(
+    "agg-vocab-topk",
+    """
+WITH counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+top AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 1000)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rk,
+       token, cnt
+FROM top
+""".strip(),
+    doc="Vocabulary construction: global token counts, top-1000 by "
+    "(count desc, token asc — a total order, so the cut line is "
+    "deterministic), with final rank. Scale: the count is a map-side-"
+    "combining hash agg (vocab cardinality, not corpus size, crosses the "
+    "wire); the top-k is TakeOrderedAndProject (per-partition heaps, no "
+    "global sort of the vocab); only the 1000 survivors enter the "
+    "single-partition rank window.",
+)
+def q_agg_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    counts = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(1000)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rk"), "token", "cnt"
+    )
