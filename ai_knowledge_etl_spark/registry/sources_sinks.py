@@ -885,3 +885,55 @@ def q_sink_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("grp").alias("o_orderpriority"), "n_orders", "revenue"
         )
     )
+
+
+@register(
+    "scan-custom-datasource",
+    """
+WITH pages AS (
+  SELECT i AS page_id,
+         'site' || CAST(i % 7 AS STRING) || '.example.com' AS domain,
+         CAST(i % 4 AS INTEGER) AS depth,
+         '<h1>' || substring(md5(CAST(i AS STRING)), 1, 8) || '</h1><p>'
+            || substring(md5(CAST(i AS STRING)), 9, 16) || '</p>' AS html
+  FROM (SELECT unnest(generate_series(0, 349)) AS i)
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
+       min(md5(html)) AS min_fp, max(md5(html)) AS max_fp,
+       CAST(sum(length(html)) AS BIGINT) AS total_chars
+FROM pages WHERE depth <= 2 GROUP BY domain
+""".strip(),
+    doc="Spark-4 Python DataSource connector (sources/pagesource.py): "
+    "synthetic crawl pages planned as one input partition per domain, "
+    "with executor-side generation, depth-filter pushdown into the "
+    "reader, and domain-equality partition pruning. Rows derive purely "
+    "from md5(page_id), so the oracle regenerates them bit-for-bit: the "
+    "min/max content fingerprints prove the connector emitted identical "
+    "BYTES, not just matching counts. The depth<=2 predicate is pushed "
+    "into the source (never materialized), standing in for the "
+    "filter-before-fetch rule of the crawl (SURVEY §4 row 1).",
+)
+def q_scan_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.sources.catalog import (
+        ensure_package_on_workers,
+    )
+    from ai_knowledge_etl_spark.sources.pagesource import (
+        CrawlPagesDataSource,
+    )
+
+    ensure_package_on_workers(spark)
+    # runtime-settable; required for the Python-DS pushFilters API
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(CrawlPagesDataSource)
+    df = (
+        spark.read.format("crawlpages")
+        .option("n", 350)
+        .load()
+        .where(F.col("depth") <= 2)
+    )
+    return df.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.min(F.md5("html")).alias("min_fp"),
+        F.max(F.md5("html")).alias("max_fp"),
+        F.sum(F.length("html")).cast("long").alias("total_chars"),
+    )

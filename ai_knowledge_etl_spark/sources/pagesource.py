@@ -1,0 +1,113 @@
+"""Spark-4 Python DataSource connector: deterministic synthetic crawl pages.
+
+This is the connector surface of the reference's web-scan layer
+(scripts/extract-jina.sh:61-83, commands/extract.md:449-456) re-expressed
+as a *planned, partitioned scan* instead of a per-URL driver loop: N pages
+sharded into one input partition per domain, each partition read
+independently — exactly where a real deployment plugs the fetcher,
+politeness, and retry hooks of sources/web.py.
+
+Rows are derived purely from md5(page_id), so a SQL engine can regenerate
+them bit-for-bit: the driver's oracle parity check proves the connector
+emitted byte-identical CONTENT, not just matching row counts.
+
+Implements the two capabilities that matter at 100 TB:
+
+- **partition planning**: `partitions()` returns one `InputPartition` per
+  domain, so fetch work is co-located per site (per-domain politeness
+  needs exactly this layout — streaming/politeness.py);
+- **filter pushdown** (`pushFilters`, Spark 4.1 Python DS API):
+  depth predicates (`=`, `<`, `>`) are evaluated inside the generator so
+  filtered rows are never materialized, and `domain = 'siteK...'`
+  additionally PRUNES partition planning to the single shard owning that
+  domain — the Python-DataSource analog of partition pruning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    InputPartition,
+    LessThan,
+)
+
+N_DOMAINS = 7
+SCHEMA = "page_id bigint, url string, domain string, depth int, html string"
+
+
+def _domain(site: int) -> str:
+    return f"site{site}.example.com"
+
+
+def _row(pid: int) -> tuple:
+    h = hashlib.md5(str(pid).encode()).hexdigest()
+    dom = _domain(pid % N_DOMAINS)
+    return (
+        pid,
+        f"https://{dom}/p/{pid}",
+        dom,
+        pid % 4,
+        f"<h1>{h[:8]}</h1><p>{h[8:24]}</p>",
+    )
+
+
+class CrawlPagesReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 300))
+        # pushed-down predicate state (pickled to executors with self)
+        self.domain_eq: str | None = None
+        self.depth_eq: int | None = None
+        self.depth_lt: int | None = None
+        self.depth_gt: int | None = None
+
+    def pushFilters(self, filters: Sequence[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            col = f.attribute[-1] if f.attribute else None
+            if isinstance(f, EqualTo) and col == "domain":
+                self.domain_eq = f.value
+            elif isinstance(f, EqualTo) and col == "depth":
+                self.depth_eq = int(f.value)
+            elif isinstance(f, LessThan) and col == "depth":
+                self.depth_lt = int(f.value)
+            elif isinstance(f, GreaterThan) and col == "depth":
+                self.depth_gt = int(f.value)
+            else:
+                yield f  # unsupported: Spark evaluates it post-scan
+
+    def partitions(self) -> list[InputPartition]:
+        sites = range(N_DOMAINS)
+        if self.domain_eq is not None:
+            # partition pruning: only the shard owning the requested domain
+            sites = [s for s in sites if _domain(s) == self.domain_eq]
+        return [InputPartition(s) for s in sites]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        site = partition.value
+        for pid in range(site, self.n, N_DOMAINS):
+            depth = pid % 4
+            if self.depth_eq is not None and depth != self.depth_eq:
+                continue
+            if self.depth_lt is not None and depth >= self.depth_lt:
+                continue
+            if self.depth_gt is not None and depth <= self.depth_gt:
+                continue
+            yield _row(pid)
+
+
+class CrawlPagesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "crawlpages"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> CrawlPagesReader:
+        return CrawlPagesReader(self.options)

@@ -113,6 +113,10 @@ PLAN_ALLOWLIST = {
     # scalar agg (SinglePartition inherent), cross-joined to the 5-row
     # region dim (1-row BNLJ) — data-independent, tiny, never grows with SF
     "agg-timeseries-gapfill": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    # corpus-total/source-count scalar agg (1-row combine) cross-joined to
+    # the per-source count dim — the mixture target is definitionally a
+    # global ratio; the corpus itself only sees a narrow filter
+    "sample-domain-reweight": {"SinglePartition", "BroadcastNestedLoopJoin"},
     # final census row: n_triangles x n_wedges are each 1-row scalar aggs
     # (SinglePartition inherent) combined by a 1-row x 1-row cross join
     "join-triangle-count": {"SinglePartition", "BroadcastNestedLoopJoin"},

@@ -366,3 +366,63 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     ref = {r["doc_id"]: r for r in docs.collect()}
     for r in back.collect():
         assert ref[r["doc_id"]] == r
+
+
+def test_pagesource_filter_pushdown_and_partition_pruning():
+    """Pure-Python contract of the crawlpages DataSource reader: domain
+    equality prunes partition planning to one shard; depth predicates are
+    absorbed (not returned for post-scan evaluation); unsupported filters
+    are handed back to Spark."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, LessThan
+
+    from ai_knowledge_etl_spark.sources.pagesource import (
+        N_DOMAINS,
+        CrawlPagesReader,
+    )
+
+    r = CrawlPagesReader({"n": "70"})
+    assert len(r.partitions()) == N_DOMAINS
+
+    leftover = list(
+        r.pushFilters(
+            [
+                EqualTo(("domain",), "site3.example.com"),
+                LessThan(("depth",), 2),
+                GreaterThan(("page_id",), 5),  # unsupported -> back to Spark
+            ]
+        )
+    )
+    assert len(leftover) == 1 and leftover[0].attribute == ("page_id",)
+    parts = r.partitions()
+    assert len(parts) == 1  # pruned to the single owning shard
+
+    rows = list(r.read(parts[0]))
+    # 70 pages over 7 domains -> 10 on site3 (pids 3,10,...,66); depth<2
+    # keeps pid%4 in {0,1}
+    assert all(row[2] == "site3.example.com" and row[3] < 2 for row in rows)
+    expect = [p for p in range(3, 70, 7) if p % 4 < 2]
+    assert [row[0] for row in rows] == expect
+
+
+def test_pagesource_e2e_pruned_scan(spark):
+    """End-to-end through Spark: a domain-filtered read returns exactly
+    that shard's rows, and the depth pushdown never materializes
+    filtered rows."""
+    from ai_knowledge_etl_spark.sources.catalog import (
+        ensure_package_on_workers,
+    )
+    from ai_knowledge_etl_spark.sources.pagesource import (
+        CrawlPagesDataSource,
+    )
+
+    ensure_package_on_workers(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(CrawlPagesDataSource)
+    df = (
+        spark.read.format("crawlpages")
+        .option("n", 70)
+        .load()
+        .where("domain = 'site5.example.com' AND depth = 1")
+    )
+    got = sorted(r["page_id"] for r in df.collect())
+    assert got == [p for p in range(5, 70, 7) if p % 4 == 1]
