@@ -47,6 +47,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Python DataSource filter pushdown (sources/pagesource.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # static conf — bucketed-table tests need a writable warehouse
         .config(
             "spark.sql.warehouse.dir",

@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     GreaterThan,
     InputPartition,
     LessThan,
+    SimpleDataSourceStreamReader,
 )
 
 N_DOMAINS = 7
@@ -101,6 +102,32 @@ class CrawlPagesReader(DataSourceReader):
             yield _row(pid)
 
 
+class CrawlPagesStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the batch reader: the crawl frontier as an
+    unbounded source. Each micro-batch emits the next `batch_size` page
+    ids; offsets are `{"pid": next_unread}` so a restarted query resumes
+    exactly where the checkpoint says. `readBetweenOffsets` replays a
+    committed range deterministically (same md5-derived rows), which is
+    what makes the source exactly-once under failure recovery."""
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 300))
+        self.batch_size = int(options.get("batch_size", 35))
+
+    def initialOffset(self) -> dict:
+        return {"pid": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = int(start["pid"])
+        hi = min(lo + self.batch_size, self.n)
+        return iter([_row(p) for p in range(lo, hi)]), {"pid": hi}
+
+    def readBetweenOffsets(
+        self, start: dict, end: dict
+    ) -> Iterator[tuple]:
+        return iter([_row(p) for p in range(int(start["pid"]), int(end["pid"]))])
+
+
 class CrawlPagesDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -111,3 +138,6 @@ class CrawlPagesDataSource(DataSource):
 
     def reader(self, schema) -> CrawlPagesReader:
         return CrawlPagesReader(self.options)
+
+    def simpleStreamReader(self, schema) -> CrawlPagesStreamReader:
+        return CrawlPagesStreamReader(self.options)

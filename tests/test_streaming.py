@@ -387,3 +387,45 @@ def test_stream_static_broadcast_enrich(spark, sf_dir, events_stream):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_pagesource_stream_matches_batch(spark, tmp_path):
+    """The crawlpages custom source read as a STREAM (availableNow, 35-page
+    micro-batches) produces exactly the rows of its batch read — the
+    offset/readBetweenOffsets contract drives micro-batching and the
+    md5-derived rows make replay deterministic."""
+    from ai_knowledge_etl_spark.sources.catalog import (
+        ensure_package_on_workers,
+    )
+    from ai_knowledge_etl_spark.sources.pagesource import (
+        CrawlPagesDataSource,
+    )
+
+    ensure_package_on_workers(spark)
+    spark.dataSource.register(CrawlPagesDataSource)
+    out = str(tmp_path / "pages_out")
+    ckpt = str(tmp_path / "ckpt")
+    # each availableNow run drains ONE prefetched micro-batch of a simple
+    # stream reader; restarting against the same checkpoint resumes from
+    # the committed offset — 4 runs x 35 pages covers all 140 and proves
+    # offset-based exactly-once resume (no dup, no gap across restarts)
+    for _ in range(4):
+        q = (
+            spark.readStream.format("crawlpages")
+            .option("n", 140)
+            .option("batch_size", 35)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+    got = [tuple(r) for r in spark.read.parquet(out).collect()]
+    want = {
+        tuple(r)
+        for r in spark.read.format("crawlpages").option("n", 140).load().collect()
+    }
+    assert len(got) == 140  # no duplicates across restarts
+    assert set(got) == want
