@@ -3439,3 +3439,266 @@ def q_agg_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p90_delay_s"),
     )
+
+
+# --- TPC-H wave 6: the three partsupp shapes (Q2/Q11/Q20) -----------------------
+# The fixture set ships no partsupp table, so both engines synthesize the
+# SAME one deterministically: 4 supplier slots per part, keys/qty/cost from
+# pure integer arithmetic (cost in CENTS — no floats anywhere). With this,
+# all 22 TPC-H query shapes have explicit twins.
+
+PARTSUPP_SQL = """
+partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         CAST((p_partkey * 13 + i * 7 + 1) % (SELECT count(*) FROM supplier)
+           AS BIGINT) AS ps_suppkey,
+         CAST((p_partkey * 7 + i * 13) % 9999 + 1 AS BIGINT) AS ps_availqty,
+         CAST((p_partkey * 31 + i * 17) % 100000 + 100 AS BIGINT) AS ps_cost_c
+  FROM part, unnest(generate_series(0, 3)) AS t(i)
+)
+""".strip()
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of PARTSUPP_SQL (cost in cents, all integer-exact)."""
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    n_supp = _t(spark, sf_dir, "supplier").agg(
+        F.count("*").alias("n_supp")
+    )
+    return (
+        part.crossJoin(F.broadcast(n_supp))
+        .select(
+            "p_partkey",
+            "n_supp",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") * 13 + F.col("i") * 7 + 1) % F.col("n_supp"))
+            .cast("long")
+            .alias("ps_suppkey"),
+            ((F.col("p_partkey") * 7 + F.col("i") * 13) % 9999 + 1)
+            .cast("long")
+            .alias("ps_availqty"),
+            ((F.col("p_partkey") * 31 + F.col("i") * 17) % 100000 + 100)
+            .cast("long")
+            .alias("ps_cost_c"),
+        )
+    )
+
+
+@register(
+    "join-min-cost-supplier",
+    f"""
+WITH {PARTSUPP_SQL},
+eu_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (
+  SELECT ps_partkey, ps_suppkey, ps_cost_c, s_name, s_acctbal, n_name
+  FROM partsupp JOIN eu_supp ON ps_suppkey = s_suppkey
+),
+best AS (
+  SELECT ps_partkey, min(ps_cost_c * 10000 + ps_suppkey) AS bk
+  FROM cand GROUP BY ps_partkey
+)
+SELECT c.ps_partkey AS p_partkey, c.s_name,
+       CAST(c.s_acctbal AS DECIMAL(18,2)) AS s_acctbal, c.n_name,
+       CAST(c.ps_cost_c AS BIGINT) AS cost_c
+FROM cand c
+JOIN best b ON c.ps_partkey = b.ps_partkey
+           AND c.ps_cost_c * 10000 + c.ps_suppkey = b.bk
+JOIN part p ON c.ps_partkey = p.p_partkey
+WHERE p.p_size % 5 = 0 AND p.p_type = 'ECONOMY'
+""".strip(),
+    doc="TPC-H Q2 shape: cheapest EUROPE supplier per qualifying part — "
+    "min-cost-per-group with the supplier key folded into the ordering "
+    "key so ties resolve identically in both engines (argmin on ties is "
+    "otherwise engine-defined). Scale: the region-filtered supplier dim "
+    "is broadcast; the per-part min is a map-side-combining hash agg "
+    "joined back (no window sort); the part filter commutes with the "
+    "per-part min, so Spark applies it BEFORE the agg.",
+)
+def q_join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    good_parts = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_size") % 5 == 0) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey")
+    )
+    cand = (
+        ps.join(
+            good_parts, ps["ps_partkey"] == good_parts["p_partkey"]
+        )  # filter first: commutes with the per-part min
+        .join(F.broadcast(eu), ps["ps_suppkey"] == eu["s_suppkey"])
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            "ps_cost_c",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            (F.col("ps_cost_c") * 10000 + F.col("ps_suppkey")).alias("k"),
+        )
+    )
+    best = cand.groupBy(F.col("ps_partkey").alias("bp")).agg(
+        F.min("k").alias("bk")
+    )
+    return (
+        cand.join(
+            best,
+            (cand["ps_partkey"] == best["bp"]) & (cand["k"] == best["bk"]),
+        )
+        .select(
+            F.col("ps_partkey").alias("p_partkey"),
+            "s_name",
+            F.col("s_acctbal").cast("decimal(18,2)").alias("s_acctbal"),
+            "n_name",
+            F.col("ps_cost_c").cast("long").alias("cost_c"),
+        )
+    )
+
+
+@register(
+    "agg-important-stock",
+    f"""
+WITH {PARTSUPP_SQL},
+asia AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_regionkey = 2
+),
+vals AS (
+  SELECT ps_partkey, CAST(sum(ps_cost_c * ps_availqty) AS BIGINT) AS value_c
+  FROM partsupp JOIN asia ON ps_suppkey = s_suppkey
+  GROUP BY ps_partkey
+),
+tot AS (
+  SELECT CAST(sum(value_c) AS BIGINT) AS total_c,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM vals
+)
+SELECT ps_partkey, value_c
+FROM vals, tot
+WHERE value_c * n_parts > 2 * total_c
+""".strip(),
+    doc="TPC-H Q11 shape: inventory value per part held by ASIA-region "
+    "suppliers, keeping parts worth more than 2x the mean part value. "
+    "The global-fraction threshold is definitionally a global scalar "
+    "(1-row broadcast); the comparison value_c * n_parts > 2 * total_c "
+    "is pure integer cross-multiplication — no division, no float, no "
+    "cross-engine ulp edge. Scale: one hash agg on ps_partkey, one "
+    "1-row rollup of its output.",
+)
+def q_agg_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    asia = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    vals = (
+        ps.join(F.broadcast(asia), ps["ps_suppkey"] == asia["s_suppkey"])
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_cost_c") * F.col("ps_availqty"))
+            .cast("long")
+            .alias("value_c")
+        )
+    )
+    tot = vals.agg(
+        F.sum("value_c").cast("long").alias("total_c"),
+        F.count("*").cast("long").alias("n_parts"),
+    )
+    return (
+        vals.crossJoin(F.broadcast(tot))
+        .where(F.col("value_c") * F.col("n_parts") > 2 * F.col("total_c"))
+        .select("ps_partkey", "value_c")
+    )
+
+
+@register(
+    "join-excess-stock-supplier",
+    f"""
+WITH {PARTSUPP_SQL},
+ship AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+excess AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp
+  JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'small%'
+  LEFT JOIN ship ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  WHERE 2 * ps_availqty > coalesce(qty, 0)
+)
+SELECT s_suppkey, s_name
+FROM supplier JOIN excess ON s_suppkey = ps_suppkey
+WHERE s_nationkey % 5 = 0
+""".strip(),
+    doc="TPC-H Q20 shape: suppliers of 'small%' parts whose available "
+    "stock exceeds half the quantity they shipped in 1996 — the "
+    "correlated-threshold semi-join chain. 2*avail > qty keeps the "
+    "half-threshold in integers (l_quantity is integral in the "
+    "fixture). Scale: the date-bounded shipment rollup shuffles on "
+    "(partkey, suppkey) once; the part filter prunes partsupp before "
+    "the join; DISTINCT collapses to the supplier key set before the "
+    "final dim join.",
+)
+def q_join_excess_stock_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    small = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    ship = (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+    )
+    excess = (
+        ps.join(F.broadcast(small), ps["ps_partkey"] == small["p_partkey"])
+        .join(
+            ship,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+            "left",
+        )
+        .where(2 * F.col("ps_availqty") > F.coalesce(F.col("qty"), F.lit(0)))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").where(F.col("s_nationkey") % 5 == 0)
+    return supp.join(
+        F.broadcast(excess), supp["s_suppkey"] == excess["ps_suppkey"]
+    ).select("s_suppkey", "s_name")

@@ -117,6 +117,16 @@ PLAN_ALLOWLIST = {
     # the per-source count dim — the mixture target is definitionally a
     # global ratio; the corpus itself only sees a narrow filter
     "sample-domain-reweight": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    # partsupp synthesis (TPC-H wave 6) modulos supplier keys by the
+    # supplier COUNT: a 1-row scalar agg broadcast-crossed into the part
+    # scan — data-independent and tiny. Q11 additionally carries its
+    # definitional global-fraction threshold (another 1-row scalar).
+    "join-min-cost-supplier": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    "agg-important-stock": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    "join-excess-stock-supplier": {
+        "SinglePartition",
+        "BroadcastNestedLoopJoin",
+    },
     # final census row: n_triangles x n_wedges are each 1-row scalar aggs
     # (SinglePartition inherent) combined by a 1-row x 1-row cross join
     "join-triangle-count": {"SinglePartition", "BroadcastNestedLoopJoin"},
