@@ -3702,3 +3702,170 @@ def q_join_excess_stock_supplier(
     return supp.join(
         F.broadcast(excess), supp["s_suppkey"] == excess["ps_suppkey"]
     ).select("s_suppkey", "s_name")
+
+
+@register(
+    "agg-touch-attribution",
+    """
+WITH p AS (
+  SELECT event_id AS pid, user_id, epoch_ns(ts) AS pt
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT event_id AS tid, user_id, epoch_ns(ts) AS tt, event_type
+  FROM events WHERE event_type IN ('view', 'click', 'signup')
+),
+cand AS (
+  SELECT p.pid, t.event_type,
+         (p.pt - t.tt) * 100000 + t.tid AS k
+  FROM p JOIN t
+    ON p.user_id = t.user_id
+   AND t.tt < p.pt AND t.tt >= p.pt - 86400000000000
+),
+fl AS (
+  SELECT pid, max(k) AS firstk, min(k) AS lastk
+  FROM cand GROUP BY pid
+)
+SELECT model, touch_type, CAST(count(*) AS BIGINT) AS n_purchases
+FROM (
+  SELECT 'first' AS model, c.event_type AS touch_type
+  FROM cand c JOIN fl ON c.pid = fl.pid AND c.k = fl.firstk
+  UNION ALL
+  SELECT 'last', c.event_type
+  FROM cand c JOIN fl ON c.pid = fl.pid AND c.k = fl.lastk
+)
+GROUP BY model, touch_type
+""".strip(),
+    doc="Multi-touch attribution: every purchase credits the FIRST and "
+    "the LAST view/click/signup touch in its trailing 24 h, counted per "
+    "(model, touch type). The arg-extremum is a single composite integer "
+    "key — age-in-ns scaled by 1e5 plus the event id (ids < 1e5 at every "
+    "fixture SF; restate the fold width for larger id spaces) — so ties "
+    "resolve identically everywhere and no struct/argmax semantics "
+    "differences between engines can bite. Scale: the touch join is "
+    "banded by user AND the 24 h window, so candidate fan-out is "
+    "per-user session volume, not |touches| x |purchases|; one shuffle "
+    "on user_id, then a hash agg on the purchase id.",
+)
+def q_agg_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pt"),
+    )
+    t = ev.where(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tt"),
+        F.col("event_type").alias("touch_type"),
+    )
+    cand = p.join(
+        t,
+        (F.col("pu") == F.col("tu"))
+        & (F.col("tt") < F.col("pt"))
+        & (F.col("tt") >= F.col("pt") - 86400000000000),
+    ).select(
+        "pid",
+        "touch_type",
+        # clamp BEFORE scaling: Catalyst may evaluate this projection in a
+        # stage where not-yet-filtered pairs exist, and a multi-year age
+        # times 1e5 overflows int64 under ANSI mode; in-band rows are
+        # unaffected by the clamp
+        (
+            F.greatest(
+                F.least(F.col("pt") - F.col("tt"), F.lit(86400000000000)),
+                F.lit(0),
+            )
+            * 100000
+            + F.col("tid")
+        ).alias("k"),
+    )
+    fl = cand.groupBy(F.col("pid").alias("fp")).agg(
+        F.max("k").alias("firstk"), F.min("k").alias("lastk")
+    )
+    first = (
+        cand.join(fl, (cand["pid"] == fl["fp"]) & (cand["k"] == fl["firstk"]))
+        .select(F.lit("first").alias("model"), "touch_type")
+    )
+    last = (
+        cand.join(fl, (cand["pid"] == fl["fp"]) & (cand["k"] == fl["lastk"]))
+        .select(F.lit("last").alias("model"), "touch_type")
+    )
+    return (
+        first.unionByName(last)
+        .groupBy("model", "touch_type")
+        .agg(F.count("*").cast("long").alias("n_purchases"))
+    )
+
+
+@register(
+    "agg-anomaly-rolling-z",
+    """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day
+),
+win AS (
+  SELECT event_type, day, c,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(c) OVER w AS BIGINT) AS s,
+         CAST(sum(c * c) OVER w AS BIGINT) AS ss
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, c,
+       CAST(c * n - s AS BIGINT) AS dev_n,
+       n >= 7 AND (c * n - s) > 0
+         AND (c * n - s) * (c * n - s) > 4 * (n * ss - s * s) AS spike
+FROM win
+""".strip(),
+    doc="Rolling anomaly detection: per event type, flag days whose count "
+    "sits more than 2 sigma above the trailing-7-day mean. The z>2 test "
+    "is cross-multiplied into pure integers — (c*n-s)^2 > 4*(n*ss-s^2) "
+    "is z^2>4 with every denominator cleared — so no sqrt, no float, no "
+    "engine divergence; warm-up days (frame < 7 rows) never flag. "
+    "Scale: the heavy input collapses to O(types x days) in one "
+    "map-side-combining agg BEFORE the window; the frame then runs over "
+    "calendar-bounded rows, partitioned by event type.",
+)
+def q_agg_anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("ts div 1000000000 div 86400").cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.count("*").over(w).cast("long").alias("n"),
+        F.sum("c").over(w).cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).cast("long").alias("ss"),
+    )
+    dev = F.col("c") * F.col("n") - F.col("s")
+    return win.select(
+        "event_type",
+        "day",
+        "c",
+        dev.cast("long").alias("dev_n"),
+        (
+            (F.col("n") >= 7)
+            & (dev > 0)
+            & (dev * dev > 4 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s")))
+        ).alias("spike"),
+    )
