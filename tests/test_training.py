@@ -152,3 +152,61 @@ def test_hashed_shingles_give_identical_jaccard_pairs(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_contamination_flags_every_eval_source_doc(spark, sf_dir):
+    """Property: every doc whose 120-char prefix seeded the eval set must
+    flag itself (its own prefix shingles are a subset of its shingles),
+    provided the prefix holds >= 3 distinct 5-grams."""
+    from ai_knowledge_etl_spark.registry import REGISTRY
+
+    flagged = {
+        r["doc_id"]
+        for r in REGISTRY["filter-contamination-ngram"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    seeds = docs.where(F.col("doc_id") % 25 == 0).select(
+        "doc_id", F.substring("text", 1, 120).alias("prefix")
+    )
+    for r in seeds.collect():
+        n_words = len(r["prefix"].split(" "))
+        n_grams = max(n_words - 4, 1)
+        if n_grams >= 3:
+            assert r["doc_id"] in flagged, r["doc_id"]
+
+
+def test_domain_reweight_is_deterministic_and_bounded(spark, sf_dir):
+    """Property: the md5-threshold sample never exceeds the group size,
+    never empties a group whose rate is 1.0 (n_docs <= mean), and two
+    evaluations select identical counts (no RNG anywhere)."""
+    from ai_knowledge_etl_spark.registry import REGISTRY
+
+    q = REGISTRY["sample-domain-reweight"].spark
+    a = {r["source"]: r.asDict() for r in q(spark, sf_dir).collect()}
+    b = {r["source"]: r.asDict() for r in q(spark, sf_dir).collect()}
+    assert a == b
+    total = sum(r["n_docs"] for r in a.values())
+    mean = total / len(a)
+    for src, r in a.items():
+        assert 0 < r["n_sampled"] <= r["n_docs"], src
+        if r["n_docs"] <= mean:
+            # rate 1.0 -> threshold t_int == 2^32 -> every row kept
+            assert r["n_sampled"] == r["n_docs"], src
+
+
+def test_vocab_topk_rank_and_monotonicity(spark, sf_dir):
+    """Property: ranks are contiguous from 1, counts are non-increasing
+    along the rank order, and ties are broken by token ascending."""
+    from ai_knowledge_etl_spark.registry import REGISTRY
+
+    rows = sorted(
+        REGISTRY["agg-vocab-topk"].spark(spark, sf_dir).collect(),
+        key=lambda r: r["rk"],
+    )
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["cnt"] > cur["cnt"] or (
+            prev["cnt"] == cur["cnt"] and prev["token"] < cur["token"]
+        )
