@@ -27,16 +27,19 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
     InputPartition,
     LessThan,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 N_DOMAINS = 7
@@ -128,6 +131,66 @@ class CrawlPagesStreamReader(SimpleDataSourceStreamReader):
         return iter([_row(p) for p in range(int(start["pid"]), int(end["pid"]))])
 
 
+@dataclass
+class _TaskFile(WriterCommitMessage):
+    """One task's staged output: (staging path, row count)."""
+
+    path: str
+    n_rows: int
+
+
+class JsonlDirWriter(DataSourceWriter):
+    """Write-side half of the connector protocol: each task streams its
+    partition to a UNIQUELY-NAMED staging file (uuid — task retries or
+    speculative duplicates can never collide), returns a commit message,
+    and only the DRIVER's commit() publishes the run: staged files are
+    renamed into place and a MANIFEST records exactly the published file
+    set with row counts. abort() removes the orphans instead. Readers who
+    honor the manifest therefore see an atomic all-or-nothing batch —
+    the same staging-plus-manifest discipline the incremental/versioned
+    sinks use (operators/incremental.py), here at the DataSource V2 API
+    level. Reference analog: the per-page sink writes of
+    agents/extractor.md:376-384, made failure-atomic."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _TaskFile:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(os.path.join(self.path, "_staging"), exist_ok=True)
+        staged = os.path.join(self.path, "_staging", f"{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _TaskFile(path=staged, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        published = []
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.path, final)
+            published.append(
+                {"file": os.path.basename(final), "n_rows": m.n_rows}
+            )
+        with open(os.path.join(self.path, "MANIFEST.json"), "w") as f:
+            json.dump({"files": published}, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class CrawlPagesDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -141,3 +204,6 @@ class CrawlPagesDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> CrawlPagesStreamReader:
         return CrawlPagesStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> JsonlDirWriter:
+        return JsonlDirWriter(self.options)

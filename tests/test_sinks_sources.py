@@ -426,3 +426,46 @@ def test_pagesource_e2e_pruned_scan(spark):
     )
     got = sorted(r["page_id"] for r in df.collect())
     assert got == [p for p in range(5, 70, 7) if p % 4 == 1]
+
+
+def test_pagesource_writer_commit_protocol(spark, sf_dir, tmp_path):
+    """Write-side connector: tasks stage to uuid files, driver commit
+    publishes part files + a MANIFEST whose per-file row counts sum to
+    the input; no staging orphans survive a successful run."""
+    import json
+    import os
+
+    from ai_knowledge_etl_spark.sources.catalog import (
+        ensure_package_on_workers,
+        load_table,
+    )
+    from ai_knowledge_etl_spark.sources.pagesource import (
+        CrawlPagesDataSource,
+    )
+
+    ensure_package_on_workers(spark)
+    spark.dataSource.register(CrawlPagesDataSource)
+    out = str(tmp_path / "jsonl_out")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .repartition(4)
+    )
+    n_in = docs.count()
+    docs.write.format("crawlpages").option("path", out).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "MANIFEST.json")))
+    files = sorted(os.listdir(out))
+    assert "MANIFEST.json" in files
+    parts = [f for f in files if f.startswith("part-")]
+    assert sorted(m["file"] for m in manifest["files"]) == parts
+    assert sum(m["n_rows"] for m in manifest["files"]) == n_in
+    assert os.listdir(os.path.join(out, "_staging")) == []
+
+    got_ids = set()
+    for p in parts:
+        with open(os.path.join(out, p)) as f:
+            for line in f:
+                got_ids.add(json.loads(line)["doc_id"])
+    want_ids = {r["doc_id"] for r in docs.collect()}
+    assert got_ids == want_ids
