@@ -3869,3 +3869,55 @@ def q_agg_anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (dev * dev > 4 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s")))
         ).alias("spike"),
     )
+
+
+@register(
+    "agg-basket-pairs",
+    """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+counts AS (
+  SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+  FROM pairs GROUP BY part_a, part_b
+)
+SELECT part_a, part_b, n_orders
+FROM counts
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+""".strip(),
+    doc="Market-basket pair mining: the 20 part pairs most often bought "
+    "in the same order — the co-purchase self-join on the basket key, "
+    "with a < on the part keys so each unordered pair appears once and "
+    "the (count desc, part_a, part_b) total order makes the LIMIT cut "
+    "deterministic. Scale: DISTINCT first bounds per-order fan-out at "
+    "basket-size-squared over unique parts (TPC-H baskets are ~4-7 "
+    "items); at pathological basket sizes, cap items per order with a "
+    "rank window or prune to frequent items first (apriori) before "
+    "pairing — the join itself shuffles once on the order key.",
+)
+def q_agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
