@@ -3957,3 +3957,65 @@ def q_scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("is_valid"),
     )
     return out.where(F.col("k") >= 50)
+
+
+@register(
+    "filter-malformed-json",
+    """
+WITH raw AS (
+  SELECT event_id,
+         CASE WHEN event_id % 11 = 0 THEN substring(props, 1, 4)
+              WHEN event_id % 13 = 0 THEN ''
+              ELSE props END AS props
+  FROM events
+),
+parsed AS (
+  SELECT event_id, props,
+         CASE WHEN json_valid(props)
+              THEN CAST(props->>'$.k' AS INTEGER) END AS k
+  FROM raw
+)
+SELECT
+  CASE WHEN k IS NOT NULL THEN 'ok'
+       WHEN length(props) = 0 THEN 'empty'
+       ELSE 'malformed' END AS status,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(coalesce(sum(k), 0) AS BIGINT) AS k_total
+FROM parsed
+GROUP BY status
+""".strip(),
+    doc="Error-as-data for semi-structured ingestion: a corpus with "
+    "injected malformed/empty JSON is parsed with NULL-on-failure "
+    "semantics (from_json, never an exception), every row routed to "
+    "exactly one of ok/empty/malformed, and the good rows still "
+    "aggregate — one bad record cannot kill the job, and the bad-record "
+    "census is itself queryable (reference: extractor.md:747 'never "
+    "silently fail'; DESIGN.md error codes E001-E008). Scale: narrow "
+    "map + small hash agg; the parse failure path allocates nothing.",
+)
+def q_filter_malformed_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    raw = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 11 == 0, F.substring("props", 1, 4))
+        .when(F.col("event_id") % 13 == 0, F.lit(""))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    parsed = raw.select(
+        "event_id",
+        "props",
+        F.from_json("props", "k int").getField("k").alias("k"),
+    )
+    status = (
+        F.when(F.col("k").isNotNull(), "ok")
+        .when(F.length("props") == 0, "empty")
+        .otherwise("malformed")
+    )
+    return (
+        parsed.groupBy(status.alias("status"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("k_total"),
+        )
+    )
