@@ -4019,3 +4019,54 @@ def q_filter_malformed_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("k_total"),
         )
     )
+
+
+@register(
+    "join-null-safe-eq",
+    """
+WITH a AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(event_id % 5 AS BIGINT) END AS k
+  FROM events WHERE event_id % 2 = 0
+),
+b AS (
+  SELECT event_id,
+         CASE WHEN event_id % 9 = 0 THEN NULL
+              ELSE CAST(event_id % 5 AS BIGINT) END AS k
+  FROM events WHERE event_id % 2 = 1 AND event_id < 2000
+)
+SELECT a.k AS k,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY a.k
+""".strip(),
+    doc="Null-safe equi-join: Spark's <=> (eqNullSafe) against DuckDB's "
+    "IS NOT DISTINCT FROM — NULL keys MATCH each other instead of "
+    "vanishing, the semantics deduplication-by-key pipelines need when "
+    "'unknown' is itself a join class. Catalyst still plans this as a "
+    "hash join (null-safe equality is a valid equi-key), not a nested "
+    "loop — the null bucket simply hashes like any other value; one "
+    "shuffle each side, broadcast here since b is filtered small.",
+)
+def q_join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    a = ev.where(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("aid"),
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise((F.col("event_id") % 5).cast("long"))
+        .alias("ak"),
+    )
+    b = ev.where(
+        (F.col("event_id") % 2 == 1) & (F.col("event_id") < 2000)
+    ).select(
+        F.col("event_id").alias("bid"),
+        F.when(F.col("event_id") % 9 == 0, None)
+        .otherwise((F.col("event_id") % 5).cast("long"))
+        .alias("bk"),
+    )
+    return (
+        a.join(F.broadcast(b), a["ak"].eqNullSafe(b["bk"]))
+        .groupBy(F.col("ak").alias("k"))
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
