@@ -4070,3 +4070,70 @@ def q_join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ak").alias("k"))
         .agg(F.count("*").cast("long").alias("n_pairs"))
     )
+
+
+_RECURSIVE_CHAIN_SQL = """
+WITH RECURSIVE reach(node, depth) AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS node, 0 AS depth
+  FROM nation WHERE n_nationkey < 5
+  UNION ALL
+  SELECT CAST(n.n_nationkey AS BIGINT), r.depth + 1
+  FROM reach r JOIN nation n ON n.n_nationkey = r.node + 5
+)
+SELECT node, CAST(min(depth) AS INTEGER) AS depth,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM reach GROUP BY node
+""".strip()
+
+
+@register(
+    "sql-recursive-closure",
+    _RECURSIVE_CHAIN_SQL,
+    doc="Spark 4 native recursive CTE: reachability over the nation-key "
+    "chain (n -> n+5, depth up to 4) with the SAME dialect-common "
+    "WITH RECURSIVE string running through spark.sql AND through DuckDB "
+    "as its own oracle. This is the declarative twin of the engine's "
+    "driver-loop iteration (operators/clustering.py connected "
+    "components, streaming/frontier.py BFS): bounded-diameter closures "
+    "can now stay entirely inside one Catalyst plan — no driver loop, "
+    "no lineage management. Deep/unbounded graphs still belong to the "
+    "checkpointed loop, which controls per-round materialization.",
+)
+def q_sql_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+
+_LISTAGG_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       listagg(source, ',') WITHIN GROUP (ORDER BY source) AS sources
+FROM (SELECT DISTINCT lang, source FROM documents)
+GROUP BY lang
+""".strip()
+
+
+@register(
+    "agg-listagg-sources",
+    """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       string_agg(source, ',' ORDER BY source) AS sources
+FROM (SELECT DISTINCT lang, source FROM documents)
+GROUP BY lang
+""".strip(),
+    doc="Native listagg WITHIN GROUP (Spark 4) — ordered string "
+    "aggregation as one aggregate function instead of the "
+    "concat_ws(collect_list(...)) idiom; oracle is DuckDB's equivalent "
+    "string_agg(... ORDER BY ...). The DISTINCT projection first bounds "
+    "each group's concat at the source-cardinality, not row count; the "
+    "WITHIN GROUP ordering makes the output byte-deterministic under "
+    "any partitioning.",
+)
+def q_agg_listagg_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LISTAGG_SQL)
