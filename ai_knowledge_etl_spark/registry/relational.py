@@ -4137,3 +4137,74 @@ def q_agg_listagg_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LISTAGG_SQL)
+
+
+@register(
+    "join-scd2-pointintime",
+    """
+WITH hist AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS segment,
+         o_orderdate AS valid_from,
+         lead(o_orderdate, 1, TIMESTAMP '2999-01-01') OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS valid_to
+  FROM orders
+),
+facts AS (
+  SELECT o.o_custkey AS custkey, l.l_shipdate AS ship,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT h.segment,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(f.price_c) AS BIGINT) AS revenue_c
+FROM facts f JOIN hist h
+  ON f.custkey = h.custkey
+ AND f.ship >= h.valid_from AND f.ship < h.valid_to
+GROUP BY h.segment
+""".strip(),
+    doc="SCD2 point-in-time lookup: a type-2 validity-interval dimension "
+    "(customer segment history derived from order priorities, half-open "
+    "[valid_from, valid_to) intervals built with one lead window and a "
+    "deterministic (date, orderkey) tiebreak — equal-date versions "
+    "collapse to zero-width intervals that match nothing in BOTH "
+    "engines) joined to ship-date facts by interval containment. "
+    "Revenue in integer cents. Scale: the join is equi on custkey with "
+    "the range predicates post-filtering per-customer version lists — "
+    "fan-out is versions-per-customer, not |facts| x |dim|; at deep "
+    "histories switch to the union-and-LOCF as-of form "
+    "(operators/asof.py), which this query cross-checks shape-wise.",
+)
+def q_join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hist = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("segment"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead(
+            "o_orderdate", 1, "2999-01-01"
+        ).over(w).alias("valid_to"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    facts = li.join(
+        o.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == o["o_orderkey"],
+    ).select(
+        F.col("o_custkey").alias("fcust"),
+        F.col("l_shipdate").alias("ship"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+    )
+    return (
+        facts.join(
+            hist,
+            (F.col("fcust") == hist["custkey"])
+            & (F.col("ship") >= hist["valid_from"])
+            & (F.col("ship") < hist["valid_to"]),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("price_c").cast("long").alias("revenue_c"),
+        )
+    )
