@@ -4208,3 +4208,60 @@ def q_join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_c").cast("long").alias("revenue_c"),
         )
     )
+
+
+@register(
+    "agg-decayed-popularity",
+    """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day
+),
+bounds AS (SELECT max(day) AS d1 FROM daily)
+SELECT event_type,
+       CAST(sum(c * (CAST(1 AS BIGINT) << CAST(30 - (d1 - day) AS INTEGER)))
+         AS BIGINT) AS decayed_score,
+       CAST(sum(c) AS BIGINT) AS raw_count
+FROM daily, bounds
+WHERE d1 - day <= 30
+GROUP BY event_type
+""".strip(),
+    doc="Exponentially time-decayed popularity (half-life one day over "
+    "the trailing month): weight = 2^(30-age) as an integer BIT SHIFT, "
+    "so the decay sum is exact in both engines — the float pow() form "
+    "would accumulate in engine-specific order. The trending-score shape "
+    "every feed/ranker pipeline runs. Scale: raw events collapse to "
+    "O(types x days) map-side first; the global anchor day is a 1-row "
+    "broadcast; weights stay under 2^31 so sums fit comfortably in "
+    "int64 at any event volume under ~2^32 rows/day/type.",
+)
+def q_agg_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("ts div 1000000000 div 86400").cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    bounds = daily.agg(F.max("day").alias("d1"))
+    return (
+        daily.crossJoin(F.broadcast(bounds))
+        .where(F.col("d1") - F.col("day") <= 30)
+        .select(
+            "event_type",
+            "c",
+            F.expr(
+                "c * shiftleft(cast(1 as bigint),"
+                " cast(30 - (d1 - day) as int))"
+            ).alias("w"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("w").cast("long").alias("decayed_score"),
+            F.sum("c").cast("long").alias("raw_count"),
+        )
+    )

@@ -139,6 +139,9 @@ PLAN_ALLOWLIST = {
     # warm-up-trim bounds: 1-row scalar min/max broadcast onto the
     # per-day frame (1-row BNLJ)
     "agg-dau-wau-stickiness": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    # decay anchor day: 1-row scalar max broadcast onto the O(types x days)
+    # daily rollup (1-row BNLJ) — the shared anchor is definitionally global
+    "agg-decayed-popularity": {"SinglePartition", "BroadcastNestedLoopJoin"},
 }
 _SMELLS = (
     "CartesianProduct",
@@ -234,3 +237,28 @@ def test_runtime_bloom_filter_semi_join_reduction(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_join_hints_control_physical_strategy(spark, sf_dir):
+    """Join-strategy hints are honored: the default plan broadcasts the
+    small dim, `merge` forces sort-merge, `shuffle_hash` forces a
+    shuffled hash join — the three strategies a 100 TB tuning pass
+    chooses between."""
+    from ai_knowledge_etl_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    default = plan_of(o.join(c, o["o_custkey"] == c["c_custkey"]))
+    assert "BroadcastHashJoin" in default
+
+    merged = plan_of(o.join(c.hint("merge"), o["o_custkey"] == c["c_custkey"]))
+    assert "SortMergeJoin" in merged and "BroadcastHashJoin" not in merged
+
+    hashed = plan_of(
+        o.join(c.hint("shuffle_hash"), o["o_custkey"] == c["c_custkey"])
+    )
+    assert "ShuffledHashJoin" in hashed and "BroadcastHashJoin" not in hashed
