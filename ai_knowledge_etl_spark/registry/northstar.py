@@ -1002,3 +1002,82 @@ def q_dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.where(F.col("edit_dist") <= 5).select(
         "doc_a", "doc_b", F.col("edit_dist").cast("int").alias("edit_dist")
     )
+
+
+@register(
+    "filter-expectations-gate",
+    """
+WITH checks AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(CASE WHEN n_chars BETWEEN 10 AND 100000 THEN 1 ELSE 0 END)
+      AS BIGINT) AS ok_len,
+    CAST(sum(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END)
+      AS BIGINT) AS ok_lang,
+    CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS ok_text,
+    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids
+  FROM documents
+)
+SELECT rule, n_checked, n_passed,
+       n_passed * 100 >= n_checked * min_pct AS gate_ok
+FROM (
+  SELECT 'len_in_range' AS rule, n_rows AS n_checked, ok_len AS n_passed,
+         CAST(90 AS BIGINT) AS min_pct FROM checks
+  UNION ALL
+  SELECT 'lang_known', n_rows, ok_lang, CAST(95 AS BIGINT) FROM checks
+  UNION ALL
+  SELECT 'text_nonempty', n_rows, ok_text, CAST(100 AS BIGINT) FROM checks
+  UNION ALL
+  SELECT 'id_unique', n_rows, n_ids, CAST(100 AS BIGINT) FROM checks
+)
+""".strip(),
+    doc="Declarative data-quality gate (the expectations pattern): a rule "
+    "set — length range, known language, non-empty text, unique ids — "
+    "evaluated in ONE pass over the corpus as conditional counts, each "
+    "rule emitting (n_checked, n_passed, gate verdict) with the "
+    "threshold compared by integer cross-multiplication (n_passed*100 "
+    ">= n_checked*min_pct — no ratio floats). A pipeline fails fast on "
+    "gate_ok=false before burning compute downstream; contrast with "
+    "filter-quarantine-split which routes ROWS, this gates the RUN. "
+    "Scale: one map-side-combining aggregate, 1-row combine, O(rules) "
+    "output — the corpus is scanned exactly once for every rule.",
+)
+def q_filter_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    checks = d.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(
+            F.when(F.col("n_chars").between(10, 100000), 1).otherwise(0)
+        ).cast("long").alias("ok_len"),
+        F.sum(
+            F.when(
+                F.col("lang").isin("en", "de", "fr", "es", "zh"), 1
+            ).otherwise(0)
+        ).cast("long").alias("ok_lang"),
+        F.sum(
+            F.when(
+                F.col("text").isNotNull() & (F.length("text") > 0), 1
+            ).otherwise(0)
+        ).cast("long").alias("ok_text"),
+        F.count_distinct("doc_id").cast("long").alias("n_ids"),
+    )
+    rules = [
+        ("len_in_range", "ok_len", 90),
+        ("lang_known", "ok_lang", 95),
+        ("text_nonempty", "ok_text", 100),
+        ("id_unique", "n_ids", 100),
+    ]
+    frames = [
+        checks.select(
+            F.lit(rule).alias("rule"),
+            F.col("n_rows").alias("n_checked"),
+            F.col(col).alias("n_passed"),
+            (F.col(col) * 100 >= F.col("n_rows") * min_pct).alias("gate_ok"),
+        )
+        for rule, col, min_pct in rules
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -142,6 +142,9 @@ PLAN_ALLOWLIST = {
     # decay anchor day: 1-row scalar max broadcast onto the O(types x days)
     # daily rollup (1-row BNLJ) — the shared anchor is definitionally global
     "agg-decayed-popularity": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    # the expectations gate is a corpus-wide scalar agg by definition
+    # (partial combine per partition, 1-row final, O(rules) output)
+    "filter-expectations-gate": {"SinglePartition"},
 }
 _SMELLS = (
     "CartesianProduct",
