@@ -4321,3 +4321,93 @@ def q_join_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wv").cast("long").alias("weighted_c"),
         )
     )
+
+
+@register(
+    "agg-profile-columns",
+    """
+WITH s AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS nulls_rf,
+    CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nd_rf,
+    CAST(sum(length(l_returnflag)) AS BIGINT) AS len_rf,
+    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS nulls_qty,
+    CAST(count(DISTINCT l_quantity) AS BIGINT) AS nd_qty,
+    CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+    CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty,
+    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS nulls_ship,
+    CAST(count(DISTINCT l_shipdate) AS BIGINT) AS nd_ship
+  FROM lineitem
+)
+SELECT col, n_rows, n_nulls, n_distinct, min_i, max_i, sum_len
+FROM (
+  SELECT 'l_returnflag' AS col, n_rows, nulls_rf AS n_nulls, nd_rf AS n_distinct,
+         CAST(NULL AS BIGINT) AS min_i, CAST(NULL AS BIGINT) AS max_i,
+         len_rf AS sum_len FROM s
+  UNION ALL
+  SELECT 'l_quantity', n_rows, nulls_qty, nd_qty, min_qty, max_qty,
+         CAST(NULL AS BIGINT) FROM s
+  UNION ALL
+  SELECT 'l_shipdate', n_rows, nulls_ship, nd_ship, CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM s
+)
+""".strip(),
+    doc="Table profiling (the data-catalog 'describe' op): per-column "
+    "null counts, distinct cardinality, numeric min/max, and string "
+    "length mass for a column set of lineitem, computed in ONE scan as "
+    "a wide aggregate and unpivoted to long form — N columns never cost "
+    "N scans. Type-specific stats are NULL-typed per column class. "
+    "Scale: distinct counts are the expensive part (one hash per "
+    "column); at 100 TB swap count(DISTINCT) for approx_count_distinct "
+    "per column — agg-approx-distinct's accuracy gate covers that "
+    "substitution.",
+)
+def q_agg_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0))
+        .cast("long").alias("nulls_rf"),
+        F.count_distinct("l_returnflag").cast("long").alias("nd_rf"),
+        F.sum(F.length("l_returnflag")).cast("long").alias("len_rf"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0))
+        .cast("long").alias("nulls_qty"),
+        F.count_distinct("l_quantity").cast("long").alias("nd_qty"),
+        F.min(F.col("l_quantity").cast("long")).cast("long").alias("min_qty"),
+        F.max(F.col("l_quantity").cast("long")).cast("long").alias("max_qty"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .cast("long").alias("nulls_ship"),
+        F.count_distinct("l_shipdate").cast("long").alias("nd_ship"),
+    )
+    null_l = F.lit(None).cast("long")
+    rows = [
+        s.select(
+            F.lit("l_returnflag").alias("col"), "n_rows",
+            F.col("nulls_rf").alias("n_nulls"),
+            F.col("nd_rf").alias("n_distinct"),
+            null_l.alias("min_i"), null_l.alias("max_i"),
+            F.col("len_rf").alias("sum_len"),
+        ),
+        s.select(
+            F.lit("l_quantity").alias("col"), "n_rows",
+            F.col("nulls_qty").alias("n_nulls"),
+            F.col("nd_qty").alias("n_distinct"),
+            F.col("min_qty").alias("min_i"), F.col("max_qty").alias("max_i"),
+            null_l.alias("sum_len"),
+        ),
+        s.select(
+            F.lit("l_shipdate").alias("col"), "n_rows",
+            F.col("nulls_ship").alias("n_nulls"),
+            F.col("nd_ship").alias("n_distinct"),
+            null_l.alias("min_i"), null_l.alias("max_i"),
+            null_l.alias("sum_len"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -145,6 +145,9 @@ PLAN_ALLOWLIST = {
     # the expectations gate is a corpus-wide scalar agg by definition
     # (partial combine per partition, 1-row final, O(rules) output)
     "filter-expectations-gate": {"SinglePartition"},
+    # table profiling is likewise a whole-table wide aggregate: partial
+    # per-partition stats, 1-row combine, O(columns) long-form output
+    "agg-profile-columns": {"SinglePartition"},
 }
 _SMELLS = (
     "CartesianProduct",
