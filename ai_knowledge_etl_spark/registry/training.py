@@ -469,3 +469,53 @@ def q_agg_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         F.row_number().over(w).cast("int").alias("rk"), "token", "cnt"
     )
+
+
+@register(
+    "udf-pandas-agg-median",
+    """
+SELECT source,
+       CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN n_chars END) AS BIGINT)
+         AS med_chars
+FROM (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM documents
+)
+GROUP BY source
+""".strip(),
+    doc="Grouped-AGGREGATE pandas UDF (the third Arrow execution path "
+    "after mapInPandas and grouped-map applyInPandas): an exact lower "
+    "median per source computed as a custom vectorized aggregate — one "
+    "Arrow column per group in, one scalar out, usable inside a normal "
+    ".agg() alongside built-ins. Values are integers and the rank pick "
+    "is deterministic, so it diffs bit-exactly against a window-rank "
+    "oracle. Scale: same shuffle as any hash agg on the group key; the "
+    "kernel sees only its group's column, so memory is bounded by group "
+    "size — at pathological groups pre-aggregate or switch to "
+    "approx_percentile.",
+)
+def q_udf_pandas_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ai_knowledge_etl_spark.sources.catalog import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers(spark)
+
+    def _lower_median(v):
+        s = v.sort_values(kind="mergesort").reset_index(drop=True)
+        return int(s.iloc[(len(s) - 1) // 2])
+
+    # set real type objects: `from __future__ import annotations` turns
+    # inline hints into strings, which pandas_udf cannot resolve
+    _lower_median.__annotations__ = {"v": pd.Series, "return": int}
+    lower_median = pandas_udf(_lower_median, "long")
+
+    d = _docs(spark, sf_dir).select("source", "n_chars")
+    return d.groupBy("source").agg(
+        lower_median("n_chars").alias("med_chars")
+    )
