@@ -519,3 +519,46 @@ def q_udf_pandas_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source").agg(
         lower_median("n_chars").alias("med_chars")
     )
+
+
+@register(
+    "udf-pandas-scalar-vowels",
+    """
+SELECT doc_id,
+       CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
+         AS BIGINT) AS n_vowels,
+       CAST(length(text) AS BIGINT) AS n_chars2
+FROM documents
+""".strip(),
+    doc="Scalar (series-to-series) pandas UDF — the vectorized projection "
+    "path, distinct from mapInPandas (partition iterator), grouped-map, "
+    "and grouped-agg, all four Arrow paths now covered: vowel counts "
+    "computed by pandas' vectorized str.count against a pure-SQL "
+    "regex-strip oracle, bit-exact integers. Scale: Arrow batches "
+    "amortize serialization, but the JVM regex form in the oracle is "
+    "what production should run (whole-stage codegen, no Python at "
+    "all) — this query exists to pin the API surface, and the oracle "
+    "IS the faster plan.",
+)
+def q_udf_pandas_scalar_vowels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ai_knowledge_etl_spark.sources.catalog import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers(spark)
+
+    def _vowels(s):
+        return s.str.count("[aeiou]").astype("int64")
+
+    _vowels.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    vowels = pandas_udf(_vowels, "long")
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        vowels("text").alias("n_vowels"),
+        F.length("text").cast("long").alias("n_chars2"),
+    )
