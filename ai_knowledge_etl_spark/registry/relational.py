@@ -4411,3 +4411,35 @@ def q_agg_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "scalar-format-suite",
+    """
+SELECT doc_id,
+       printf('doc-%06d/%s', doc_id, lang) AS doc_ref,
+       translate(lang, 'aeiou', 'AEIOU') AS lang_t,
+       rpad(lang, 6, '.') AS lang_pad,
+       repeat(substring(lang, 1, 1), 4) AS lead4,
+       reverse(source) AS src_rev
+FROM documents
+WHERE doc_id % 7 = 0
+""".strip(),
+    doc="String-formatting family: printf/format_string templating, "
+    "translate character mapping, rpad, repeat, reverse — the rendering "
+    "kernels the INDEX/REPORT sinks and slug/frontmatter projections "
+    "compose (reference: crawler-summarizer.md:188-284 report assembly, "
+    "extract-jina.sh:54 slug building). All JVM built-ins inside one "
+    "whole-stage-codegen projection; byte-identical across engines.",
+)
+def q_scalar_format_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.format_string("doc-%06d/%s", F.col("doc_id"), F.col("lang"))
+        .alias("doc_ref"),
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_t"),
+        F.rpad("lang", 6, ".").alias("lang_pad"),
+        F.repeat(F.substring("lang", 1, 1), 4).alias("lead4"),
+        F.reverse("source").alias("src_rev"),
+    )
