@@ -160,3 +160,37 @@ def test_write_zordered_files_cover_rectangles(spark, tmp_path):
         if r["y0"] <= 19 and r["y1"] >= 10:
             hit += 1
     assert hit <= len(files) // 2, f"{hit}/{len(files)} files hit"
+
+
+def test_results_invariant_under_shuffle_partitioning(spark, sf_dir):
+    """Re-running representative queries (windows, top-k with ties,
+    hash-keyed sampling, arg-extremum joins, iterative CC) under a
+    different shuffle.partitions setting must give identical rows —
+    catches partitioning-sensitive nondeterminism that a single-setting
+    oracle diff cannot see."""
+    from ai_knowledge_etl_spark.registry import REGISTRY
+
+    names = [
+        "topk-pages-report",
+        "window-page-id",
+        "agg-top-event-per-user",
+        "sample-domain-reweight",
+        "agg-vocab-topk",
+        "dedup-cluster-cc",
+        "agg-touch-attribution",
+        "join-min-cost-supplier",
+    ]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for setting in ("3", "13"):
+            spark.conf.set("spark.sql.shuffle.partitions", setting)
+            for name in names:
+                rows = sorted(
+                    map(tuple, REGISTRY[name].spark(spark, sf_dir).collect())
+                )
+                results.setdefault(name, []).append(rows)
+        for name, (a, b) in results.items():
+            assert a == b, f"{name} changed under repartitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
