@@ -4443,3 +4443,47 @@ def q_scalar_format_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.substring("lang", 1, 1), 4).alias("lead4"),
         F.reverse("source").alias("src_rev"),
     )
+
+
+@register(
+    "topk-diversified-sources",
+    """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY n_chars DESC, doc_id) AS in_src
+  FROM documents
+)
+SELECT doc_id, source, n_chars, CAST(in_src AS INTEGER) AS in_src
+FROM ranked
+WHERE in_src <= 3
+ORDER BY n_chars DESC, doc_id
+LIMIT 20
+""".strip(),
+    doc="Diversified top-k (the feed/search-results pattern): global "
+    "top-20 longest docs but at most 3 per source, so one dominant "
+    "source cannot monopolize the page. Per-group rank window first "
+    "(state O(3) per source), then TakeOrderedAndProject over the "
+    "survivors — no global sort; both orderings carry doc_id tiebreaks "
+    "so the cut lines are deterministic in both engines.",
+)
+def q_topk_diversified_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("in_src"),
+    ).where(F.col("in_src") <= 3)
+    return (
+        ranked.select(
+            "doc_id", "source", "n_chars",
+            F.col("in_src").cast("int").alias("in_src"),
+        )
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(20)
+    )
