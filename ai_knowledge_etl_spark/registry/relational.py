@@ -4487,3 +4487,50 @@ def q_topk_diversified_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_chars"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@register(
+    "window-first-nth-value",
+    """
+SELECT user_id, first_ev, second_ev, n_events
+FROM (
+  SELECT user_id,
+         first_value(event_type) OVER w AS first_ev,
+         nth_value(event_type, 2) OVER w AS second_ev,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+) WHERE rn = 1
+""".strip(),
+    doc="first_value / nth_value window functions (the positional family "
+    "alongside the lag/lead and ranking suites): each user's first and "
+    "second lifetime event types over a full-partition frame, one "
+    "summary row per user selected by a reverse rank. (ts, event_id) "
+    "ordering keys everywhere — no tie is left to engine choice. "
+    "Scale: one shuffle on user_id serves all four window functions "
+    "(same partitioning), frame is whole-partition so state is O(1) "
+    "per function.",
+)
+def q_window_first_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    wp = Window.partitionBy("user_id")
+    out = ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_ev"),
+        F.nth_value("event_type", 2).over(w).alias("second_ev"),
+        F.count("*").over(wp).cast("long").alias("n_events"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return out.where(F.col("rn") == 1).drop("rn")
