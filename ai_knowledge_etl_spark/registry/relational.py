@@ -4534,3 +4534,54 @@ def q_window_first_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wr).alias("rn"),
     )
     return out.where(F.col("rn") == 1).drop("rn")
+
+
+@register(
+    "window-share-of-total",
+    """
+WITH rev AS (
+  SELECT n_name,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, rev_c,
+       CAST(rev_c * 1000000 // sum(rev_c) OVER () AS BIGINT) AS share_ppm
+FROM rev
+""".strip(),
+    doc="Ratio-to-report (percent-of-total window): each nation's revenue "
+    "share of the global total, expressed in integer parts-per-million "
+    "via cross-multiplied floor division — no float ratio for engines "
+    "to disagree on. The unpartitioned window runs over the NATION "
+    "rollup (25 rows, bounded by dim cardinality, never event volume); "
+    "the heavy input is reduced by a map-side-combining hash agg first. "
+    "Revenue in integer cents end to end.",
+)
+def q_window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        "rev_c",
+        F.expr("rev_c * 1000000 div sum(rev_c) OVER ()")
+        .cast("long")
+        .alias("share_ppm"),
+    )

@@ -148,6 +148,9 @@ PLAN_ALLOWLIST = {
     # table profiling is likewise a whole-table wide aggregate: partial
     # per-partition stats, 1-row combine, O(columns) long-form output
     "agg-profile-columns": {"SinglePartition"},
+    # ratio-to-report: the global-total window runs over the 25-row
+    # nation rollup — bounded by dim cardinality, never event volume
+    "window-share-of-total": {"SinglePartition"},
 }
 _SMELLS = (
     "CartesianProduct",
