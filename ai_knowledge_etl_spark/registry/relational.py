@@ -4585,3 +4585,61 @@ def q_window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_ppm"),
     )
+
+
+@register(
+    "join-full-outer-census",
+    """
+WITH big AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+),
+cust AS (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL
+              THEN 'matched'
+            WHEN c_custkey IS NOT NULL THEN 'customer_only'
+            ELSE 'orders_only' END AS side,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(coalesce(sum(n_orders), 0) AS BIGINT) AS orders_covered
+FROM cust FULL OUTER JOIN big ON c_custkey = o_custkey
+GROUP BY side
+""".strip(),
+    doc="Full-outer-join census: two deliberately partial key sets (every "
+    "3rd customer vs heavy-orderer rollup) joined FULL OUTER and every "
+    "row classified matched / customer_only / orders_only — the "
+    "reconciliation shape behind CDC diffs (scan-cdc-diff) stated as its "
+    "own operator, with null-side aggregation (coalesced order mass) "
+    "proving outer nulls flow through aggregates identically in both "
+    "engines. Scale: both sides pre-reduced before the wide join; the "
+    "census output is 3 rows.",
+)
+def q_join_full_outer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .where(F.col("n_orders") >= 12)
+    )
+    cust = c.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = cust.join(
+        big, cust["c_custkey"] == big["o_custkey"], "full_outer"
+    )
+    side = (
+        F.when(
+            F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull(),
+            "matched",
+        )
+        .when(F.col("c_custkey").isNotNull(), "customer_only")
+        .otherwise("orders_only")
+    )
+    return joined.groupBy(side.alias("side")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(F.sum("n_orders"), F.lit(0))
+        .cast("long")
+        .alias("orders_covered"),
+    )
