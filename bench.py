@@ -1,8 +1,9 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ..., "duckdb_oracle_sec": ...,
-"duckdb_oracle_n": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"sf": ..., "n_queries": ..., "duckdb_oracle_sec": ..., "duckdb_oracle_n":
+...}. Per-query timings are written to BENCH_DETAIL.json (sidecar) so the
+stdout line stays small enough for the driver's tail-capture to parse.
 
 - Each query is fully materialized through the `noop` sink so Catalyst
   cannot prune the work away (a bare .count() would skip projections).
@@ -133,19 +134,24 @@ def main() -> None:
         timings = dict(ex.map(run, order))
     total = round(time.time() - t0, 3)
     duck_sec, duck_n = duckdb_oracle_wall()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_of(SF_DIR),
-                "duckdb_oracle_sec": duck_sec,
-                "duckdb_oracle_n": duck_n,
-            }
-        )
+    headline = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_of(SF_DIR),
+        "n_queries": len(timings),
+        "duckdb_oracle_sec": duck_sec,
+        "duckdb_oracle_n": duck_n,
+    }
+    # Per-query timings go to a sidecar, NOT the stdout line: the driver
+    # captures only a tail of stdout and a ~6 KB line gets truncated
+    # mid-JSON (BENCH_r01 came back parsed:null). Keep the final line tiny.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump({**headline, "queries": timings}, f, indent=1, sort_keys=True)
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
