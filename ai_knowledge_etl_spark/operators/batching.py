@@ -27,19 +27,28 @@ def assign_batches(
     size_col: str,
     order_cols: list[str],
     max_bytes: int = config.BATCH_MAX_BYTES,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Add a `batch_id` column: floor(exclusive-prefix-sum(size) / max_bytes)
     over rows sorted smallest-first (reference: DESIGN.md:740-741).
 
-    NOTE: the window is global (unpartitioned) — inherently a single-reducer
-    step, matching the reference's ≤100-task session cap. For unbounded
-    inputs, partition first (e.g. by crawl/session id) and pack per
-    partition.
+    With `partition_cols` (the scale path — e.g. crawl/session id), packing
+    runs independently inside each partition: one window group per session,
+    distributed across reducers, and `batch_id` is session-local. Without
+    it, the window is global — a single-reducer step acceptable only for
+    session-capped planner state (the reference's ≤100-task cap).
     """
-    w = (
-        Window.orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    if partition_cols:
+        w = (
+            Window.partitionBy(*partition_cols)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+    else:
+        w = (
+            Window.orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
     running_before = F.coalesce(
         F.sum(F.col(size_col).cast("decimal(18,2)")).over(w),
         F.lit(0).cast("decimal(18,2)"),
@@ -50,9 +59,14 @@ def assign_batches(
     )
 
 
-def batch_rollup(df_with_batches: DataFrame, size_col: str) -> DataFrame:
-    """Per-batch totals (reference: DESIGN.md:736-763 batch aggregates)."""
-    return df_with_batches.groupBy("batch_id").agg(
+def batch_rollup(
+    df_with_batches: DataFrame,
+    size_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-batch totals (reference: DESIGN.md:736-763 batch aggregates).
+    `group_cols` carries the session key when packing was partitioned."""
+    return df_with_batches.groupBy(*(group_cols or []), "batch_id").agg(
         F.count("*").alias("n_tasks"),
         F.sum(F.col(size_col).cast("decimal(18,2)"))
         .cast("double")

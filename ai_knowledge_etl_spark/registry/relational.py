@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_knowledge_etl_spark import config
-from ai_knowledge_etl_spark.operators import batching, topk
+from ai_knowledge_etl_spark.operators import batching, ids, topk
 from ai_knowledge_etl_spark.registry import register
 from ai_knowledge_etl_spark.registry.crawl import LINK_SCORE_SQL, PAGE_SCORE_SQL
 from ai_knowledge_etl_spark.sources import synthetic as syn
@@ -753,14 +753,18 @@ SELECT doc_id,
 FROM visited
 """.strip(),
     doc="Monotone page ids 001, 002… from the visited count "
-    "(reference: crawler-queue.sh:172-176).",
+    "(reference: crawler-queue.sh:172-176). Spark side uses two-pass "
+    "partition-offset assignment (operators/ids.py) — no single-reducer "
+    "global window; the ordered-window SQL stays as the oracle twin.",
 )
 def q_window_page_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = _t(spark, sf_dir, "documents").where("doc_id % 4 = 0")
-    w = Window.orderBy(F.asc("doc_id"))
-    return visited.select(
+    numbered = ids.assign_sequential_ids(
+        visited.select("doc_id"), ["doc_id"], id_col="__rn"
+    )
+    return numbered.select(
         "doc_id",
-        F.lpad(F.row_number().over(w).cast("string"), 3, "0").alias("page_id"),
+        F.lpad(F.col("__rn").cast("string"), 3, "0").alias("page_id"),
     )
 
 
@@ -769,9 +773,10 @@ _BATCH_LIMIT = 500_000
 @register(
     "window-batch-assign",
     f"""
-SELECT o_orderkey, o_totalprice,
+SELECT o_orderkey, o_custkey, o_totalprice,
        CAST(floor(CAST(coalesce(
          sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey
            ORDER BY o_totalprice ASC, o_orderkey ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
          0) AS DOUBLE) / {_BATCH_LIMIT}) AS BIGINT) AS batch_id
@@ -779,15 +784,22 @@ FROM orders
 """.strip(),
     doc="Greedy bin packing re-expressed as an exclusive prefix-sum window "
     "cut at the byte cap (reference: DESIGN.md:736-763; see "
-    "operators/batching.py for the scale discussion). DECIMAL prefix sum "
-    "keeps batch boundaries deterministic.",
+    "operators/batching.py for the scale discussion). Packing is "
+    "PARTITIONED by the session key (o_custkey — the crawl-session analog): "
+    "each session packs independently on its own reducer, so the plan "
+    "scales with sessions instead of funnelling all tasks through one "
+    "window. batch_id is session-local. DECIMAL prefix sum keeps batch "
+    "boundaries deterministic.",
 )
 def q_window_batch_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batching.assign_batches(
-        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
         "o_totalprice",
         ["o_totalprice", "o_orderkey"],
         _BATCH_LIMIT,
+        partition_cols=["o_custkey"],
     )
 
 
@@ -795,25 +807,27 @@ def q_window_batch_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg-batch-rollup",
     f"""
 WITH assigned AS (
-  SELECT o_totalprice,
+  SELECT o_custkey, o_totalprice,
          CAST(floor(CAST(coalesce(
            sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
              ORDER BY o_totalprice ASC, o_orderkey ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
            0) AS DOUBLE) / {_BATCH_LIMIT}) AS BIGINT) AS batch_id
   FROM orders
 )
-SELECT batch_id, CAST(count(*) AS BIGINT) AS n_tasks,
+SELECT o_custkey, batch_id, CAST(count(*) AS BIGINT) AS n_tasks,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS batch_bytes
-FROM assigned GROUP BY batch_id
+FROM assigned GROUP BY o_custkey, batch_id
 """.strip(),
-    doc="Per-batch totalEstimatedSize rollup (reference: DESIGN.md:736-763).",
+    doc="Per-batch totalEstimatedSize rollup (reference: DESIGN.md:736-763), "
+    "keyed by (session, batch) to match the partitioned packing.",
 )
 def q_agg_batch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = q_window_batch_assign(spark, sf_dir)
-    return batching.batch_rollup(assigned, "o_totalprice").select(
-        "batch_id", "n_tasks", "batch_bytes"
-    )
+    return batching.batch_rollup(
+        assigned, "o_totalprice", group_cols=["o_custkey"]
+    ).select("o_custkey", "batch_id", "n_tasks", "batch_bytes")
 
 
 # --- §2.F/H windows + scalar families ------------------------------------------------
@@ -823,31 +837,37 @@ def q_agg_batch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plan-batches",
     f"""
 WITH assigned AS (
-  SELECT o_orderkey, o_totalprice,
+  SELECT o_orderkey, o_custkey, o_totalprice,
          CAST(floor(CAST(coalesce(
            sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
              ORDER BY o_totalprice ASC, o_orderkey ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
            0) AS DOUBLE) / {_BATCH_LIMIT}) AS BIGINT) AS batch_id
   FROM orders
 ),
 rollup_t AS (
-  SELECT batch_id, CAST(count(*) AS BIGINT) AS n_tasks,
+  SELECT o_custkey, batch_id, CAST(count(*) AS BIGINT) AS n_tasks,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS batch_bytes
-  FROM assigned GROUP BY batch_id
+  FROM assigned GROUP BY o_custkey, batch_id
 )
-SELECT a.o_orderkey, a.batch_id, r.n_tasks, r.batch_bytes
-FROM assigned a JOIN rollup_t r ON a.batch_id = r.batch_id
+SELECT a.o_orderkey, a.o_custkey, a.batch_id, r.n_tasks, r.batch_bytes
+FROM assigned a
+JOIN rollup_t r ON a.o_custkey = r.o_custkey AND a.batch_id = r.batch_id
 """.strip(),
     doc="Full batch plan: every task with its batch assignment AND the "
     "batch's rollup totals (reference: DESIGN.md:729-763) — the planner's "
-    "output table, composing window-batch-assign with agg-batch-rollup.",
+    "output table, composing window-batch-assign with agg-batch-rollup. "
+    "Partitioned by session key end-to-end: packing window, rollup, and "
+    "the re-join all share hash(o_custkey) partitioning.",
 )
 def q_plan_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = q_window_batch_assign(spark, sf_dir)
-    rollup = batching.batch_rollup(assigned, "o_totalprice")
-    return assigned.join(rollup, "batch_id").select(
-        "o_orderkey", "batch_id", "n_tasks", "batch_bytes"
+    rollup = batching.batch_rollup(
+        assigned, "o_totalprice", group_cols=["o_custkey"]
+    )
+    return assigned.join(rollup, ["o_custkey", "batch_id"]).select(
+        "o_orderkey", "o_custkey", "batch_id", "n_tasks", "batch_bytes"
     )
 
 

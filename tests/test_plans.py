@@ -103,11 +103,8 @@ PLAN_ALLOWLIST = {
     # k-means assignment is definitionally corpus × k centroids (k=8
     # broadcast rows, twice — one per Lloyd iteration)
     "similarity-kmeans-ann": {"BroadcastNestedLoopJoin"},
-    # global windows confined to session-capped planner state (≤100 tasks /
-    # ≤4 crawl waves by construction) — see operators/batching.py
-    "window-batch-assign": {"SinglePartition"},
-    "plan-batches": {"SinglePartition"},
-    "window-page-id": {"SinglePartition"},
+    # global window confined to session-capped planner state (≤4 crawl
+    # waves by construction) — see registry/streaming.py
     "stream-visited-state": {"SinglePartition"},
     # calendar-spine construction: global min/max of o_orderdate is a 1-row
     # scalar agg (SinglePartition inherent), cross-joined to the 5-row
@@ -171,6 +168,25 @@ def test_plan_audit_no_new_smells(spark, sf_dir):
         if unexpected:
             bad[name] = unexpected
     assert not bad, f"plan regressions: {bad}"
+
+
+def test_sequential_ids_have_no_global_window(spark, sf_dir):
+    """window-page-id must use the two-pass partition-offset scheme
+    (operators/ids.py): a window PARTITIONED by pid, never a
+    single-reducer global row_number()."""
+    plan = _plan(spark, sf_dir, "window-page-id")
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # partition-local row_number survives
+    assert "BroadcastExchange" in plan  # offsets arrive broadcast
+
+
+def test_batch_packing_window_is_partitioned(spark, sf_dir):
+    """The packing window must carry PARTITION BY (session key), not a
+    global ORDER BY — one reducer per session, not one reducer total."""
+    for name in ("window-batch-assign", "plan-batches"):
+        plan = _plan(spark, sf_dir, name)
+        assert "SinglePartition" not in plan, name
+        assert "hashpartitioning(o_custkey" in plan, name
 
 
 def test_asof_join_is_single_shuffle(spark, sf_dir):
