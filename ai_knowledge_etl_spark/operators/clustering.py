@@ -28,6 +28,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _pinned_rdd_ids(sc) -> set[int]:
+    """Ids of RDDs currently held in executor storage (py4j JavaMap)."""
+    return set(dict(sc._jsc.getPersistentRDDs()).keys())
+
+
+def _release_rdds(sc, rdd_ids: set[int]) -> None:
+    """Unpersist the given checkpointed RDDs if still pinned. localCheckpoint
+    pins its materialized RDD in storage until GC; an iterative loop must
+    release round N-1's copy explicitly or up to max_iter label tables stay
+    resident (ADVICE r1)."""
+    jmap = dict(sc._jsc.getPersistentRDDs())
+    for rid in rdd_ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a",
@@ -56,12 +73,15 @@ def connected_components(
         # tolerance; local mode has no executor loss to survive.
         .localCheckpoint()
     )
+    sc = edges.sparkSession.sparkContext
+    before = _pinned_rdd_ids(sc)
     labels = (
         e.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    labels_ids = _pinned_rdd_ids(sc) - before
     for _ in range(max_iter):
         # each node offers its label to every neighbor; take the min offer
         offers = (
@@ -69,6 +89,7 @@ def connected_components(
             .groupBy(F.col("b").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        before = _pinned_rdd_ids(sc)
         new_labels = (
             labels.join(offers, labels["node"] == offers["node2"], "left")
             .select(
@@ -82,10 +103,14 @@ def connected_components(
             # lineage, so the convergence probe below reads checkpointed rows
             .localCheckpoint()
         )
+        new_ids = _pinned_rdd_ids(sc) - before
         changed = new_labels.agg(
             F.max(F.coalesce("__chg", F.lit(False)))
         ).first()[0]
         labels = new_labels.drop("__chg")
+        # round N is materialized; round N-1's checkpointed copy is dead
+        _release_rdds(sc, labels_ids)
+        labels_ids = new_ids
         if not changed:
             break
     return labels.select("node", F.col("label").alias("cluster_id"))

@@ -3518,30 +3518,34 @@ eu_supp AS (
   JOIN region ON n_regionkey = r_regionkey
   WHERE r_name = 'EUROPE'
 ),
+ns AS (SELECT count(*) AS n_supp FROM supplier),
 cand AS (
-  SELECT ps_partkey, ps_suppkey, ps_cost_c, s_name, s_acctbal, n_name
-  FROM partsupp JOIN eu_supp ON ps_suppkey = s_suppkey
+  SELECT ps_partkey, ps_suppkey, ps_cost_c, s_name, s_acctbal, n_name,
+         ps_cost_c * n_supp + ps_suppkey AS k
+  FROM partsupp JOIN eu_supp ON ps_suppkey = s_suppkey CROSS JOIN ns
 ),
 best AS (
-  SELECT ps_partkey, min(ps_cost_c * 10000 + ps_suppkey) AS bk
+  SELECT ps_partkey, min(k) AS bk
   FROM cand GROUP BY ps_partkey
 )
 SELECT c.ps_partkey AS p_partkey, c.s_name,
        CAST(c.s_acctbal AS DECIMAL(18,2)) AS s_acctbal, c.n_name,
        CAST(c.ps_cost_c AS BIGINT) AS cost_c
 FROM cand c
-JOIN best b ON c.ps_partkey = b.ps_partkey
-           AND c.ps_cost_c * 10000 + c.ps_suppkey = b.bk
+JOIN best b ON c.ps_partkey = b.ps_partkey AND c.k = b.bk
 JOIN part p ON c.ps_partkey = p.p_partkey
 WHERE p.p_size % 5 = 0 AND p.p_type = 'ECONOMY'
 """.strip(),
     doc="TPC-H Q2 shape: cheapest EUROPE supplier per qualifying part — "
     "min-cost-per-group with the supplier key folded into the ordering "
     "key so ties resolve identically in both engines (argmin on ties is "
-    "otherwise engine-defined). Scale: the region-filtered supplier dim "
-    "is broadcast; the per-part min is a map-side-combining hash agg "
-    "joined back (no window sort); the part filter commutes with the "
-    "per-part min, so Spark applies it BEFORE the agg.",
+    "otherwise engine-defined). The fold width is the supplier COUNT "
+    "(ps_suppkey < n_supp by construction), so the key stays injective "
+    "at every SF — a fixed 10000 would silently mis-tiebreak past SF 1 "
+    "(ADVICE r1). Scale: the region-filtered supplier dim is broadcast; "
+    "the per-part min is a map-side-combining hash agg joined back (no "
+    "window sort); the part filter commutes with the per-part min, so "
+    "Spark applies it BEFORE the agg.",
 )
 def q_join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = _partsupp(spark, sf_dir)
@@ -3562,11 +3566,13 @@ def q_join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("p_size") % 5 == 0) & (F.col("p_type") == "ECONOMY"))
         .select("p_partkey")
     )
+    n_supp = _t(spark, sf_dir, "supplier").agg(F.count("*").alias("n_supp"))
     cand = (
         ps.join(
             good_parts, ps["ps_partkey"] == good_parts["p_partkey"]
         )  # filter first: commutes with the per-part min
         .join(F.broadcast(eu), ps["ps_suppkey"] == eu["s_suppkey"])
+        .crossJoin(F.broadcast(n_supp))  # 1-row scalar: the fold width
         .select(
             "ps_partkey",
             "ps_suppkey",
@@ -3574,7 +3580,8 @@ def q_join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "s_acctbal",
             "n_name",
-            (F.col("ps_cost_c") * 10000 + F.col("ps_suppkey")).alias("k"),
+            (F.col("ps_cost_c") * F.col("n_supp") + F.col("ps_suppkey"))
+            .alias("k"),
         )
     )
     best = cand.groupBy(F.col("ps_partkey").alias("bp")).agg(
@@ -3965,15 +3972,19 @@ WHERE CAST(props->>'$.k' AS INTEGER) >= 50
 )
 def q_scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    # try_parse_json, not parse_json: a malformed props row must degrade to
+    # NULL like the oracle's json_valid path, never throw (ADVICE r1).
+    # is_valid = parse SUCCEEDED (variant non-null) — is_variant_null would
+    # test for the JSON `null` literal, a different predicate.
     v = ev.select(
-        "event_id", F.expr("parse_json(props)").alias("pv")
+        "event_id", F.expr("try_parse_json(props)").alias("pv")
     )
     out = v.select(
         "event_id",
         F.expr("variant_get(pv, '$.k', 'int')").alias("k"),
         (F.expr("variant_get(pv, '$.k', 'int')") % 10).alias("k_band"),
         F.expr(
-            "CASE WHEN is_variant_null(pv) THEN 0 ELSE 1 END"
+            "CASE WHEN pv IS NULL THEN 0 ELSE 1 END"
         ).cast("int").alias("is_valid"),
     )
     return out.where(F.col("k") >= 50)

@@ -152,8 +152,9 @@ class JsonlDirWriter(DataSourceWriter):
     level. Reference analog: the per-page sink writes of
     agents/extractor.md:376-384, made failure-atomic."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool = True):
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, iterator) -> _TaskFile:
         import json
@@ -170,9 +171,23 @@ class JsonlDirWriter(DataSourceWriter):
         return _TaskFile(path=staged, n_rows=n)
 
     def commit(self, messages) -> None:
+        import glob
         import json
         import os
 
+        # Honor the save mode BEFORE publishing: a prior batch's part files
+        # must not survive next to a manifest that omits them (a directory
+        # lister would see mixed batches). overwrite clears them; a
+        # non-overwrite save into a non-empty dir is refused — append to a
+        # manifest-published dir has no atomic story at this API level.
+        stale = glob.glob(os.path.join(self.path, "part-*.jsonl"))
+        if stale and not self.overwrite:
+            raise FileExistsError(
+                f"{self.path} already holds a published batch; "
+                "use mode('overwrite') to replace it"
+            )
+        for p in stale:
+            os.remove(p)
         published = []
         for i, m in enumerate(messages):
             final = os.path.join(self.path, f"part-{i:05d}.jsonl")
@@ -182,6 +197,14 @@ class JsonlDirWriter(DataSourceWriter):
             )
         with open(os.path.join(self.path, "MANIFEST.json"), "w") as f:
             json.dump({"files": published}, f)
+        # Staged files whose commit message never reached the driver
+        # (failed/speculative attempts) are by construction uncommitted —
+        # clear the staging area so orphans can't accumulate across runs.
+        staging = os.path.join(self.path, "_staging")
+        for leftover in glob.glob(os.path.join(staging, "*")):
+            os.remove(leftover)
+        if os.path.isdir(staging):
+            os.rmdir(staging)
 
     def abort(self, messages) -> None:
         import os
@@ -206,4 +229,4 @@ class CrawlPagesDataSource(DataSource):
         return CrawlPagesStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> JsonlDirWriter:
-        return JsonlDirWriter(self.options)
+        return JsonlDirWriter(self.options, overwrite=overwrite)

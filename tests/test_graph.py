@@ -79,3 +79,27 @@ def test_recursive_cte_agrees_with_iterative_cc(spark):
     # edge sources only, so restrict to the common node set
     nodes = {n for n, _ in cte}
     assert {(n, c) for n, c in loop if n in nodes} == cte
+
+
+def test_cc_loop_releases_prior_rounds(spark):
+    """Each CC round localCheckpoints a fresh label table; round N-1's
+    pinned copy must be unpersisted, or max_iter label tables accumulate
+    in executor storage (ADVICE r1). After the run, only the edge
+    checkpoint + the final labels may remain pinned beyond the baseline."""
+    from ai_knowledge_etl_spark.operators.clustering import (
+        connected_components,
+    )
+
+    sc = spark.sparkContext
+    baseline = set(dict(sc._jsc.getPersistentRDDs()).keys())
+    # a 12-node chain forces many propagation rounds (diameter ~ n)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a long, b long"
+    )
+    out = connected_components(edges)
+    assert out.count() == 13  # materialize fully
+    pinned_after = set(dict(sc._jsc.getPersistentRDDs()).keys()) - baseline
+    assert len(pinned_after) <= 2, (
+        f"CC loop leaked {len(pinned_after)} pinned RDDs (want <=2: "
+        "edges + final labels)"
+    )

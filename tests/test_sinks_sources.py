@@ -460,7 +460,9 @@ def test_pagesource_writer_commit_protocol(spark, sf_dir, tmp_path):
     parts = [f for f in files if f.startswith("part-")]
     assert sorted(m["file"] for m in manifest["files"]) == parts
     assert sum(m["n_rows"] for m in manifest["files"]) == n_in
-    assert os.listdir(os.path.join(out, "_staging")) == []
+    # commit() clears the staging area entirely — orphaned attempts from
+    # failed/speculative tasks must not accumulate across runs (ADVICE r1)
+    assert not os.path.exists(os.path.join(out, "_staging"))
 
     got_ids = set()
     for p in parts:
@@ -469,3 +471,23 @@ def test_pagesource_writer_commit_protocol(spark, sf_dir, tmp_path):
                 got_ids.add(json.loads(line)["doc_id"])
     want_ids = {r["doc_id"] for r in docs.collect()}
     assert got_ids == want_ids
+
+    # append into a published dir is refused (no atomic append story);
+    # overwrite replaces the batch with no stale parts left behind
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="already holds a published batch"):
+        docs.write.format("crawlpages").option("path", out).mode(
+            "append"
+        ).save()
+    fewer = docs.limit(50).repartition(1)
+    fewer.write.format("crawlpages").option("path", out).mode(
+        "overwrite"
+    ).save()
+    manifest2 = json.load(open(os.path.join(out, "MANIFEST.json")))
+    parts2 = sorted(
+        f for f in os.listdir(out) if f.startswith("part-")
+    )
+    # the 4-task batch's extra part files are gone; listing == manifest
+    assert sorted(m["file"] for m in manifest2["files"]) == parts2
+    assert sum(m["n_rows"] for m in manifest2["files"]) == 50
