@@ -295,13 +295,14 @@ def _fake_binaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # crc32-based stub — no portable DuckDB twin; rows-only
     doc="8-class image categorization over a binary column "
     "(reference: DESIGN.md:1133-1141): deterministic crc32 stub standing in "
-    "for the vision-model pandas UDF. Valid-magic rows only.",
+    "for the vision-model kernel. Valid-magic rows only. Routed through "
+    "models.classify_images — a vision ModelKernel drops in via kernel= "
+    "with the same schema (tests/test_model_seam.py).",
 )
 def q_udf_classify_image(spark: SparkSession, sf_dir: str) -> DataFrame:
-    imgs = _fake_binaries(spark, sf_dir)
-    return imgs.where(IM.is_valid_image("content")).select(
-        "path", IM.classify_image_stub("content").alias("category")
-    )
+    from ai_knowledge_etl_spark import models
+
+    return models.classify_images(_fake_binaries(spark, sf_dir))
 
 
 @register(
@@ -309,10 +310,13 @@ def q_udf_classify_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # mapInPandas kernel; rows-only
     doc="Anti-fabrication image describe: valid bytes → structural "
     "description, invalid bytes → E003 error record, never a made-up "
-    "description (reference: image-analyzer.md:193-240).",
+    "description (reference: image-analyzer.md:193-240). Routed through "
+    "models.describe_images — same seam as the vision kernel.",
 )
 def q_udf_describe_image(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return IM.describe_images_stub(_fake_binaries(spark, sf_dir))
+    from ai_knowledge_etl_spark import models
+
+    return models.describe_images(_fake_binaries(spark, sf_dir))
 
 
 @register(

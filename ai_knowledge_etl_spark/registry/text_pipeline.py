@@ -128,16 +128,14 @@ FROM documents
 """.strip(),
     doc="Extractive summarize twin: leading extract + first-8-word headline "
     "+ token count (reference: DESIGN.md:1271-1314; deterministic fallback "
-    "per SURVEY §5 — the LLM kernel hooks in behind the same signature).",
+    "per SURVEY §5). Routed through the models.summarize_pages seam — an "
+    "LLM kernel drops in via the kernel= arg with the same output schema "
+    "(tests/test_model_seam.py proves the swap).",
 )
 def q_udf_summarize_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    words = F.split("text", " ")
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.substring("text", 1, 200).alias("summary"),
-        F.concat_ws(" ", F.slice(words, 1, 8)).alias("headline"),
-        F.size(words).cast("int").alias("n_words"),
-    )
+    from ai_knowledge_etl_spark import models
+
+    return models.summarize_pages(_docs(spark, sf_dir))
 
 
 @register(

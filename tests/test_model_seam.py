@@ -1,0 +1,146 @@
+"""Prove the model-UDF seam (VERDICT r1 next-round #2): a deterministic
+fake LLM/vision kernel swaps into the SAME interface the registered
+extractive fallbacks use (models.py), with identical output schemas, while
+the fallback path keeps its pure-JVM plan. A production deployment
+replaces FakeModel with a batched inference client — no query changes."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from ai_knowledge_etl_spark import models
+from ai_knowledge_etl_spark.multimodal import images as IM
+from ai_knowledge_etl_spark.registry import REGISTRY
+from ai_knowledge_etl_spark.sources.catalog import load_table
+
+
+def make_fake_model():
+    """Deterministic stand-in for a batched LLM/vision client, defined in
+    a local scope so cloudpickle ships it BY VALUE to executors (a
+    module-level test class isn't importable on workers — exactly the
+    situation of a user-defined kernel living outside the shipped
+    package). Pure function of its input — reproducible like a pinned
+    model at temperature 0."""
+
+    class FakeModel:
+
+        def summarize_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:
+            texts = pdf["text"].fillna("")
+            return pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "summary": "MODEL: " + texts.str.slice(0, 40),
+                    "headline": texts.str.split().str[:3].str.join(" "),
+                    "n_words": texts.str.split().str.len().astype("int32"),
+                }
+            )
+
+        def classify_image_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:
+            cats = [
+                IM.IMAGE_CATEGORIES[len(bytes(b)) % len(IM.IMAGE_CATEGORIES)]
+                for b in pdf["content"]
+            ]
+            return pd.DataFrame({"path": pdf["path"], "category": cats})
+
+        def describe_image_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:
+            desc, err = [], []
+            for b in pdf["content"]:
+                raw = bytes(b)
+                # anti-fabrication contract holds under the model kernel too
+                if raw[:8].hex().upper().startswith(IM.MAGIC["png"]):
+                    desc.append(f"MODEL: png of {len(raw)} bytes")
+                    err.append(None)
+                else:
+                    desc.append(None)
+                    err.append("E003: unreadable image (bad magic)")
+            return pd.DataFrame(
+                {"path": pdf["path"], "description": desc, "error": err}
+            )
+
+
+    return FakeModel()
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+
+
+def _nt(df):
+    return [(f.name, f.dataType) for f in df.schema.fields]
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_summarize_kernel_swap_same_schema(spark, docs):
+    fallback = models.summarize_pages(docs)
+    modeled = models.summarize_pages(docs, kernel=make_fake_model())
+    assert _nt(fallback) == _nt(modeled)  # nullability may differ (JVM literals)
+    rows = {r["doc_id"]: r for r in modeled.collect()}
+    assert len(rows) == 50
+    # the kernel's outputs came through verbatim (seam adds/loses nothing)
+    local = make_fake_model().summarize_batch(docs.toPandas())
+    for _, want in local.iterrows():
+        got = rows[want["doc_id"]]
+        assert got["summary"] == want["summary"]
+        assert got["headline"] == want["headline"]
+        assert got["n_words"] == want["n_words"]
+
+
+def test_fallback_plan_stays_jvm_only(spark, docs):
+    plan = _plan(models.summarize_pages(docs))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_model_plan_is_arrow_batched_mapinpandas(spark, docs):
+    plan = _plan(models.summarize_pages(docs, kernel=make_fake_model()))
+    assert "MapInPandas" in plan
+    # only the kernel stage is Python — scans/projections stay JVM-side
+    assert "BatchEvalPython" not in plan
+
+
+def test_classify_kernel_swap(spark, sf_dir):
+    imgs = REGISTRY["udf-classify-image"]  # fallback-registered query
+    base = imgs.spark(spark, sf_dir)
+    modeled = models.classify_images(
+        _fake_binaries(spark, sf_dir), kernel=make_fake_model()
+    )
+    assert _nt(base) == _nt(modeled)
+    got = modeled.collect()
+    assert len(got) == base.count()  # same valid-magic gate JVM-side
+    assert all(r["category"] in IM.IMAGE_CATEGORIES for r in got)
+
+
+def test_describe_kernel_keeps_antifabrication_contract(spark, sf_dir):
+    base = REGISTRY["udf-describe-image"].spark(spark, sf_dir)
+    modeled = models.describe_images(
+        _fake_binaries(spark, sf_dir), kernel=make_fake_model()
+    )
+    assert _nt(base) == _nt(modeled)
+    got = modeled.collect()
+    # every row is either a description or an error record, never both/neither
+    for r in got:
+        assert (r["description"] is None) != (r["error"] is None)
+    assert any(r["error"] for r in got)  # the invalid-magic rows
+
+
+def _fake_binaries(spark, sf_dir):
+    from ai_knowledge_etl_spark.registry import sources_sinks
+
+    return sources_sinks._fake_binaries(spark, sf_dir)
+
+
+def test_registered_queries_still_use_fallback(spark, sf_dir):
+    """The oracle-checked registry entries must keep the deterministic
+    fallback plans (no Python for summarize; the describe kernel is the
+    documented mapInPandas stub)."""
+    plan = _plan(REGISTRY["udf-summarize-page"].spark(spark, sf_dir))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    plan = _plan(REGISTRY["udf-classify-image"].spark(spark, sf_dir))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
