@@ -35,8 +35,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
 
+ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver compares at sf=0.01
+
+
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL twin for every SQL-expressible query."""
+    """DuckDB oracle SQL twin for every SQL-expressible query. The
+    {SF_DIR} placeholder (filesystem-scan manifest oracles) is resolved to
+    the driver's sf0.01 compare dir."""
     return {
-        name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None
+        name: qd.oracle.replace("{SF_DIR}", ORACLE_SF_DIR)
+        for name, qd in REGISTRY.items()
+        if qd.oracle is not None
     }

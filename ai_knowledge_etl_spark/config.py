@@ -96,3 +96,8 @@ BATCH_MAX_BYTES = 1_000_000
 TRANSFORM_INDEX_ONLY_PAGES = 10  # pages>10 -> index_only
 TRANSFORM_SUMMARIZE_PAGES = 5  # pages>5 or chars>30k -> summarize_first
 TRANSFORM_SUMMARIZE_CHARS = 30_000
+
+# hot-shingle hygiene (VERDICT r1 #6): shingles present in more than this
+# many documents (per block) are boilerplate — dropped before any pairwise
+# dedup stage so no single join key fans out past MAX_DF².
+DEDUP_SHINGLE_MAX_DF = 100

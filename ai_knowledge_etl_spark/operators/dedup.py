@@ -82,6 +82,34 @@ def shingles(
     )
 
 
+def cap_shingle_df(
+    sh: DataFrame,
+    id_col: str,
+    max_df: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Hot-shingle hygiene (VERDICT r1 #6): drop shingles whose document
+    frequency exceeds `max_df` before any pairwise stage. A shingle shared
+    by d documents fans a blocked equi-join out to ~d² candidate rows — a
+    boilerplate phrase shared by millions of docs would dominate the whole
+    shuffle. Capping df bounds the worst single-key fanout at max_df² while
+    keeping discriminative shingles (df is computed per block when
+    `group_col` is given, matching the blocked join's key).
+
+    Dropping near-ubiquitous shingles is also the right SIGNAL call: a
+    shingle in >max_df docs separates nothing. The heavy-hitter set is
+    broadcast for the anti-join — at most |instances|/max_df distinct
+    shingles can exceed the cap, and real boilerplate is a handful."""
+    keys = ["shingle"] + ([group_col] if group_col else [])
+    hot = (
+        sh.groupBy(*keys)
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df") > max_df)
+        .select(*keys)
+    )
+    return sh.join(F.broadcast(hot), keys, "left_anti")
+
+
 def jaccard_pairs(
     sh: DataFrame, id_col: str, group_col: str | None, threshold: float
 ) -> DataFrame:

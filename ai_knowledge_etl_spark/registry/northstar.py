@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ai_knowledge_etl_spark import config
 from ai_knowledge_etl_spark.functions import text as TX
 from ai_knowledge_etl_spark.operators import dedup, similarity
 from ai_knowledge_etl_spark.registry import register
@@ -38,6 +39,20 @@ sh AS (
            unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i
     FROM dup_corpus
   )
+)
+""".strip()
+
+# hot-shingle hygiene twin (operators/dedup.cap_shingle_df): shingles with
+# per-source document frequency > DEDUP_SHINGLE_MAX_DF are boilerplate —
+# excluded from every pairwise dedup stage in BOTH engines, so the cap is
+# differential-checked, not just asserted.
+CAPPED_SHINGLES_CTE = f"""
+shc AS (
+  SELECT sh.doc_id, sh.source, sh.shingle FROM sh
+  JOIN (
+    SELECT source, shingle FROM sh GROUP BY source, shingle
+    HAVING count(*) <= {config.DEDUP_SHINGLE_MAX_DF}
+  ) ok USING (source, shingle)
 )
 """.strip()
 
@@ -78,6 +93,23 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SHINGLE_CACHE[key]
 
 
+_CAPPED_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _shingles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingles minus boilerplate (df cap, CAPPED_SHINGLES_CTE twin) — the
+    input to every pairwise dedup stage."""
+    key = (id(spark), sf_dir)
+    if key not in _CAPPED_CACHE:
+        _CAPPED_CACHE[key] = dedup.cap_shingle_df(
+            _shingles(spark, sf_dir),
+            "doc_id",
+            config.DEDUP_SHINGLE_MAX_DF,
+            group_col="source",
+        ).persist()
+    return _CAPPED_CACHE[key]
+
+
 # --- dedup family ---------------------------------------------------------------
 
 
@@ -109,11 +141,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup-ngram-jaccard",
     f"""
-WITH {DUP_CORPUS_CTE}, {SHINGLES_CTE},
-counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+WITH {DUP_CORPUS_CTE}, {SHINGLES_CTE}, {CAPPED_SHINGLES_CTE},
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
-  FROM sh a JOIN sh b
+  FROM shc a JOIN shc b
     ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
@@ -124,13 +156,14 @@ JOIN counts ca ON doc_a = ca.doc_id
 JOIN counts cb ON doc_b = cb.doc_id
 WHERE round(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 4) >= 0.6
 """.strip(),
-    doc="n-gram Jaccard near-dup pairs: distinct 3-gram shingles → "
-    "same-source blocked self-join → |∩|/|∪| ≥ 0.6. Blocking keeps the join "
-    "equi-key — never all-pairs (north-star dedup tier 2).",
+    doc="n-gram Jaccard near-dup pairs: distinct 3-gram shingles → hot-"
+    "shingle df cap → same-source blocked self-join → |∩|/|∪| ≥ 0.6. "
+    "Blocking keeps the join equi-key — never all-pairs; the df cap bounds "
+    "any single key's fanout (north-star dedup tier 2).",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.jaccard_pairs(
-        _shingles(spark, sf_dir), "doc_id", "source", threshold=0.6
+        _shingles_capped(spark, sf_dir), "doc_id", "source", threshold=0.6
     )
     return pairs.select("doc_a", "doc_b", "inter", "jaccard")
 
@@ -150,9 +183,9 @@ _MINHASH_CAND_SQL = "\n  UNION ALL\n  ".join(
 @register(
     "dedup-minhash",
     f"""
-WITH {DUP_CORPUS_CTE}, {SHINGLES_CTE},
+WITH {DUP_CORPUS_CTE}, {SHINGLES_CTE}, {CAPPED_SHINGLES_CTE},
 seeded AS (
-  SELECT doc_id, unnest(generate_series(0, 7)) AS seed, shingle FROM sh
+  SELECT doc_id, unnest(generate_series(0, 7)) AS seed, shingle FROM shc
 ),
 sigs AS (
   SELECT doc_id, seed,
@@ -169,13 +202,17 @@ cands AS (
 )
 SELECT DISTINCT doc_a, doc_b FROM cands
 """.strip(),
-    doc="MinHash-LSH candidate pairs: 8 seeded min-md5 signatures → 4 bands "
-    "of 2 → bucket join per band → distinct pairs. Engine-portable md5 "
-    "signatures make the full LSH pipeline oracle-checkable "
-    "(north-star dedup tier 3; swap xxhash64 when parity isn't needed).",
+    doc="MinHash-LSH candidate pairs: df-capped shingles → 8 seeded min-md5 "
+    "signatures → 4 bands of 2 → bucket join per band → distinct pairs. "
+    "Engine-portable md5 signatures make the full LSH pipeline "
+    "oracle-checkable (north-star dedup tier 3; swap xxhash64 when parity "
+    "isn't needed). Boilerplate shingles are excluded BEFORE signatures — "
+    "they'd otherwise drag unrelated docs into shared min-hashes.",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = dedup.minhash_signatures(_shingles(spark, sf_dir), "doc_id", k=8)
+    sigs = dedup.minhash_signatures(
+        _shingles_capped(spark, sf_dir), "doc_id", k=8
+    )
     return dedup.minhash_candidates(sigs, "doc_id", k=8, rows_per_band=2)
 
 
@@ -290,9 +327,9 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup-minhash-verified",
     f"""
-WITH {DUP_CORPUS_CTE}, {SHINGLES_CTE},
+WITH {DUP_CORPUS_CTE}, {SHINGLES_CTE}, {CAPPED_SHINGLES_CTE},
 seeded AS (
-  SELECT doc_id, unnest(generate_series(0, 7)) AS seed, shingle FROM sh
+  SELECT doc_id, unnest(generate_series(0, 7)) AS seed, shingle FROM shc
 ),
 sigs AS (
   SELECT doc_id, seed,
@@ -311,11 +348,11 @@ pairs AS (SELECT DISTINCT doc_a, doc_b FROM cands),
 inter AS (
   SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS inter
   FROM pairs p
-  JOIN sh a ON a.doc_id = p.doc_a
-  JOIN sh b ON b.doc_id = p.doc_b AND a.shingle = b.shingle
+  JOIN shc a ON a.doc_id = p.doc_a
+  JOIN shc b ON b.doc_id = p.doc_b AND a.shingle = b.shingle
   GROUP BY p.doc_a, p.doc_b
 ),
-counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id)
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shc GROUP BY doc_id)
 SELECT i.doc_a, i.doc_b,
        round(i.inter / CAST(ca.n_sh + cb.n_sh - i.inter AS DOUBLE), 4) AS jaccard
 FROM inter i
@@ -329,7 +366,7 @@ WHERE round(i.inter / CAST(ca.n_sh + cb.n_sh - i.inter AS DOUBLE), 4) >= 0.5
     "At 100 TB this candidate→verify shape is the whole point of LSH.",
 )
 def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles_capped(spark, sf_dir)
     sigs = dedup.minhash_signatures(sh, "doc_id", k=8)
     pairs = dedup.minhash_candidates(sigs, "doc_id", k=8, rows_per_band=2)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
@@ -780,7 +817,7 @@ def q_similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup-cluster-cc",
     f"""
-WITH RECURSIVE {DUP_CORPUS_CTE}, {SHINGLES_CTE},
+WITH RECURSIVE {DUP_CORPUS_CTE}, {SHINGLES_CTE}, {CAPPED_SHINGLES_CTE},
 fps AS (
   SELECT doc_id,
          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
@@ -791,10 +828,10 @@ exact_edges AS (
     SELECT min(doc_id) OVER (PARTITION BY fp) AS a, doc_id AS b FROM fps
   ) WHERE a <> b
 ),
-counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
-  FROM sh a JOIN sh b
+  FROM shc a JOIN shc b
     ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
@@ -842,7 +879,7 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", F.col("doc_id").alias("b"))
     )
     jac_e = dedup.jaccard_pairs(
-        _shingles(spark, sf_dir), "doc_id", "source", threshold=0.6
+        _shingles_capped(spark, sf_dir), "doc_id", "source", threshold=0.6
     ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     return clustering.canonical_clusters(exact_e.unionByName(jac_e))
 

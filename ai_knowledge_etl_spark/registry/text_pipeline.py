@@ -91,6 +91,65 @@ def q_udtf_chunk_rag_smart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf-chunk-rag-smart-invariants",
+    """
+SELECT doc_id, TRUE AS idx_contiguous, TRUE AS chunks_nonempty,
+       TRUE AS overlap_ok
+FROM documents ORDER BY doc_id
+""".strip(),
+    doc="SQL oracle for the smart RAG chunker (VERDICT r1 #5): the chunker "
+    "itself is order-dependent mapInPandas (rows-only), but its contract IS "
+    "SQL-checkable — per doc: chunk_idx runs 0..n-1 contiguously, every "
+    "chunk is non-empty, and every chunk after the first starts with the "
+    "previous chunk's last RAG_CHUNK_OVERLAP chars (the overlap invariant "
+    "by construction, operators/chunking.py chunk_document). The query "
+    "reduces the chunker output to those three booleans per doc; the "
+    "oracle expects every documents row present and all TRUE — any "
+    "chunker regression (dropped doc, idx gap, broken overlap) breaks "
+    "the hash match.",
+)
+def q_udtf_chunk_rag_smart_invariants(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ai_knowledge_etl_spark import config as cfg
+
+    chunks = q_udtf_chunk_rag_smart(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    lagged = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk",
+        F.lag("chunk").over(w).alias("prev_chunk"),
+    )
+    flagged = lagged.select(
+        "doc_id",
+        "chunk_idx",
+        F.length("chunk").alias("chunk_len"),
+        F.when(F.col("prev_chunk").isNull(), F.lit(True))
+        .otherwise(
+            F.expr(
+                f"startswith(chunk, right(prev_chunk, {cfg.RAG_CHUNK_OVERLAP}))"
+            )
+        )
+        .alias("ov_ok"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            (
+                (F.min("chunk_idx") == 0)
+                & (F.max("chunk_idx") == F.count("*") - 1)
+            ).alias("idx_contiguous"),
+            (F.min("chunk_len") > 0).alias("chunks_nonempty"),
+            F.min("ov_ok").alias("overlap_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "udf-extract-structure",
     f"""
 WITH probed AS (SELECT doc_id, {syn.MD_TEXT_EXPR} AS ptext FROM documents)
@@ -265,10 +324,20 @@ def q_agg_hierarchical_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg-approx-distinct",
-    None,  # HLL sketches are engine-specific; rows-only + tolerance test
+    f"""
+WITH {syn.LINKS_CTE}
+SELECT CAST(count(DISTINCT regexp_replace(regexp_replace(url, '#.*$', ''), '/$', '')) AS BIGINT)
+       AS exact_urls,
+       TRUE AS within_5pct
+FROM links
+""".strip(),
     doc="approx_count_distinct (HyperLogLog++) over normalized URLs — the "
     "100 TB substitute for exact countDistinct (SURVEY §2.E coverage note). "
-    "tests/test_functions.py asserts ±5% of the exact count.",
+    "Oracled as a bound check (VERDICT r1 #5): the query emits the EXACT "
+    "distinct count plus a boolean asserting the HLL estimate landed "
+    "within ±5%; the oracle computes the exact count and expects TRUE — "
+    "so an HLL regression breaks the hash match. tests/test_functions.py "
+    "keeps the direct tolerance assertion.",
 )
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_knowledge_etl_spark.functions import urls as U
@@ -276,7 +345,14 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     links = syn2.with_links_columns(_docs(spark, sf_dir))
     return links.agg(
-        F.approx_count_distinct(U.normalize("url")).alias("approx_urls")
+        F.countDistinct(U.normalize("url")).cast("bigint").alias("exact_urls"),
+        F.approx_count_distinct(U.normalize("url")).alias("__approx"),
+    ).select(
+        "exact_urls",
+        (
+            F.abs(F.col("__approx") - F.col("exact_urls"))
+            <= 0.05 * F.col("exact_urls")
+        ).alias("within_5pct"),
     )
 
 

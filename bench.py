@@ -69,7 +69,7 @@ def duckdb_oracle_wall() -> tuple[float, int]:
     for name in sorted(REGISTRY):
         sql = REGISTRY[name].oracle
         if sql:
-            con.execute(sql).fetchall()
+            con.execute(sql.replace("{SF_DIR}", SF_DIR)).fetchall()
             n += 1
     return round(time.time() - t0, 3), n
 

@@ -61,7 +61,9 @@ def run_one(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
     if qd.oracle is None:
         return True, f"rows-only ({len(s_rows)} rows, {t_spark:.1f}s)"
     t0 = time.time()
-    res = con.execute(qd.oracle)
+    # {SF_DIR} lets filesystem-scan oracles (read_blob manifests) target
+    # the same fixture dir the Spark side reads
+    res = con.execute(qd.oracle.replace("{SF_DIR}", sf_dir))
     d_cols = [d[0] for d in res.description]
     d_rows = [tuple(r) for r in res.fetchall()]
     t_duck = time.time() - t0
