@@ -1027,3 +1027,69 @@ def q_scan_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.md5("html")).alias("max_fp"),
         F.sum(F.length("html")).cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "scan-web-connector",
+    """
+WITH pids AS (SELECT unnest(generate_series(0, 209)) AS pid),
+urls AS (
+  SELECT 'https://site' || CAST(pid % 7 AS VARCHAR) || '.example.com/p/'
+         || CAST(pid AS VARCHAR) AS url
+  FROM pids WHERE pid % 4 < 3
+),
+sums AS (
+  SELECT url,
+         list_aggregate(list_transform(string_split(url, ''), x -> ascii(x)), 'sum') AS h
+  FROM urls
+)
+SELECT url,
+       h % 13 <> 0 AS ok,
+       CASE WHEN h % 13 = 0 THEN 'ANTI_SCRAPE'
+            WHEN h % 11 = 0 THEN 'LOGIN_REQUIRED'
+            WHEN 5 + length(CAST(h % 1000 AS VARCHAR)) + 27 * (h % 7 + 1) < 100
+              THEN 'ANTI_SCRAPE'
+            ELSE 'NONE' END AS obstacle
+FROM sums
+""".strip(),
+    doc="The scan-web-playwright analog wired END-TO-END (VERDICT r1 #7; "
+    "reference: commands/extract.md:449-456, DESIGN.md:954-1019): the "
+    "frontier wave comes out of the sources/pagesource.py connector (one "
+    "planned input partition per domain, depth<3 pushed into the reader), "
+    "then flows through sources/web.py's full per-partition kernel — "
+    "security route, skip filter, per-domain politeness pacing, retry "
+    "with backoff, error-as-data, boilerplate strip, obstacle classify. "
+    "The injected fetcher is the deterministic offline one (a browser "
+    "fetcher drops into the same seam). Because every stage is "
+    "deterministic in the URL, the WHOLE pipeline has a SQL oracle: "
+    "DuckDB regenerates the frontier, replays the fetcher's ord-sum "
+    "failure/login arithmetic, and recomputes the obstacle label from "
+    "the stripped-text length formula.",
+)
+def q_scan_web_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.sources import web
+    from ai_knowledge_etl_spark.sources.catalog import (
+        ensure_package_on_workers,
+    )
+    from ai_knowledge_etl_spark.sources.pagesource import (
+        CrawlPagesDataSource,
+    )
+
+    ensure_package_on_workers(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(CrawlPagesDataSource)
+    frontier = (
+        spark.read.format("crawlpages")
+        .option("n", 210)
+        .load()
+        .where(F.col("depth") < 3)  # pushed into the reader
+        .select("url")
+    )
+    fetched = web.fetch_pipeline(
+        frontier, web.demo_fetcher, interval_s=0.0, n_domain_partitions=7
+    )
+    return fetched.select(
+        "url",
+        F.col("error").isNull().alias("ok"),
+        "obstacle",
+    )

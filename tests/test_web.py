@@ -91,3 +91,34 @@ def test_fetch_pipeline_skips_skippable(spark):
         "url string",
     )
     assert web.fetch_pipeline(urls, make_fake_fetch(), interval_s=0).count() == 0
+
+
+def test_scan_web_connector_end_to_end(spark, sf_dir):
+    """VERDICT r1 #7: the frontier wave flows connector -> politeness ->
+    retry -> strip -> classify in one lazy plan, with errors as data."""
+    from ai_knowledge_etl_spark.registry import REGISTRY
+
+    df = REGISTRY["scan-web-connector"].spark(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 158  # 210 pages, depth<3 pushed into the reader
+    failed = [r for r in rows if not r["ok"]]
+    assert failed, "synthetic 404s must surface as error rows"
+    # error rows carry no text -> classified ANTI_SCRAPE, never dropped
+    assert all(r["obstacle"] == "ANTI_SCRAPE" for r in failed)
+    assert any(r["obstacle"] == "LOGIN_REQUIRED" for r in rows if r["ok"])
+
+
+def test_connector_frontier_is_partitioned_per_domain(spark):
+    """The planned scan must hand politeness one partition per domain —
+    the layout rate_limited_fetch's per-domain pacing depends on."""
+    from ai_knowledge_etl_spark.sources.catalog import (
+        ensure_package_on_workers,
+    )
+    from ai_knowledge_etl_spark.sources.pagesource import (
+        CrawlPagesDataSource,
+    )
+
+    ensure_package_on_workers(spark)
+    spark.dataSource.register(CrawlPagesDataSource)
+    frontier = spark.read.format("crawlpages").option("n", 210).load()
+    assert frontier.rdd.getNumPartitions() == 7
