@@ -132,6 +132,21 @@ def describe_images_stub(
     return images.select(path_col, content_col).mapInPandas(gen, schema)
 
 
+def _probe_pil() -> bool:
+    """Session-start probe (VERDICT r1 #9): True iff a real pixel decoder is
+    importable. Tests key off this so the real-bytes compression-chain test
+    runs whenever the environment gains pillow, and auto-skips otherwise."""
+    try:
+        from PIL import Image  # type: ignore # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+HAS_PIL = _probe_pil()
+
+
 def decode_image(content: bytes) -> "object":
     """Pixel decode — requires an imaging library this container does not
     ship. The pipeline's metadata path never needs it; plug PIL in here."""
@@ -146,3 +161,77 @@ def decode_image(content: bytes) -> "object":
             "metadata-level operators (validation, tiering, categorization) "
             "work without it"
         ) from e
+
+
+def resize_to_tier(content: bytes, tier: int) -> bytes:
+    """Real re-encode of one image at a tier width (reference:
+    compress-image.mjs:49-97 — sharp resize→jpeg). PIL-gated: raises
+    NotImplementedError without pillow; `compress_images_real` is the
+    distributed wrapper."""
+    import io
+
+    img = decode_image(content)  # NotImplementedError without PIL
+    img = img.convert("RGB")
+    w, h = img.size
+    if w > tier:
+        img = img.resize((tier, max(1, int(h * tier / w))))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=80)
+    return buf.getvalue()
+
+
+def compress_images_real(
+    images: DataFrame, content_col: str = "content", path_col: str = "path"
+) -> DataFrame:
+    """Distributed fallback-chain compression on REAL pixels (reference:
+    compress-image.mjs:49-97 + limits.yaml:80-84): walk tiers 800→640→480→400
+    until the re-encoded size fits 100 KB (300 KB last-chance), error-as-data
+    for undecodable bytes. Arrow-batched mapInPandas; the per-row kernel is
+    `resize_to_tier`. Driver-gated on HAS_PIL so the failure is immediate and
+    actionable instead of a mid-job executor ImportError."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "compress_images_real needs PIL/pillow; use compress_tier "
+            "(metadata size model) in this container"
+        )
+    schema = (
+        f"{path_col} string, tier int, out_bytes int, compressed binary, "
+        "error string"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "path": [], "tier": [], "out_bytes": [],
+                "compressed": [], "error": [],
+            }
+            for path, blob in zip(pdf[path_col], pdf[content_col]):
+                out["path"].append(path)
+                raw = bytes(blob) if blob is not None else b""
+                try:
+                    chosen, best = 0, None
+                    for t in (800, 640, 480, 400):
+                        best = resize_to_tier(raw, t)
+                        if len(best) <= 100_000:
+                            chosen = t
+                            break
+                    if chosen == 0 and best is not None and len(best) <= 300_000:
+                        chosen = 400  # last-chance 300 KB cap
+                    if chosen == 0:
+                        out["tier"].append(0)
+                        out["out_bytes"].append(None)
+                        out["compressed"].append(None)
+                        out["error"].append("E005: exceeds 300KB at min tier")
+                    else:
+                        out["tier"].append(chosen)
+                        out["out_bytes"].append(len(best))
+                        out["compressed"].append(best)
+                        out["error"].append(None)
+                except Exception as e:  # undecodable bytes → error record
+                    out["tier"].append(None)
+                    out["out_bytes"].append(None)
+                    out["compressed"].append(None)
+                    out["error"].append(f"E003: {type(e).__name__}")
+            yield pd.DataFrame(out)
+
+    return images.select(path_col, content_col).mapInPandas(gen, schema)

@@ -64,13 +64,12 @@ def test_url_normalize_idempotent(spark, sf_dir):
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     from ai_knowledge_etl_spark.registry import REGISTRY
 
-    approx = REGISTRY["agg-approx-distinct"].spark(spark, sf_dir).first()[
-        "approx_urls"
-    ]
+    row = REGISTRY["agg-approx-distinct"].spark(spark, sf_dir).first()
     exact = REGISTRY["agg-distinct-urls"].spark(spark, sf_dir).first()[
         "distinct_urls"
     ]
-    assert abs(approx - exact) / exact < 0.05
+    assert row["exact_urls"] == exact
+    assert row["within_5pct"] is True
 
 
 def test_traversal_bands_partition_scores(spark):

@@ -1,0 +1,182 @@
+"""sf1-equivalent scale sweep (VERDICT r1 #8): smoke out hidden
+superlinearity that the sf0.1 sweep can't see.
+
+The driver ships sf{0.001,0.01,0.1} only, so this tool SYNTHESIZES a 10×
+copy of the scaling fact tables (lineitem / orders / events — TPC-H sf1
+row counts: 6M lineitem, 1.5M orders, 1M events) by unioning key-offset
+replicas of sf0.1, reuses the dimension/document tables verbatim, and then
+
+  1. runs `tools/difftest.py`-style Spark-vs-DuckDB comparison for the
+     scaling-table queries at the synthesized dir (correctness at 10×), and
+  2. times each query at sf0.1 vs 10× and reports the wall-clock ratio —
+     a query whose ratio is far above the data ratio (10×) is superlinear
+     and gets flagged.
+
+Replication preserves join semantics: o_orderkey/l_orderkey get the same
+per-replica offset (orders⋈lineitem fan-out unchanged), FKs into the fixed
+dims (custkey/partkey/suppkey/user_id) are untouched, event_id is offset to
+stay unique. Both engines read the SAME synthesized parquet, so the
+differential check is exact.
+
+Usage:
+    python tools/scale_sweep.py [--mult 10] [--out /tmp/spark_graft_sf1]
+                                [--skip-gen] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ai_knowledge_etl_spark.registry import REGISTRY
+from ai_knowledge_etl_spark.session import get_spark
+from ai_knowledge_etl_spark.sources.catalog import TABLES
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Queries dominated by the scaling tables — the set whose behavior at sf1
+# actually differs from sf0.1. Dimension-only / documents-only queries scale
+# with their own (fixed) tables and are covered by the normal difftest.
+SCALING_QUERIES = [
+    "agg-pricing-summary",        # Q1 shape: full lineitem scan+agg
+    "sql-revenue-by-region",      # Q5 star join, lineitem⋈orders shuffle
+    "topk-returned-customers",    # Q10
+    "topk-unshipped-orders",      # Q3
+    "join-volume-shipping",       # Q7 shape
+    "join-star-revenue",
+    "agg-promo-revenue",          # Q14
+    "join-small-qty-revenue",     # Q17 avg-subquery join
+    "join-large-volume-customers",  # Q18
+    "agg-orders-per-customer",
+    "window-running-total",
+    "window-lag-lead",
+    "agg-top-event-per-user",
+    "stream-session-events",
+    "agg-event-transitions",
+    "agg-retention-cohorts",
+    "window-page-id",             # two-pass id assignment must stay linear
+    "window-batch-assign",
+    "agg-timeseries-gapfill",
+    "agg-touch-attribution",
+]
+
+
+def generate(mult: int, out_dir: str) -> None:
+    con = duckdb.connect()
+    os.makedirs(out_dir, exist_ok=True)
+    # fixed tables: verbatim copy (cheap, keeps load_table paths uniform)
+    for t in TABLES:
+        if t in ("lineitem", "orders", "events"):
+            continue
+        src = os.path.join(BASE, f"{t}.parquet")
+        if os.path.exists(src):
+            shutil.copyfile(src, os.path.join(out_dir, f"{t}.parquet"))
+    okey_span = con.execute(
+        f"SELECT max(o_orderkey) + 1 FROM '{BASE}/orders.parquet'"
+    ).fetchone()[0]
+    ekey_span = con.execute(
+        f"SELECT max(event_id) + 1 FROM '{BASE}/events.parquet'"
+    ).fetchone()[0]
+    reps = ", ".join(str(i) for i in range(mult))
+    con.execute(
+        f"""
+        COPY (
+          SELECT o_orderkey + r.i * {okey_span} AS o_orderkey,
+                 o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+                 o_orderpriority
+          FROM '{BASE}/orders.parquet', (SELECT unnest([{reps}]) AS i) r
+        ) TO '{out_dir}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT l_orderkey + r.i * {okey_span} AS l_orderkey,
+                 l_partkey, l_suppkey, l_linenumber, l_quantity,
+                 l_extendedprice, l_discount, l_tax, l_returnflag,
+                 l_linestatus, l_shipdate
+          FROM '{BASE}/lineitem.parquet', (SELECT unnest([{reps}]) AS i) r
+        ) TO '{out_dir}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT event_id + r.i * {ekey_span} AS event_id,
+                 ts, user_id, event_type, value, props
+          FROM '{BASE}/events.parquet', (SELECT unnest([{reps}]) AS i) r
+        ) TO '{out_dir}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--out", default="/tmp/spark_graft_sf1")
+    ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    if not args.skip_gen:
+        t0 = time.time()
+        generate(args.mult, args.out)
+        print(f"# generated {args.mult}x fact tables in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+
+    names = args.names or [n for n in SCALING_QUERIES if n in REGISTRY]
+    spark = get_spark()
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from difftest import run_one  # same comparator as the pre-commit gate
+
+    con = duckdb.connect()
+    results = {}
+    fails = 0
+    for name in names:
+        # time at base sf0.1 (Spark only), then full differential at mult×
+        t0 = time.time()
+        REGISTRY[name].spark(spark, BASE).collect()
+        t_base = time.time() - t0
+        t0 = time.time()
+        if REGISTRY[name].oracle:
+            ok, msg = run_one(spark, con, name, args.out)
+        else:
+            REGISTRY[name].spark(spark, args.out).collect()
+            ok, msg = True, "rows-only"
+        t_big = time.time() - t0
+        ratio = t_big / max(t_base, 1e-3)
+        flag = "" if ratio <= args.mult * 2.5 else "  <-- SUPERLINEAR?"
+        status = "ok" if ok else f"FAIL {msg}"
+        fails += 0 if ok else 1
+        results[name] = {
+            "base_s": round(t_base, 3),
+            "big_s": round(t_big, 3),
+            "ratio": round(ratio, 2),
+            "ok": ok,
+        }
+        print(f"{name:32s} {t_base:7.2f}s -> {t_big:7.2f}s  "
+              f"x{ratio:5.1f}  {status}{flag}")
+
+    summary = {
+        "mult": args.mult,
+        "n": len(names),
+        "fails": fails,
+        "median_ratio": sorted(r["ratio"] for r in results.values())[
+            len(results) // 2
+        ],
+    }
+    print(json.dumps({"scale_sweep": summary, "queries": results}))
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
