@@ -101,3 +101,17 @@ TRANSFORM_SUMMARIZE_CHARS = 30_000
 # many documents (per block) are boilerplate — dropped before any pairwise
 # dedup stage so no single join key fans out past MAX_DF².
 DEDUP_SHINGLE_MAX_DF = 100
+
+# --- corpus quality gates (published training-data pipeline rules:
+# repetition/top-word caps in the Gopher-rules style, n-gram LM scoring in
+# the CCNet style) ---
+GOPHER_DUP3_MAX = 0.10  # max fraction of duplicate word-3-grams per doc
+GOPHER_TOPWORD_MAX = 0.12  # max share of the single most frequent word
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+# link-prediction hub cap: nodes above this degree are excluded from
+# common-neighbor candidate generation (a hub of degree d fans the
+# neighbor-join out d² — same hygiene as DEDUP_SHINGLE_MAX_DF).
+GRAPH_MAX_DEGREE = 1000

@@ -62,3 +62,49 @@ def assign_sequential_ids(
         )
         .drop("__pid", "__off")
     )
+
+
+def running_max_two_pass(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_max",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive prefix-max of `value_col` in `order_cols` order (the
+    streaming-watermark shape: watermark before row i = max event time seen
+    strictly earlier in arrival order) without a single-reducer window.
+
+    Same two-pass scheme as `assign_sequential_ids`: range-partition on the
+    order columns, per-partition max (one row per partition), driver-side
+    exclusive prefix-max over those, broadcast back, then a partition-local
+    exclusive running max. Row 1's prefix is NULL (no prior observation),
+    matching `max(v) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND
+    1 PRECEDING)` — which stays as the differential-oracle formulation.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = df.repartitionByRange(num_partitions, *[F.asc(c) for c in order_cols])
+    parts = parts.localCheckpoint(eager=True)  # pin boundaries across passes
+    stamped = parts.withColumn("__pid", F.spark_partition_id())
+    maxes = (
+        stamped.groupBy("__pid").agg(F.max(value_col).alias("__mx")).collect()
+    )
+    prefix, acc = [], None
+    for row in sorted(maxes, key=lambda r: r["__pid"]):
+        prefix.append((row["__pid"], acc))
+        acc = row["__mx"] if acc is None or row["__mx"] > acc else acc
+    field = df.schema[value_col].dataType.simpleString()
+    off_df = spark.createDataFrame(prefix, schema=f"__pid int, __pre {field}")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.max(value_col).over(w)
+    return (
+        stamped.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, F.greatest(local, F.col("__pre")))
+        .drop("__pid", "__pre")
+    )

@@ -51,6 +51,7 @@ def _load_all() -> None:
         crawl,
         northstar,
         planning,
+        quality,
         relational,
         sources_sinks,
         streaming,

@@ -1,0 +1,402 @@
+"""Corpus-quality & retrieval wave: published training-data pipeline rules
+re-expressed Spark-first, each with an exact DuckDB oracle.
+
+- udf-unigram-logprob: CCNet-style LM quality score — the corpus's own
+  unigram distribution scores every document (the production form swaps a
+  pretrained table for the self-trained one; identical plan).
+- filter-repetition-gopher: Gopher-style repetition gates (duplicate
+  word-3-gram fraction + top-word occupancy).
+- text-bm25-rank: BM25 retrieval over the document corpus for the topic
+  terms — the reference's relevance scoring generalized to the standard
+  ranked-retrieval formula (reference: skills/relevance-scorer/SKILL.md
+  scores keyword hits; BM25 is the principled version of the same signal).
+- stream-late-data-watermark: batch twin of watermark late-data accounting
+  (arrival order = event_id, watermark = running max event time − delay);
+  the running max is the scale-safe two-pass prefix scheme, the global
+  ordered window stays oracle-side.
+- graph-degree-distribution / graph-jaccard-neighbors: link-graph analytics
+  over the crawl edge list (reference: crawler-coordinator.md:161-176 keeps
+  links/*.json) — degree histogram and common-neighbor link prediction with
+  hub-cap hygiene.
+
+Parity conventions per registry/__init__ docstring: identical aliases,
+integer-exact intermediates where possible, ln()/division chains rounded to
+3-4 decimals on BOTH sides, deterministic tiebreaks on every LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_knowledge_etl_spark import config
+from ai_knowledge_etl_spark.registry import register
+from ai_knowledge_etl_spark.sources import synthetic as syn
+from ai_knowledge_etl_spark.sources.catalog import load_table
+
+# DuckDB-side token explode (Spark side uses F.split/F.explode — each engine
+# its own idiom, same tokens: the corpus is single-space separated).
+TOKS_CTE = """
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)
+""".strip()
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+
+
+@register(
+    "udf-unigram-logprob",
+    f"""
+WITH {TOKS_CTE},
+vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+tot AS (SELECT count(*) AS tot FROM toks)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(CAST(cnt AS DOUBLE) / tot)), 3) AS avg_logprob
+FROM toks JOIN vocab USING (w), tot
+GROUP BY doc_id
+""".strip(),
+    doc="CCNet-style unigram-LM quality score: every doc scored by the "
+    "corpus's own unigram distribution (avg token log-probability — low "
+    "means rare-word soup, near-zero means repetitive boilerplate). "
+    "Spark plan: one token explode, vocab hash-agg, vocab BROADCAST back "
+    "onto the token stream (vocab is tiny relative to the corpus — at "
+    "100 TB the vocab table is the pretrained-LM artifact you'd ship to "
+    "executors), partial/final avg. No Python in the loop.",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(_docs(spark, sf_dir))
+    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    tot = toks.agg(F.count("*").alias("tot"))
+    return (
+        toks.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("cnt").cast("double") / F.col("tot"))), 3
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@register(
+    "filter-repetition-gopher",
+    f"""
+WITH probe AS (
+  SELECT doc_id, {syn.REPEAT_TEXT_EXPR} AS text FROM documents
+),
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM probe),
+tri AS (
+  SELECT doc_id,
+         greatest(len(ws) - 2, 1) AS t3,
+         len(list_distinct(list_transform(
+             generate_series(1, greatest(len(ws) - 2, 1)),
+             i -> array_to_string(ws[i:i+2], ' ')))) AS d3
+  FROM words
+),
+tw AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS w FROM words) GROUP BY doc_id, w
+),
+top AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS n_tokens
+        FROM tw GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       round(1.0 - CAST(d3 AS DOUBLE) / t3, 4) AS dup3_ratio,
+       round(CAST(mx AS DOUBLE) / n_tokens, 4) AS top_word_ratio,
+       (1.0 - CAST(d3 AS DOUBLE) / t3 <= {config.GOPHER_DUP3_MAX}
+        AND CAST(mx AS DOUBLE) / n_tokens <= {config.GOPHER_TOPWORD_MAX})
+       AS keep
+FROM tri JOIN top USING (doc_id)
+""".strip(),
+    doc="Gopher-style repetition gates: duplicate word-3-gram fraction and "
+    "top-word occupancy, thresholded (config.GOPHER_*). The corpus gets a "
+    "spam probe (synthetic.REPEAT_TEXT_EXPR) so both reject classes have "
+    "true positives. All intermediates are integer-exact (array counts); "
+    "the two per-doc metrics come from array expressions + one token "
+    "explode — no self-join, embarrassingly parallel at any scale.",
+)
+def q_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    probe = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(syn.REPEAT_TEXT_EXPR).alias("text")
+    )
+    words = probe.select("doc_id", F.split("text", " ").alias("ws"))
+    tri = words.select(
+        "doc_id",
+        F.greatest(F.size("ws") - 2, F.lit(1)).alias("t3"),
+        F.size(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(ws) - 2, 1)),"
+                    " i -> concat_ws(' ', slice(ws, i, 3)))"
+                )
+            )
+        ).alias("d3"),
+    )
+    tw = (
+        words.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    top = tw.groupBy("doc_id").agg(
+        F.max("c").alias("mx"), F.sum("c").cast("bigint").alias("n_tokens")
+    )
+    dup3 = 1.0 - F.col("d3").cast("double") / F.col("t3")
+    topw = F.col("mx").cast("double") / F.col("n_tokens")
+    return tri.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(dup3, 4).alias("dup3_ratio"),
+        F.round(topw, 4).alias("top_word_ratio"),
+        (
+            (dup3 <= config.GOPHER_DUP3_MAX)
+            & (topw <= config.GOPHER_TOPWORD_MAX)
+        ).alias("keep"),
+    )
+
+
+BM25_TERMS = ("spark", "join", "window")
+
+
+@register(
+    "text-bm25-rank",
+    f"""
+WITH {TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM toks
+  WHERE w IN {BM25_TERMS!r} GROUP BY doc_id, w
+),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
+SELECT doc_id,
+       round(sum(
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         * tf * ({config.BM25_K1} + 1.0)
+         / (tf + {config.BM25_K1}
+            * (1.0 - {config.BM25_B} + {config.BM25_B} * dl / avgdl))
+       ), 4) AS bm25
+FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id), stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {config.BM25_TOPK}
+""".strip(),
+    doc="BM25 ranked retrieval for the topic terms (k1/b per config) — the "
+    "standard-formula generalization of the reference's keyword relevance "
+    "scores (skills/relevance-scorer/SKILL.md:69-86). Spark plan: tokens "
+    "filtered to the query terms BEFORE any shuffle (predicate on the "
+    "explode output), tf hash-agg, df + corpus stats as 1-row/broadcast "
+    "joins, TakeOrderedAndProject for the top-k. The per-doc length table "
+    "is the only corpus-wide agg.",
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(_docs(spark, sf_dir))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.where(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    k1, b = config.BM25_K1, config.BM25_B
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score = idf * F.col("tf") * (k1 + 1.0) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(config.BM25_TOPK)
+    )
+
+
+@register(
+    "stream-late-data-watermark",
+    """
+WITH arr AS (
+  SELECT event_id, event_type, epoch_ns(ts) AS ts_ns,
+         max(epoch_ns(ts)) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS wm_src
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN wm_src IS NOT NULL
+                      AND ts_ns < wm_src - 600000000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM arr GROUP BY event_type
+""".strip(),
+    doc="Watermark late-data accounting, batch twin: arrival order is "
+    "event_id, the watermark before each event is the running max event "
+    "time minus a 10-minute delay, and an event is late if its timestamp "
+    "falls behind that — exactly what `withWatermark('ts', '10 minutes')` "
+    "drops in Structured Streaming. The running max uses the two-pass "
+    "partition-prefix scheme (operators/ids.running_max_two_pass) — no "
+    "single-reducer window; the ordered-window SQL stays oracle-side only.",
+)
+def q_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.operators.ids import running_max_two_pass
+
+    # repo convention: events.ts is a BIGINT ns epoch (catalog.load_table),
+    # so the 10-minute delay is 600e9 ns on both sides
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    wm = running_max_two_pass(ev, ["event_id"], "ts", out_col="wm_src")
+    late = F.col("wm_src").isNotNull() & (
+        F.col("ts") < F.col("wm_src") - F.lit(600_000_000_000)
+    )
+    return wm.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("n_late"),
+    )
+
+
+# DuckDB-side undirected crawl-graph edges (self-loops removed); Spark twin
+# in _edges below. Two edge families: the parent tree (the reference's
+# links/*.json) plus a "related hub" edge (doc_id % 75) standing in for
+# cross-links — without it every doc has exactly one neighbor and the
+# common-neighbor query is vacuously empty.
+EDGES_CTE = """
+edges AS (
+  SELECT doc_id % 50 AS a, doc_id AS b FROM documents WHERE doc_id % 50 <> doc_id
+  UNION ALL
+  SELECT doc_id % 75 AS a, doc_id AS b FROM documents WHERE doc_id % 75 <> doc_id
+)
+""".strip()
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    parent = d.where("doc_id % 50 <> doc_id").select(
+        F.expr("doc_id % 50").alias("a"), F.col("doc_id").alias("b")
+    )
+    hub = d.where("doc_id % 75 <> doc_id").select(
+        F.expr("doc_id % 75").alias("a"), F.col("doc_id").alias("b")
+    )
+    return parent.unionAll(hub)
+
+
+@register(
+    "graph-degree-distribution",
+    f"""
+WITH {EDGES_CTE},
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
+  ) GROUP BY node
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+""".strip(),
+    doc="Degree histogram of the crawl link graph (undirected, self-loops "
+    "dropped): two hash-aggs, fully parallel — the standard first look at "
+    "any web graph's skew before sizing joins over it.",
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    nodes = e.select(F.col("a").alias("node")).unionAll(
+        e.select(F.col("b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+
+
+@register(
+    "graph-jaccard-neighbors",
+    f"""
+WITH {EDGES_CTE},
+adj AS (
+  SELECT DISTINCT a AS node, b AS nbr FROM edges
+  UNION
+  SELECT DISTINCT b AS node, a AS nbr FROM edges
+),
+deg AS (SELECT node, count(*) AS degree FROM adj GROUP BY node),
+small AS (
+  SELECT adj.node, adj.nbr FROM adj
+  JOIN deg ON deg.node = adj.nbr
+  WHERE deg.degree <= {config.GRAPH_MAX_DEGREE}
+),
+common AS (
+  SELECT x.node AS u, y.node AS v, count(*) AS common
+  FROM small x JOIN small y ON x.nbr = y.nbr AND x.node < y.node
+  GROUP BY x.node, y.node HAVING count(*) >= 2
+)
+SELECT u, v, CAST(common AS BIGINT) AS common,
+       round(CAST(common AS DOUBLE)
+             / (du.degree + dv.degree - common), 4) AS jaccard
+FROM common
+JOIN deg du ON du.node = u
+JOIN deg dv ON dv.node = v
+""".strip(),
+    doc="Common-neighbor / Jaccard link prediction over the crawl graph. "
+    "Candidate generation is the adjacency self-join keyed on the SHARED "
+    "NEIGHBOR — never all-pairs — and hub neighbors above "
+    "config.GRAPH_MAX_DEGREE are excluded first (a degree-d hub fans out "
+    "d² pairs; same hygiene as the dedup shingle df cap). Degrees join "
+    "back broadcast-side. ≥2 common neighbors keeps the pair table sparse.",
+)
+def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    adj = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .distinct()
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("degree"))
+    small = adj.join(
+        F.broadcast(
+            deg.where(F.col("degree") <= config.GRAPH_MAX_DEGREE).select(
+                F.col("node").alias("nbr")
+            )
+        ),
+        "nbr",
+    )
+    x = small.select(F.col("node").alias("u"), "nbr")
+    y = small.select(F.col("node").alias("v"), "nbr")
+    common = (
+        x.join(y, "nbr")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("common"))
+        .where(F.col("common") >= 2)
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    return (
+        common.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            F.col("common").cast("bigint").alias("common"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

@@ -115,6 +115,17 @@ OBSTACLE_TEXT_EXPR = (
 # depth surrogate for crawl operators (reference queue items carry depth 0-3)
 DEPTH_EXPR = "doc_id % 4"
 
+# Repetition probe for the Gopher-style quality gate: the fixture corpus is
+# a near-uniform word stream with essentially zero duplicate 3-grams, so
+# every 8th doc gets a spammy repeated phrase appended — true positives for
+# the duplicate-3-gram rule. Dialect-common (CASE/||/%), shared verbatim by
+# the Spark (F.expr) and DuckDB sides.
+REPEAT_TEXT_EXPR = (
+    "text || CASE WHEN doc_id % 8 = 0 "
+    "THEN ' click here to win click here to win click here to win"
+    " click here to win' ELSE '' END"
+)
+
 # Markdown-shaped probe: injects a title heading, optional sections, and an
 # occasional fenced code block (structure/render/chunk operators need real
 # markdown; the fixture corpus is a flat word stream). chr(10) == newline in

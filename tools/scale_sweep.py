@@ -123,6 +123,8 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--out", default="/tmp/spark_graft_sf1")
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--no-diff", action="store_true",
+                    help="linearity timing only, skip the differential")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -139,20 +141,27 @@ def main() -> None:
     from difftest import run_one  # same comparator as the pre-commit gate
 
     con = duckdb.connect()
+    for t in TABLES:
+        src = os.path.join(args.out, f"{t}.parquet")
+        if os.path.exists(src):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     results = {}
     fails = 0
     for name in names:
-        # time at base sf0.1 (Spark only), then full differential at mult×
+        # Spark-only wall at both scales (the linearity signal), then the
+        # full differential at mult× UNTIMED — collecting millions of rows
+        # into the Python comparator would otherwise dominate t_big and
+        # fake a superlinearity flag.
         t0 = time.time()
         REGISTRY[name].spark(spark, BASE).collect()
         t_base = time.time() - t0
         t0 = time.time()
-        if REGISTRY[name].oracle:
+        REGISTRY[name].spark(spark, args.out).collect()
+        t_big = time.time() - t0
+        if REGISTRY[name].oracle and not args.no_diff:
             ok, msg = run_one(spark, con, name, args.out)
         else:
-            REGISTRY[name].spark(spark, args.out).collect()
             ok, msg = True, "rows-only"
-        t_big = time.time() - t0
         ratio = t_big / max(t_base, 1e-3)
         flag = "" if ratio <= args.mult * 2.5 else "  <-- SUPERLINEAR?"
         status = "ok" if ok else f"FAIL {msg}"
