@@ -65,10 +65,15 @@ def is_valid_image(content: Column | str) -> Column:
 
 def classify_image_stub(content: Column | str) -> Column:
     """Deterministic 8-class categorization stub (reference:
-    DESIGN.md:1133-1141): crc32 of bytes → category. A vision-model pandas
-    UDF slots behind the same (binary → category string) signature."""
+    DESIGN.md:1133-1141): md5 of the hex-encoded bytes → category. A
+    vision-model pandas UDF slots behind the same (binary → category
+    string) signature. md5-over-hex (not crc32) so the DuckDB oracle can
+    evaluate the identical function: hex(blob) is uppercase in both
+    engines and md5 of that string is engine-independent."""
     c = F.col(content) if isinstance(content, str) else content
-    idx = F.crc32(c) % len(IMAGE_CATEGORIES)
+    idx = F.conv(F.substring(F.md5(F.hex(c)), 1, 2), 16, 10).cast("int") % len(
+        IMAGE_CATEGORIES
+    )
     expr = F.lit(IMAGE_CATEGORIES[0])
     for i, cat in list(enumerate(IMAGE_CATEGORIES))[1:]:
         expr = F.when(idx == i, F.lit(cat)).otherwise(expr)

@@ -1,0 +1,227 @@
+"""Corpus-curation operators beyond the dedup/similarity families:
+paragraph-level dedup, semantic (embedding-cluster) dedup, and DSIR-style
+importance reweighting. North-star LLM-data-pipeline extensions — the
+reference's corpus is tiny (≤50 pages) so these have no direct analog, but
+its at-most-once-visit discipline (scripts/crawler-queue.sh:36-41) is the
+same idea applied at URL granularity.
+
+Scale stance (100 TB):
+  - paragraph dedup shuffles on the paragraph *fingerprint* (md5), never a
+    raw-text sort; the reassembly groupBy shuffles each doc's kept
+    paragraphs exactly once. Both shuffles are hash-partitioned on
+    high-cardinality keys — no global ordering anywhere.
+  - semantic dedup is SemDeDup-shaped (Abbas et al. 2023): a coarse
+    quantizer (nearest-of-k centroids, broadcast) bounds the candidate
+    pair join to within-cluster, so the pairwise stage is |cluster|²
+    not |corpus|². Production adds a per-cluster size cap exactly like
+    dedup.cap_shingle_df bounds hot shingles.
+  - importance reweighting is DSIR-shaped (Xie et al. 2023): hashed
+    unigram features → per-bucket log-likelihood-ratio weights (a 4096-row
+    broadcast) → per-doc integer sum. One explode, one broadcast join, one
+    groupBy; weights are integer millinats so the sum is associative and
+    partitioning-invariant (float sums are not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+PARA_SEP = "\n\n"
+
+
+def split_paragraphs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "ptext"
+) -> DataFrame:
+    """(id, idx, para) — 1-based idx, empty paragraphs dropped."""
+    exploded = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), PARA_SEP)).alias("pos", "para")
+    )
+    return exploded.where(F.length(F.trim("para")) > 0).select(
+        id_col, (F.col("pos") + 1).alias("idx"), "para"
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "ptext"
+) -> DataFrame:
+    """Corpus-wide paragraph dedup: each distinct paragraph survives only at
+    its first occurrence (lowest (id, idx)); docs are reassembled from their
+    surviving paragraphs. Returns (id, n_paras, n_kept, text_kept).
+
+    The keep-first window partitions on md5(para) — the 32-char fingerprint
+    is the shuffle key, so key width is constant regardless of paragraph
+    size and the comparator never touches raw text."""
+    paras = split_paragraphs(docs, id_col, text_col)
+    w = Window.partitionBy(F.md5("para")).orderBy(id_col, "idx")
+    ranked = paras.withColumn("rn", F.row_number().over(w))
+    kept = ranked.withColumn("keep", F.col("rn") == 1)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("idx"), F.col("para")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("para"),
+                ),
+                PARA_SEP,
+            ).alias("text_kept"),
+        )
+    )
+
+
+def nearest_centroid(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "ce",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (L2, centroid-id
+    tiebreak). The centroid table is broadcast — the fact side never
+    shuffles for the assignment."""
+    d = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col(cent_vec_col),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    crossed = vecs.crossJoin(F.broadcast(centroids)).withColumn("l2", d)
+    w = Window.partitionBy(id_col).orderBy(F.asc("l2"), F.asc(cent_id_col))
+    return (
+        crossed.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(id_col, vec_col, F.col(cent_id_col).alias("cluster"))
+    )
+
+
+def semantic_dedup(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: coarse-cluster by nearest centroid, then inside each
+    cluster mark every vector that is ≥ threshold cosine-similar to a
+    lower-id vector as dropped (the lowest id of each near-dup group is the
+    keeper). Returns (id, cluster, kept).
+
+    The pairwise stage joins on the cluster id — candidates are bounded by
+    cluster size, never corpus size. 100 TB: centroids come from a sampled
+    k-means (operators/clustering), clusters are capped, and the pair join
+    shuffles each cluster to one task group."""
+    from ai_knowledge_etl_spark.operators import similarity as S
+
+    assigned = nearest_centroid(vecs, centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cluster"),
+        F.col(vec_col).alias("va"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cluster"),
+        F.col(vec_col).alias("vb"),
+    )
+    pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))
+    dropped = (
+        pairs.where(S.cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(
+        dropped.withColumn("is_dropped", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "cluster",
+        F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"),
+    )
+
+
+N_FEATURE_BUCKETS = 4096
+
+
+def hashed_unigram_buckets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, bucket) per token occurrence: lowercase word unigrams hashed to
+    N_FEATURE_BUCKETS via the first 3 hex digits of md5 — the dialect-common
+    hash (DuckDB replays it with strpos arithmetic)."""
+    toks = docs.select(
+        id_col,
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    return toks.select(
+        id_col,
+        (F.conv(F.substring(F.md5("tok"), 1, 3), 16, 10).cast("int")
+         % N_FEATURE_BUCKETS).alias("bucket"),
+    )
+
+
+def importance_weights(
+    corpus_buckets: DataFrame, target_buckets: DataFrame
+) -> DataFrame:
+    """Per-bucket DSIR weight in integer millinats:
+    round(1e6 * (ln p_target(b) - ln p_corpus(b))) with add-one smoothing.
+    Integer weights make the downstream per-doc sum associative — the score
+    is partitioning-invariant, which a float log-sum is not."""
+    c = corpus_buckets.groupBy("bucket").agg(F.count("*").alias("c_n"))
+    t = target_buckets.groupBy("bucket").agg(F.count("*").alias("t_n"))
+    # totals as 1-row broadcast scalars — keeps the whole weight table lazy
+    # (plan shows the inherent 1-row final combine + 1-row BNLJ; both are
+    # justified in the plan-audit allowlist)
+    c_tot = corpus_buckets.agg(F.count("*").alias("c_tot"))
+    t_tot = target_buckets.agg(F.count("*").alias("t_tot"))
+    joined = (
+        c.join(t, "bucket", "left")
+        .na.fill({"t_n": 0})
+        .crossJoin(F.broadcast(c_tot))
+        .crossJoin(F.broadcast(t_tot))
+    )
+    w = F.round(
+        1_000_000.0
+        * (
+            F.log((F.col("t_n") + 1.0) / (F.col("t_tot") + N_FEATURE_BUCKETS))
+            - F.log((F.col("c_n") + 1.0) / (F.col("c_tot") + N_FEATURE_BUCKETS))
+        )
+    ).cast("bigint")
+    return joined.select("bucket", w.alias("w_millinats"))
+
+
+def importance_scores(
+    docs: DataFrame,
+    target_pred: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc DSIR importance: sum of hashed-unigram bucket weights.
+    (id, n_toks, score_millinats). The weight table is N_FEATURE_BUCKETS
+    rows — always broadcast."""
+    buckets = hashed_unigram_buckets(docs, id_col, text_col)
+    target = docs.where(target_pred)
+    weights = importance_weights(
+        buckets, hashed_unigram_buckets(target, id_col, text_col)
+    )
+    return (
+        buckets.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum("w_millinats").alias("score_millinats"),
+        )
+    )

@@ -49,6 +49,7 @@ def _load_all() -> None:
     # import for side effects: each module registers its queries
     from ai_knowledge_etl_spark.registry import (  # noqa: F401
         crawl,
+        curation,
         northstar,
         planning,
         quality,

@@ -1,0 +1,219 @@
+"""Corpus-curation wave 2 (north-star LLM-data-pipeline extensions):
+paragraph-level dedup, SemDeDup-style semantic dedup, DSIR-style importance
+reweighting, and the text-normalization kernel every one of them assumes.
+
+All fully oracled: the DuckDB twins replay the identical hash / centroid /
+log-ratio arithmetic (md5-over-text is engine-independent; log weights are
+rounded to integer millinats BEFORE summation so the per-doc sums are
+associative and engine-independent)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_knowledge_etl_spark.operators import curation as CU
+from ai_knowledge_etl_spark.registry import register
+from ai_knowledge_etl_spark.sources import synthetic as syn
+from ai_knowledge_etl_spark.sources.catalog import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- paragraph-level dedup ------------------------------------------------------
+
+_PARA_CTE = f"""
+pdocs AS (SELECT doc_id, {syn.PARA_TEXT_EXPR} AS ptext FROM documents),
+paras AS (
+  SELECT doc_id, idx, para FROM (
+    SELECT doc_id,
+           generate_subscripts(string_split(ptext, chr(10) || chr(10)), 1) AS idx,
+           unnest(string_split(ptext, chr(10) || chr(10))) AS para
+    FROM pdocs
+  ) WHERE length(trim(para)) > 0
+),
+ranked AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, idx) AS rn
+  FROM paras
+)
+""".strip()
+
+
+@register(
+    "dedup-paragraph",
+    f"""
+WITH {_PARA_CTE}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                           chr(10) || chr(10) ORDER BY idx), '') AS text_kept
+FROM ranked GROUP BY doc_id
+""".strip(),
+    doc="Paragraph-level exact dedup across the corpus (north-star: strip "
+    "boilerplate footers shared by millions of pages): split → fingerprint "
+    "→ keep-first window on md5(para) → per-doc reassembly. The shuffle key "
+    "is the 32-char fingerprint, constant-width at any paragraph size; "
+    "reference analog is the at-most-once visit set "
+    "(scripts/crawler-queue.sh:36-41) at paragraph granularity.",
+)
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(syn.PARA_TEXT_EXPR).alias("ptext")
+    )
+    return CU.paragraph_dedup(docs)
+
+
+# --- SemDeDup -------------------------------------------------------------------
+
+# reuse the dup-injected embedding corpus + cosine fragment from the
+# embedding-dedup family so the semantic tier sees real near-duplicates
+from ai_knowledge_etl_spark.registry.sources_sinks import (  # noqa: E402
+    EMB_DUP_CTE,
+    _COS_PAIR_SQL,
+)
+
+_L2_SQL = """
+list_sum(list_transform(generate_series(1, len(e.embedding)),
+         i -> (e.embedding[i] - c.ce[i]) * (e.embedding[i] - c.ce[i])))
+""".strip()
+
+
+@register(
+    "dedup-semantic",
+    f"""
+WITH {EMB_DUP_CTE},
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS ce FROM emb_corpus WHERE vec_id < 8
+),
+assigned AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id AS cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_L2_SQL} ASC, c.cent_id ASC) AS rn
+    FROM emb_corpus e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ({_COS_PAIR_SQL}) >= 0.95
+),
+dropped AS (SELECT DISTINCT id_b AS vec_id FROM pairs)
+SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster,
+       d.vec_id IS NULL AS kept
+FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+""".strip(),
+    doc="SemDeDup (Abbas et al. 2023, public): coarse-cluster embeddings by "
+    "nearest centroid (broadcast, no shuffle on the fact side), then drop "
+    "every vector ≥0.95 cosine to a lower-id vector within its cluster. "
+    "The pairwise stage is bounded by cluster size — the semantic analog "
+    "of the LSH-bucket bound in dedup-embedding-cosine.",
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.registry.sources_sinks import _emb_dup_corpus
+
+    corpus = _emb_dup_corpus(spark, sf_dir)
+    cents = corpus.where("vec_id < 8").select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    out = CU.semantic_dedup(corpus, cents, threshold=0.95)
+    return out.select(
+        "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "kept"
+    )
+
+
+# --- DSIR importance reweighting ------------------------------------------------
+
+_BUCKET_SQL = (
+    "((strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 256 + "
+    "(strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 16 + "
+    "strpos('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) % "
+    f"{CU.N_FEATURE_BUCKETS}"
+)
+
+_TOKENS_CTE = f"""
+toks AS (
+  SELECT doc_id, tok, CAST({_BUCKET_SQL} AS INTEGER) AS bucket
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+)
+""".strip()
+
+
+@register(
+    "sample-importance-reweight",
+    f"""
+WITH {_TOKENS_CTE},
+c AS (SELECT bucket, count(*) AS c_n FROM toks GROUP BY bucket),
+t AS (
+  SELECT bucket, count(*) AS t_n FROM toks
+  JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY bucket
+),
+tot AS (
+  SELECT (SELECT count(*) FROM toks) AS c_tot,
+         (SELECT count(*) FROM toks JOIN documents USING (doc_id)
+          WHERE lang = 'en') AS t_tot
+),
+w AS (
+  SELECT c.bucket,
+         CAST(round(1000000.0 * (
+            ln((coalesce(t.t_n, 0) + 1.0) / (tot.t_tot + {CU.N_FEATURE_BUCKETS}))
+          - ln((c.c_n + 1.0) / (tot.c_tot + {CU.N_FEATURE_BUCKETS}))
+         )) AS BIGINT) AS w_millinats
+  FROM c LEFT JOIN t ON c.bucket = t.bucket CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(sum(w.w_millinats) AS BIGINT) AS score_millinats
+FROM toks JOIN w ON toks.bucket = w.bucket
+GROUP BY doc_id
+""".strip(),
+    doc="DSIR-style importance reweighting (Xie et al. 2023, public): "
+    "hashed unigram features (md5 → 4096 buckets), per-bucket "
+    "log-likelihood-ratio weight of the target slice (lang='en') vs the "
+    "whole corpus, per-doc integer-millinat sum. Weights round to BIGINT "
+    "before summation, so the score is associative — byte-identical under "
+    "any partitioning; the weight table is a 4096-row broadcast.",
+)
+def q_sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CU.importance_scores(_docs(spark, sf_dir), "lang = 'en'")
+
+
+# --- normalization kernel -------------------------------------------------------
+
+
+@register(
+    "udf-normalize-text",
+    """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS norm,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_norm_chars
+FROM documents
+""".strip(),
+    doc="Text normalization kernel (lowercase → punctuation strip → "
+    "whitespace collapse) — the canonical pre-dedup normalizer "
+    "(dedup.normalize_text applies the same chain before fingerprinting). "
+    "Pure JVM regexp chain, whole-stage codegen, zero shuffle.",
+)
+def q_udf_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        norm.alias("norm"),
+        F.length(norm).cast("bigint").alias("n_norm_chars"),
+    )

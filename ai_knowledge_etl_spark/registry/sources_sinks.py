@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ai_knowledge_etl_spark import config
 from ai_knowledge_etl_spark.multimodal import images as IM
 from ai_knowledge_etl_spark.operators import incremental, sinks, similarity
 from ai_knowledge_etl_spark.registry import register
@@ -18,6 +19,22 @@ from ai_knowledge_etl_spark.sources.catalog import load_table
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
+
+
+def _probe_import(mod: str) -> bool:
+    try:
+        __import__(mod)
+        return True
+    except ImportError:
+        return False
+
+
+# The PDF/web oracles replay the deterministic *fallback* kernels (byte-window
+# pager, regex boilerplate strip). If the environment gains the real library
+# (pypdf / trafilatura), the Spark side upgrades to it and the SQL twin no
+# longer applies — so the oracle is registered only when the fallback runs.
+_HAS_PYPDF = _probe_import("pypdf")
+_HAS_TRAFILATURA = _probe_import("trafilatura")
 
 
 RAW_INPUT_EXPR = """
@@ -283,13 +300,64 @@ def q_scan_image_download(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TK.top_k(validated, cfg.IMAGES_PER_SESSION_CAP, F.asc("path"))
 
 
+# DuckDB replay of the demo_fetcher + regex boilerplate strip + obstacle
+# classify + frontmatter wrap (sources/web.py fetch_pipeline). The fetched
+# page is a pure function of h = sum(ord(c) for c in url), so the whole
+# executor-side kernel is SQL-expressible; registered only while trafilatura
+# is absent (its presence upgrades the strip kernel beyond the regex twin).
+def _web_oracle(url_slice_sql: str) -> str:
+    return f"""
+WITH {syn.LINKS_CTE},
+sel AS ({url_slice_sql}),
+routed AS (
+  SELECT url FROM sel
+  WHERE NOT regexp_matches(lower(url), '{config.URL_SKIP_EXT_RE}')
+    AND NOT regexp_matches(lower(url), '{config.URL_SKIP_PATH_RE}')
+),
+hashed AS (
+  SELECT url,
+         list_sum(list_transform(range(1, length(url) + 1),
+                                 i -> ord(substring(url, i, 1)))) AS h
+  FROM routed
+),
+fetched AS (
+  SELECT url,
+         CASE WHEN h % 13 = 0 THEN NULL
+              WHEN h % 11 = 0 THEN trim(repeat('please log in to continue ', 10))
+              ELSE 'Page ' || CAST(h % 1000 AS VARCHAR)
+                   || repeat(' spark shuffle join content', CAST(h % 7 AS INTEGER) + 1)
+         END AS text,
+         CASE WHEN h % 13 = 0
+              THEN 'RuntimeError: ConnectionError: synthetic 404 for ' || url
+              ELSE CAST(NULL AS VARCHAR) END AS error
+  FROM hashed
+)
+SELECT url, text, error,
+       CASE WHEN length(trim(coalesce(text, ''))) < {config.OBSTACLE_MIN_CHARS} THEN 'ANTI_SCRAPE'
+            WHEN regexp_matches(lower(coalesce(text, '')), '{config.OBSTACLE_LOGIN_RE}') THEN 'LOGIN_REQUIRED'
+            WHEN regexp_matches(lower(coalesce(text, '')), '{config.OBSTACLE_CAPTCHA_RE}') THEN 'CAPTCHA'
+            WHEN regexp_matches(lower(coalesce(text, '')), '{config.OBSTACLE_ANTIBOT_RE}') THEN 'ANTI_BOT'
+            ELSE 'NONE' END AS obstacle,
+       '---' || chr(10) || 'source: ' || url || chr(10)
+         || 'engine: spark-etl' || chr(10) || '---' || chr(10)
+         || coalesce(text, '') AS doc
+FROM fetched
+""".strip()
+
+
 @register(
     "scan-web-trafilatura",
-    None,
+    None
+    if _HAS_TRAFILATURA
+    else _web_oracle(
+        "SELECT url FROM links WHERE doc_id >= 40 AND doc_id < 80"
+    ),
     doc="Local boilerplate-removal extraction path (reference: "
     "scripts/extract-trafilatura.sh:46-63): same fetch pipeline, with the "
     "strip kernel (trafilatura when importable, regex fallback) doing the "
-    "content isolation; distinct URL slice from scan-web-jina.",
+    "content isolation; distinct URL slice from scan-web-jina. Oracle "
+    "replays the deterministic fetcher + regex strip, auto-withdrawn if "
+    "trafilatura becomes importable.",
 )
 def q_scan_web_trafilatura(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_knowledge_etl_spark.sources import web
@@ -307,7 +375,9 @@ def q_scan_web_trafilatura(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scan-web-jina",
-    None,  # fetch kernel runs in executors; rows-only
+    None
+    if _HAS_TRAFILATURA
+    else _web_oracle("SELECT url FROM links ORDER BY doc_id LIMIT 40"),
     doc="Web extraction pipeline end-to-end over a deterministic offline "
     "fetcher (reference: scripts/extract-jina.sh, commands/extract.md:"
     "445-559): security route → skip filter → per-domain paced fetch with "
@@ -376,14 +446,57 @@ def _fake_binaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hex of the fake binary column, as DuckDB sees it: hex(blob) is uppercase
+# in both engines, so prefix sniffing and md5-over-hex evaluate identically.
+_FAKE_HEX_CTE = """
+imgs AS (
+  SELECT 'img_' || CAST(doc_id AS VARCHAR) AS path,
+         CASE WHEN doc_id % 7 = 0 THEN hex(encode(text))
+              ELSE '89504E470D0A1A0A' || hex(encode(text)) END AS hx,
+         CASE WHEN doc_id % 7 = 0 THEN octet_length(encode(text))
+              ELSE 8 + octet_length(encode(text)) END AS nbytes
+  FROM documents
+)
+""".strip()
+
+_FMT_SQL = """
+CASE WHEN substring(hx, 1, 8) = '89504E47' THEN 'png'
+     WHEN substring(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+     WHEN substring(hx, 1, 8) = '47494638' THEN 'gif'
+     WHEN substring(hx, 1, 8) = '52494646' THEN 'webp'
+     ELSE 'invalid' END
+""".strip()
+
+# md5 of the hex string → first 2 hex chars → int % 8 → category (the
+# classify_image_stub function, transliterated; DuckDB lacks conv() so the
+# two hex digits are decoded by strpos arithmetic)
+_MD5_IDX_SQL = (
+    "((strpos('0123456789abcdef', substring(md5(hx), 1, 1)) - 1) * 16 + "
+    "strpos('0123456789abcdef', substring(md5(hx), 2, 1)) - 1) % "
+    f"{len(IM.IMAGE_CATEGORIES)}"
+)
+
+_CATEGORY_SQL = (
+    "CASE " + " ".join(
+        f"WHEN ({_MD5_IDX_SQL}) = {i} THEN '{cat}'"
+        for i, cat in enumerate(IM.IMAGE_CATEGORIES)
+    ) + " END"
+)
+
+
 @register(
     "udf-classify-image",
-    None,  # crc32-based stub — no portable DuckDB twin; rows-only
+    f"""
+WITH {_FAKE_HEX_CTE}
+SELECT path, {_CATEGORY_SQL} AS category
+FROM imgs WHERE ({_FMT_SQL}) <> 'invalid'
+""".strip(),
     doc="8-class image categorization over a binary column "
-    "(reference: DESIGN.md:1133-1141): deterministic crc32 stub standing in "
+    "(reference: DESIGN.md:1133-1141): deterministic md5 stub standing in "
     "for the vision-model kernel. Valid-magic rows only. Routed through "
     "models.classify_images — a vision ModelKernel drops in via kernel= "
-    "with the same schema (tests/test_model_seam.py).",
+    "with the same schema (tests/test_model_seam.py). Oracle replays the "
+    "md5-over-hex categorization on the identical fake binaries.",
 )
 def q_udf_classify_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_knowledge_etl_spark import models
@@ -393,11 +506,23 @@ def q_udf_classify_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "udf-describe-image",
-    None,  # mapInPandas kernel; rows-only
+    f"""
+WITH {_FAKE_HEX_CTE},
+sniffed AS (SELECT path, nbytes, {_FMT_SQL} AS fmt FROM imgs)
+SELECT path,
+       CASE WHEN fmt = 'invalid' THEN NULL
+            ELSE '[' || fmt || ' image, ' || CAST(nbytes AS VARCHAR) || ' bytes]'
+       END AS description,
+       CASE WHEN fmt = 'invalid' THEN 'E003: unreadable image (bad magic)'
+            ELSE CAST(NULL AS VARCHAR) END AS error
+FROM sniffed
+""".strip(),
     doc="Anti-fabrication image describe: valid bytes → structural "
     "description, invalid bytes → E003 error record, never a made-up "
     "description (reference: image-analyzer.md:193-240). Routed through "
-    "models.describe_images — same seam as the vision kernel.",
+    "models.describe_images — same seam as the vision kernel. Oracle "
+    "replays the magic sniff + byte-count description on the identical "
+    "fake binaries.",
 )
 def q_udf_describe_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_knowledge_etl_spark import models
@@ -405,12 +530,39 @@ def q_udf_describe_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     return models.describe_images(_fake_binaries(spark, sf_dir))
 
 
+_PDF_ORACLE = f"""
+WITH pdfs AS (
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.pdf' AS path,
+         doc_id % 11 = 0 AS garbage,
+         octet_length(encode(
+           CASE WHEN doc_id % 11 = 0 THEN 'GARBAGE ' ELSE '%PDF-1.4 ' END
+           || repeat(text, 10))) AS nbytes
+  FROM documents
+),
+paged AS (
+  SELECT path, nbytes,
+         unnest(range(1, greatest(1, least(nbytes // 1024, {PDF.PDF_PAGE_CAP})) + 1)) AS page_no
+  FROM pdfs WHERE NOT garbage
+)
+SELECT path, CAST(page_no AS INTEGER) AS page_no,
+       '[pdf page ' || CAST(page_no AS VARCHAR) || ': '
+         || CAST(nbytes AS VARCHAR) || ' bytes]' AS page_text,
+       CAST(NULL AS VARCHAR) AS error
+FROM paged
+UNION ALL
+SELECT path, 0, NULL, 'E004: not a PDF (bad magic)'
+FROM pdfs WHERE garbage
+""".strip()
+
+
 @register(
     "scan-pdf",
-    None,  # import-gated parser; rows-only
+    None if _HAS_PYPDF else _PDF_ORACLE,
     doc="Page-capped PDF scan over binary columns (reference: "
     "DESIGN.md:686-697, ≤15 pages): pypdf when available, deterministic "
-    "byte-window fallback otherwise; bad magic → E004 error record.",
+    "byte-window fallback otherwise; bad magic → E004 error record. The "
+    "oracle replays the byte-window pager (1 page per KiB, capped) and is "
+    "auto-withdrawn if pypdf becomes importable.",
 )
 def q_scan_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -492,6 +644,22 @@ list_sum(list_transform(generate_series(1, len(a.embedding)),
 """.strip()
 
 
+def _emb_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of EMB_DUP_CTE: embeddings plus scaled near-duplicates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    near = emb.where("vec_id % 10 = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.01).alias(
+            "embedding"
+        ),
+    )
+    return base.unionByName(near)
+
+
 @register(
     "dedup-embedding-cosine",
     f"""
@@ -512,18 +680,7 @@ FROM pairs WHERE cos >= 0.95
     "At 100 TB the bucket join is the only shuffle.",
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-    )
-    near = emb.where("vec_id % 10 = 0").select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform("embedding", lambda x: x.cast("double") * 1.01).alias(
-            "embedding"
-        ),
-    )
-    corpus = base.unionByName(near)
+    corpus = _emb_dup_corpus(spark, sf_dir)
     bucketed = corpus.withColumn(
         "bucket", similarity.sign_bucket(F.col("embedding"), 8)
     )

@@ -44,6 +44,30 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream-dedup-watermark",
+    """
+WITH delivered AS (
+  SELECT event_id, user_id, event_type FROM events
+  UNION ALL
+  SELECT event_id, user_id, event_type FROM events WHERE event_id % 10 = 0
+)
+SELECT DISTINCT event_id, user_id, event_type FROM delivered
+""".strip(),
+    doc="Exactly-once over at-least-once delivery: every 10th event is "
+    "re-delivered, dedup on event_id recovers one row each. Batch twin of "
+    "streaming/events.streaming_dedup_within_watermark "
+    "(dropDuplicatesWithinWatermark — watermark-bounded dedup state; the "
+    "streaming form converges to this exact result in "
+    "tests/test_streaming.py). Reference analog: the at-most-once visit "
+    "guarantee, scripts/crawler-queue.sh:36-41.",
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    delivered = ev.unionByName(ev.where("event_id % 10 = 0"))
+    return delivered.dropDuplicates(["event_id"])
+
+
+@register(
     "stream-sliding-window",
     """
 WITH exploded AS (

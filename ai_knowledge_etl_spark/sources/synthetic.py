@@ -115,6 +115,20 @@ OBSTACLE_TEXT_EXPR = (
 # depth surrogate for crawl operators (reference queue items carry depth 0-3)
 DEPTH_EXPR = "doc_id % 4"
 
+# Paragraph-shaped probe for paragraph-level dedup: 3 paragraphs per doc,
+# the middle one drawn from a tiny boilerplate pool on half the corpus
+# (newsletter/copyright footers — the classic cross-document duplicate
+# paragraphs a pretraining corpus needs stripped). Dialect-common.
+PARA_TEXT_EXPR = (
+    "substring(text, 1, 120)"
+    " || chr(10) || chr(10) ||"
+    " CASE doc_id % 4"
+    "   WHEN 0 THEN 'subscribe to our newsletter for the latest updates'"
+    "   WHEN 1 THEN 'all rights reserved copyright example corp'"
+    "   ELSE substring(text, 121, 140) END"
+    " || chr(10) || chr(10) || 'doc tail ' || CAST(doc_id AS STRING)"
+)
+
 # Repetition probe for the Gopher-style quality gate: the fixture corpus is
 # a near-uniform word stream with essentially zero duplicate 3-grams, so
 # every 8th doc gets a spammy repeated phrase appended — true positives for

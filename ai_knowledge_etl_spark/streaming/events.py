@@ -134,6 +134,23 @@ def streaming_session_counts(
     )
 
 
+def streaming_dedup_within_watermark(
+    stream: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """At-least-once delivery → exactly-once processing:
+    dropDuplicatesWithinWatermark keyed on event_id. The watermark bounds
+    the dedup state — a key is evicted once the stream is `watermark` past
+    its event time, so state is O(events per watermark window), not
+    O(all events ever) (plain streaming dropDuplicates grows forever).
+    Batch twin with oracle: registry/streaming.py stream-dedup-watermark."""
+    return (
+        with_event_time(stream)
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+
+
 def streaming_interval_join(
     clicks: DataFrame,
     errors: DataFrame,

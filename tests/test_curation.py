@@ -1,0 +1,94 @@
+"""Corpus-curation wave 2: paragraph dedup, SemDeDup, DSIR reweighting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_knowledge_etl_spark.operators import curation as CU
+from ai_knowledge_etl_spark.sources import synthetic as syn
+from ai_knowledge_etl_spark.sources.catalog import load_table
+
+
+def _pdocs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(syn.PARA_TEXT_EXPR).alias("ptext")
+    )
+
+
+def test_paragraph_dedup_keeps_each_paragraph_exactly_once(spark, sf_dir):
+    """Across the whole corpus, every distinct paragraph string survives in
+    exactly one document (its first occurrence)."""
+    out = CU.paragraph_dedup(_pdocs(spark, sf_dir))
+    kept_paras = (
+        out.select(
+            F.explode(F.split("text_kept", CU.PARA_SEP)).alias("para")
+        )
+        .where(F.length(F.trim("para")) > 0)
+        .groupBy("para")
+        .count()
+    )
+    assert kept_paras.where("count > 1").count() == 0
+    # the boilerplate footers appear in ~125 docs each but survive once
+    boiler = kept_paras.where(
+        F.col("para") == "subscribe to our newsletter for the latest updates"
+    )
+    assert boiler.count() == 1
+
+
+def test_paragraph_dedup_union_of_kept_equals_distinct_input(spark, sf_dir):
+    """Reassembly loses nothing: the set of surviving paragraphs equals the
+    set of distinct input paragraphs."""
+    docs = _pdocs(spark, sf_dir)
+    paras = CU.split_paragraphs(docs)
+    n_distinct = paras.select("para").distinct().count()
+    out = CU.paragraph_dedup(docs)
+    assert out.agg(F.sum("n_kept")).collect()[0][0] == n_distinct
+    # docs fully boilerplate would yield empty text; here every doc keeps
+    # its unique tail paragraph at minimum
+    assert out.where("n_kept = 0").count() == 0
+
+
+def test_semantic_dedup_drops_injected_near_duplicates(spark, sf_dir):
+    from ai_knowledge_etl_spark.registry.sources_sinks import _emb_dup_corpus
+
+    corpus = _emb_dup_corpus(spark, sf_dir)
+    cents = corpus.where("vec_id < 8").select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    out = CU.semantic_dedup(corpus, cents, threshold=0.95)
+    assert out.count() == corpus.count()  # one verdict per vector
+    # every injected scaled copy (id >= 100000) sits at cosine 1.0 to its
+    # original (scaling preserves direction) → must be dropped
+    injected = out.where("vec_id >= 100000")
+    assert injected.count() > 0
+    assert injected.where("kept").count() == 0
+    # originals survive (they are the lowest id of their pair)
+    assert out.where("vec_id < 100000 AND NOT kept").count() == 0
+
+
+def test_importance_scores_favor_target_slice(spark, sf_dir):
+    """DSIR sanity: averaged over the corpus, target-slice (lang='en') docs
+    must score higher than non-target docs under the target-vs-corpus
+    log-ratio weights."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = CU.importance_scores(docs, "lang = 'en'").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    avg = {
+        r["is_en"]: r["avg_score"]
+        for r in scores.groupBy(
+            (F.col("lang") == "en").alias("is_en")
+        )
+        .agg(F.avg("score_millinats").alias("avg_score"))
+        .collect()
+    }
+    assert avg[True] > avg[False]
+
+
+def test_importance_scores_partitioning_invariant(spark, sf_dir):
+    """Integer-millinat weights make the per-doc sum associative: scores are
+    byte-identical when the corpus arrives in a different partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = CU.importance_scores(docs, "lang = 'en'").collect()
+    b = CU.importance_scores(docs.repartition(7, "source"), "lang = 'en'").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

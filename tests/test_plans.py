@@ -103,6 +103,10 @@ PLAN_ALLOWLIST = {
     # k-means assignment is definitionally corpus × k centroids (k=8
     # broadcast rows, twice — one per Lloyd iteration)
     "similarity-kmeans-ann": {"BroadcastNestedLoopJoin"},
+    # SemDeDup coarse quantization: corpus × 8 broadcast centroids (same
+    # shape as the k-means assignment); the pairwise stage is an equi-join
+    # on the cluster id
+    "dedup-semantic": {"BroadcastNestedLoopJoin"},
     # global window confined to session-capped planner state (≤4 crawl
     # waves by construction) — see registry/streaming.py
     "stream-visited-state": {"SinglePartition"},
@@ -114,6 +118,17 @@ PLAN_ALLOWLIST = {
     # the per-source count dim — the mixture target is definitionally a
     # global ratio; the corpus itself only sees a narrow filter
     "sample-domain-reweight": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    # corpus-token-total scalar (1-row combine) cross-joined back as a
+    # 1-row broadcast — the unigram LM is definitionally normalized by the
+    # global token count; the token stream itself sees only equi-joins
+    "udf-unigram-logprob": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    # BM25's corpus constants (N, avgdl) are global scalars (1-row combine
+    # + 1-row broadcast); df/tf sides are hash-agg equi-joins
+    "text-bm25-rank": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    # DSIR weight table: corpus/target token totals are global scalars
+    # (1-row combine + 1-row broadcast onto the 4096-row weight dim);
+    # the token stream itself only sees the broadcast equi-join
+    "sample-importance-reweight": {"SinglePartition", "BroadcastNestedLoopJoin"},
     # partsupp synthesis (TPC-H wave 6) modulos supplier keys by the
     # supplier COUNT: a 1-row scalar agg broadcast-crossed into the part
     # scan — data-independent and tiny. Q11 additionally carries its

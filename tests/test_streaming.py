@@ -56,6 +56,42 @@ def test_streaming_session_matches_batch(spark, events_stream):
     assert len(got) > 0
 
 
+def test_streaming_dedup_within_watermark_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """At-least-once delivery (every 10th event written twice) →
+    dropDuplicatesWithinWatermark recovers the exactly-once set, equal to
+    the registered batch twin (stream-dedup-watermark)."""
+    from ai_knowledge_etl_spark.registry import REGISTRY
+
+    batch = load_table(spark, sf_dir, "events")
+    dup = batch.unionByName(batch.where("event_id % 10 = 0"))
+    path = str(tmp_path / "dup_events")
+    dup.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+
+    out = EV.streaming_dedup_within_watermark(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM t_dedup_wm").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            REGISTRY["stream-dedup-watermark"].spark(spark, sf_dir).collect(),
+        )
+    )
+    assert got == want
+    assert len(got) == batch.count()  # every duplicate collapsed
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Late rows beyond the watermark are discarded in update mode: feed two
     micro-batches where the second is older than watermark allows."""
