@@ -40,8 +40,13 @@ from ai_knowledge_etl_spark.registry import REGISTRY
 from ai_knowledge_etl_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_WORKERS = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "16"))
+# 8 submitter threads, not 16: measured on the round-2 VM (32 cores),
+# 16 workers collapse the makespan 2.5-3.6x (146-211 s vs 57-60 s at
+# 6/8/12 workers — memory/GC thrash once ~16 multi-stage queries run
+# concurrently in one JVM). 6/8/12 are within noise of each other.
+N_WORKERS = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "8"))
 SHUFFLE = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "4"))
+PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
 
 
 def sf_of(path: str) -> float:
@@ -129,11 +134,26 @@ def main() -> None:
         return name, round(time.time() - t0, 3)
 
     order = sorted(REGISTRY, key=lambda n: (-HEAVY_FIRST.get(n, 0), n))
-    t0 = time.time()
-    with ThreadPoolExecutor(N_WORKERS) as ex:
-        timings = dict(ex.map(run, order))
-    total = round(time.time() - t0, 3)
-    duck_sec, duck_n = duckdb_oracle_wall()
+    # Two passes, report the warm (min) wall: pass 1 pays JIT/codegen and
+    # Python-worker spin-up; pass 2 is the steady-state number. On the
+    # current VM the run-to-run spread is large (cold 1.3-2x warm), so the
+    # warm pass is the reproducible measurement.
+    totals, timings = [], {}
+    for _ in range(PASSES):
+        t0 = time.time()
+        with ThreadPoolExecutor(N_WORKERS) as ex:
+            pass_timings = dict(ex.map(run, order))
+        wall = round(time.time() - t0, 3)
+        if not totals or wall < min(totals):
+            timings = pass_timings
+        totals.append(wall)
+    total = min(totals)
+    # stop the JVM before the DuckDB phase so the baseline measurement does
+    # not compete with a resident 16 GB heap; best-of-2 damps VM noise
+    # (same direction for both engines: min-of-passes each).
+    spark.stop()
+    duck_runs = [duckdb_oracle_wall() for _ in range(2)]
+    duck_sec, duck_n = min(duck_runs)
     headline = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -142,6 +162,7 @@ def main() -> None:
         "n_queries": len(timings),
         "duckdb_oracle_sec": duck_sec,
         "duckdb_oracle_n": duck_n,
+        "passes": totals,
     }
     # Per-query timings go to a sidecar, NOT the stdout line: the driver
     # captures only a tail of stdout and a ~6 KB line gets truncated
