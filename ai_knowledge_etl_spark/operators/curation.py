@@ -127,7 +127,10 @@ def semantic_dedup(
     shuffles each cluster to one task group."""
     from ai_knowledge_etl_spark.operators import similarity as S
 
-    assigned = nearest_centroid(vecs, centroids, id_col, vec_col)
+    # the assignment feeds three consumers (both pair-join sides + the
+    # verdict join) — persist so the centroid argmin runs once, mirroring
+    # the shingle-cache discipline in registry/northstar
+    assigned = nearest_centroid(vecs, centroids, id_col, vec_col).persist()
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         F.col("cluster"),
@@ -157,42 +160,46 @@ N_FEATURE_BUCKETS = 4096
 
 
 def hashed_unigram_buckets(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, bucket) per token occurrence: lowercase word unigrams hashed to
-    N_FEATURE_BUCKETS via the first 3 hex digits of md5 — the dialect-common
-    hash (DuckDB replays it with strpos arithmetic)."""
+    """(id, bucket[, *keep]) per token occurrence: lowercase word unigrams
+    hashed to N_FEATURE_BUCKETS via the first 3 hex digits of md5 — the
+    dialect-common hash (DuckDB replays it with strpos arithmetic)."""
     toks = docs.select(
         id_col,
+        *keep,
         F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("tok"),
     ).where(F.length("tok") > 0)
     return toks.select(
         id_col,
+        *keep,
         (F.conv(F.substring(F.md5("tok"), 1, 3), 16, 10).cast("int")
          % N_FEATURE_BUCKETS).alias("bucket"),
     )
 
 
-def importance_weights(
-    corpus_buckets: DataFrame, target_buckets: DataFrame
-) -> DataFrame:
-    """Per-bucket DSIR weight in integer millinats:
+def importance_weights(flagged_buckets: DataFrame) -> DataFrame:
+    """Per-bucket DSIR weight in integer millinats from a single flagged
+    token stream (`bucket`, `is_target`):
     round(1e6 * (ln p_target(b) - ln p_corpus(b))) with add-one smoothing.
-    Integer weights make the downstream per-doc sum associative — the score
-    is partitioning-invariant, which a float log-sum is not."""
-    c = corpus_buckets.groupBy("bucket").agg(F.count("*").alias("c_n"))
-    t = target_buckets.groupBy("bucket").agg(F.count("*").alias("t_n"))
-    # totals as 1-row broadcast scalars — keeps the whole weight table lazy
-    # (plan shows the inherent 1-row final combine + 1-row BNLJ; both are
-    # justified in the plan-audit allowlist)
-    c_tot = corpus_buckets.agg(F.count("*").alias("c_tot"))
-    t_tot = target_buckets.agg(F.count("*").alias("t_tot"))
-    joined = (
-        c.join(t, "bucket", "left")
-        .na.fill({"t_n": 0})
-        .crossJoin(F.broadcast(c_tot))
-        .crossJoin(F.broadcast(t_tot))
+    One hash-agg produces both distributions (conditional counts) — the
+    corpus is tokenized once, not once per distribution. Integer weights
+    make the downstream per-doc sum associative — the score is
+    partitioning-invariant, which a float log-sum is not."""
+    tgt = F.col("is_target").cast("bigint")
+    c = flagged_buckets.groupBy("bucket").agg(
+        F.count("*").alias("c_n"), F.sum(tgt).alias("t_n")
     )
+    # totals as a 1-row broadcast scalar — keeps the whole weight table
+    # lazy (plan shows the inherent 1-row final combine + 1-row BNLJ;
+    # justified in the plan-audit allowlist)
+    tot = flagged_buckets.agg(
+        F.count("*").alias("c_tot"), F.sum(tgt).alias("t_tot")
+    )
+    joined = c.crossJoin(F.broadcast(tot))
     w = F.round(
         1_000_000.0
         * (
@@ -210,15 +217,19 @@ def importance_scores(
     text_col: str = "text",
 ) -> DataFrame:
     """Per-doc DSIR importance: sum of hashed-unigram bucket weights.
-    (id, n_toks, score_millinats). The weight table is N_FEATURE_BUCKETS
-    rows — always broadcast."""
-    buckets = hashed_unigram_buckets(docs, id_col, text_col)
-    target = docs.where(target_pred)
-    weights = importance_weights(
-        buckets, hashed_unigram_buckets(target, id_col, text_col)
-    )
+    (id, n_toks, score_millinats). One tokenize pass feeds both the weight
+    estimation (target distribution carried as a flag column) and the
+    scoring join; the weight table is N_FEATURE_BUCKETS rows — always
+    broadcast."""
+    flagged = hashed_unigram_buckets(
+        docs.withColumn("is_target", F.expr(target_pred)),
+        id_col,
+        text_col,
+        keep=("is_target",),
+    ).persist()
+    weights = importance_weights(flagged)
     return (
-        buckets.join(F.broadcast(weights), "bucket")
+        flagged.join(F.broadcast(weights), "bucket")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_toks"),

@@ -82,36 +82,48 @@ def duckdb_oracle_wall() -> tuple[float, int]:
 # Longest-processing-time-first submission order (classic LPT makespan
 # heuristic): heavy queries start immediately instead of queueing behind
 # dozens of sub-second ones, so the tail of the concurrent run is short.
-# Weights are measured sf0.1 wall (relative rank is what matters; anything
-# unlisted is light and runs last in name order).
+# Weights are measured isolated sequential wall at sf0.1 on the round-2 VM
+# (relative rank is what matters; anything unlisted is light and runs last
+# in name order).
 HEAVY_FIRST = {
-    "dedup-cluster-cc": 52,
-    "agg-mad-outliers": 24,
-    "join-triangle-count": 14,
-    "scan-web-jina": 34,
-    "scan-web-trafilatura": 33,
-    "scan-pdf": 33,
-    "similarity-ivf": 29,
-    "similarity-kmeans-ann": 28,
-    "stream-crawl-frontier": 25,
-    "stream-visited-state": 23,
-    "stream-stop-conditions": 22,
-    "stream-funnel": 20,
-    "join-waiting-supplier": 20,
-    "topk-customer-revenue": 20,
-    "topk-supplier-revenue": 19,
-    "stream-sliding-window": 18,
-    "stream-session-window": 17,
-    "dedup-minhash-verified": 16,
-    "dedup-minhash": 16,
-    "topk-pages-report": 15,
-    "topk-images-per-page": 14,
-    "plan-batches": 11,
-    "similarity-topk": 10,
-    "join-nested-semi-threshold": 10,
-    "similarity-lsh-bucketed": 10,
-    "dedup-ngram-jaccard": 9,
-    "join-star-revenue": 9,
+    "stream-late-data-watermark": 20,
+    "dedup-cluster-cc": 13,
+    "scan-custom-datasource": 12,
+    "scan-web-connector": 8,
+    "agg-mad-outliers": 8,
+    "sql-revenue-by-region": 7,
+    "agg-basket-pairs": 6,
+    "dedup-minhash": 6,
+    "dedup-semantic": 6,
+    "agg-market-share": 6,
+    "scan-web-jina": 6,
+    "sample-importance-reweight": 6,
+    "topk-returned-customers": 5,
+    "join-waiting-supplier": 5,
+    "agg-anomaly-rolling-z": 5,
+    "agg-listagg-sources": 5,
+    "agg-promo-revenue": 5,
+    "similarity-ivf": 4,
+    "scalar-variant-json": 4,
+    "sql-recursive-closure": 4,
+    "similarity-kmeans-ann": 4,
+    "agg-part-supplier-variety": 4,
+    "agg-local-supplier-volume": 4,
+    "topk-customer-revenue": 4,
+    "dedup-embedding-cosine": 4,
+    "agg-nation-profit": 4,
+    "sink-incremental-agg": 4,
+    "agg-important-stock": 3,
+    "agg-pricing-summary": 3,
+    "agg-percentiles": 3,
+    "join-scd2-pointintime": 3,
+    "window-running-total": 3,
+    "similarity-lsh-bucketed": 3,
+    "agg-batch-rollup": 3,
+    "dedup-minhash-verified": 3,
+    "scan-web-trafilatura": 3,
+    "scan-pdf": 3,
+    "stream-crawl-frontier": 3,
 }
 
 
