@@ -77,7 +77,10 @@ def upsert_parquet(
             base, upd, key=key, rev_col=rev_col
         ).localCheckpoint()
     except Exception:  # AnalysisException: path does not exist yet
-        merged = upd
+        # bootstrap must still collapse duplicate keys WITHIN the first
+        # batch (one row per key, highest rev) — an at-least-once source
+        # can deliver a key twice in the very first micro-batch
+        merged = merge_latest(upd.limit(0), upd, key=key, rev_col=rev_col)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -217,3 +217,60 @@ def prepare_training_set(
         partition_col="split",
     )
     return packed
+
+
+def curate_corpus(
+    pdocs: DataFrame,
+    lang_lookup: DataFrame,
+    target_pred: str = "lang = 'en'",
+    min_norm_chars: int = 80,
+    top_n: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "ptext",
+) -> DataFrame:
+    """Corpus-curation pipeline as ONE lazy DataFrame graph — the standard
+    pretraining-data recipe assembled from this engine's oracled operators:
+
+      paragraph dedup (strip cross-document boilerplate)
+      → normalization (lowercase / punct-strip / whitespace-collapse)
+      → length gate on the normalized text
+      → DSIR importance scoring vs the target slice
+      → deterministic top-N selection
+
+    `pdocs` carries (id, text); `lang_lookup` carries (id, lang) for the
+    target predicate. Returns (id, n_kept, n_toks, score_millinats), the
+    top_n highest-importance surviving docs. Registered with a fully
+    composed DuckDB oracle as `pipeline-curate-corpus`.
+
+    Scale: every stage is the already-audited operator — fingerprint-keyed
+    dedup window, codegen'd normalizer, one tokenize pass with a 4096-row
+    broadcast weight dim, TakeOrderedAndProject for the final cut.
+    """
+    from ai_knowledge_etl_spark.operators import curation as CU
+
+    deduped = CU.paragraph_dedup(pdocs, id_col, text_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text_kept")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    normalized = deduped.select(
+        id_col, "n_kept", norm.alias("norm")
+    ).where(F.length("norm") >= min_norm_chars)
+    flagged = normalized.join(lang_lookup, id_col).withColumn(
+        "is_target", F.expr(target_pred)
+    )
+    scored = CU.importance_scores(
+        flagged.select(id_col, "n_kept", "is_target", "norm"),
+        "is_target",
+        id_col=id_col,
+        text_col="norm",
+    )
+    out = scored.join(
+        normalized.select(id_col, "n_kept"), id_col
+    ).select(id_col, "n_kept", "n_toks", "score_millinats")
+    return topk.top_k(
+        out, top_n, F.desc("score_millinats"), F.asc(id_col)
+    )

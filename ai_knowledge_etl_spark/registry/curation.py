@@ -186,6 +186,89 @@ def q_sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.importance_scores(_docs(spark, sf_dir), "lang = 'en'")
 
 
+# --- end-to-end curation pipeline -----------------------------------------------
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text_kept), '[^a-z0-9 ]', "
+    "' ', 'g'), ' +', ' ', 'g'))"
+)
+
+_CURATE_ORACLE = f"""
+WITH {_PARA_CTE},
+dd AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                             chr(10) || chr(10) ORDER BY idx), '') AS text_kept
+  FROM ranked GROUP BY doc_id
+),
+gated AS (
+  SELECT doc_id, n_kept, norm FROM (
+    SELECT doc_id, n_kept, {_NORM_SQL} AS norm FROM dd
+  ) WHERE length(norm) >= 80
+),
+flagged AS (
+  SELECT g.doc_id, g.n_kept, g.norm, (d.lang = 'en') AS is_target
+  FROM gated g JOIN documents d USING (doc_id)
+),
+toks AS (
+  SELECT doc_id, is_target, CAST({_BUCKET_SQL} AS INTEGER) AS bucket
+  FROM (
+    SELECT doc_id, is_target,
+           unnest(string_split_regex(lower(norm), '[^a-z]+')) AS tok
+    FROM flagged
+  ) WHERE length(tok) > 0
+),
+c AS (
+  SELECT bucket, count(*) AS c_n,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_n
+  FROM toks GROUP BY bucket
+),
+tot AS (
+  SELECT count(*) AS c_tot,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_tot
+  FROM toks
+),
+w AS (
+  SELECT bucket,
+         CAST(round(1000000.0 * (
+            ln((t_n + 1.0) / (tot.t_tot + {CU.N_FEATURE_BUCKETS}))
+          - ln((c_n + 1.0) / (tot.c_tot + {CU.N_FEATURE_BUCKETS}))
+         )) AS BIGINT) AS w_millinats
+  FROM c CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(w.w_millinats) AS BIGINT) AS score_millinats
+  FROM toks JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT s.doc_id, f.n_kept, s.n_toks, s.score_millinats
+FROM scored s JOIN flagged f USING (doc_id)
+ORDER BY score_millinats DESC, doc_id ASC
+LIMIT 100
+""".strip()
+
+
+@register(
+    "pipeline-curate-corpus",
+    _CURATE_ORACLE,
+    doc="The pretraining-corpus curation recipe END-TO-END as one lazy "
+    "plan (pipeline.curate_corpus): paragraph dedup → normalization → "
+    "length gate → DSIR importance scoring vs the lang='en' slice → "
+    "deterministic top-100. Every stage is an already-oracled operator; "
+    "this query differentially proves their COMPOSITION (stage seams are "
+    "where column/row-semantics bugs hide). Plan: fingerprint window + "
+    "codegen'd normalizer + one tokenize pass + 4096-row broadcast + "
+    "TakeOrderedAndProject.",
+)
+def q_pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark import pipeline as P
+
+    docs = _docs(spark, sf_dir)
+    pdocs = docs.select("doc_id", F.expr(syn.PARA_TEXT_EXPR).alias("ptext"))
+    return P.curate_corpus(pdocs, docs.select("doc_id", "lang"))
+
+
 # --- normalization kernel -------------------------------------------------------
 
 

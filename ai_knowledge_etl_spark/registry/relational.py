@@ -877,18 +877,27 @@ def q_plan_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_suppkey, l_orderkey, l_linenumber,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
          PARTITION BY l_suppkey
-         ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+         ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
 FROM lineitem
 """.strip(),
     doc="Aggregate-over-frame window (running pack totals, SURVEY §2.G "
-    "coverage note). Unique ORDER BY + explicit ROWS frame keeps it "
-    "deterministic in both engines.",
+    "coverage note). Explicit ROWS frame; the synthetic lineitem does NOT "
+    "guarantee unique (l_orderkey, l_linenumber), so l_quantity is the "
+    "final tiebreak — rows still tied after it are value-identical in "
+    "every output column, making the result multiset order-independent "
+    "(a tie with differing quantity surfaced as a real divergence in the "
+    "10x scale sweep).",
 )
 def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy(F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .orderBy(
+            F.asc("l_shipdate"),
+            F.asc("l_orderkey"),
+            F.asc("l_linenumber"),
+            F.asc("l_quantity"),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return _t(spark, sf_dir, "lineitem").select(

@@ -134,6 +134,44 @@ def streaming_session_counts(
     )
 
 
+def foreach_batch_upsert(
+    stream: DataFrame,
+    path: str,
+    key: str = "event_id",
+    rev_col: str = "ts",
+    n_buckets: int = 16,
+):
+    """Exactly-once streaming sink on plain parquet: every micro-batch is
+    MERGEd into a bucket-partitioned table via the incremental file-level
+    upsert (operators/incremental.upsert_parquet). The merge keeps the
+    max-`rev_col` row per key, so replaying a batch after a failure — the
+    at-least-once delivery Structured Streaming guarantees for foreachBatch
+    — converges to the same table instead of duplicating rows: idempotent
+    writes + replayed source = effectively-exactly-once end to end.
+
+    Scale: each micro-batch touches only the hash-buckets its keys land in
+    (partition-pruned read-back + dynamic overwrite of exactly those
+    directories), so sink IO is proportional to the batch, not the table.
+    Returns the StreamingQuery; caller awaits termination."""
+    from ai_knowledge_etl_spark.operators import incremental
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        incremental.upsert_parquet(
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            key=key,
+            rev_col=rev_col,
+            n_buckets=n_buckets,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_dedup_within_watermark(
     stream: DataFrame, watermark: str = "30 minutes"
 ) -> DataFrame:

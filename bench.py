@@ -87,6 +87,7 @@ def duckdb_oracle_wall() -> tuple[float, int]:
 # in name order).
 HEAVY_FIRST = {
     "stream-late-data-watermark": 20,
+    "pipeline-curate-corpus": 9,
     "dedup-cluster-cc": 13,
     "scan-custom-datasource": 12,
     "scan-web-connector": 8,

@@ -92,6 +92,37 @@ def test_streaming_dedup_within_watermark_matches_batch(
     assert len(got) == batch.count()  # every duplicate collapsed
 
 
+def test_foreach_batch_upsert_is_effectively_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """foreachBatch + idempotent MERGE = exactly-once end to end: the sink
+    table equals the distinct batch result, and a full REPLAY of the same
+    stream (fresh query, fresh checkpoint — the at-least-once failure mode)
+    leaves the table byte-identical instead of duplicating rows."""
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    dup = batch.unionByName(batch.where("event_id % 10 = 0"))
+    src = str(tmp_path / "src")
+    dup.write.mode("overwrite").parquet(src)
+    table = str(tmp_path / "table")
+
+    def run_once():
+        stream = spark.readStream.schema(dup.schema).parquet(src)
+        q = EV.foreach_batch_upsert(stream, table, key="event_id", rev_col="ts")
+        q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(table).select(*batch.columns)
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+
+    run_once()  # replay everything — must be a no-op on the table
+    again = spark.read.parquet(table).select(*batch.columns)
+    assert again.count() == batch.count()
+    assert again.exceptAll(batch).count() == 0
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Late rows beyond the watermark are discarded in update mode: feed two
     micro-batches where the second is older than watermark allows."""

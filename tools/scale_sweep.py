@@ -66,6 +66,15 @@ SCALING_QUERIES = [
     "window-batch-assign",
     "agg-timeseries-gapfill",
     "agg-touch-attribution",
+    # documents-table curation ops (documents also scales ×mult below):
+    # paragraph boilerplate df inflates ×mult — the keep-first window and
+    # the DSIR token pipeline must stay linear through it
+    "dedup-paragraph",
+    "sample-importance-reweight",
+    "pipeline-curate-corpus",
+    "udf-normalize-text",
+    "dedup-exact",
+    "stream-dedup-watermark",
 ]
 
 
@@ -74,7 +83,7 @@ def generate(mult: int, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     # fixed tables: verbatim copy (cheap, keeps load_table paths uniform)
     for t in TABLES:
-        if t in ("lineitem", "orders", "events"):
+        if t in ("lineitem", "orders", "events", "documents"):
             continue
         src = os.path.join(BASE, f"{t}.parquet")
         if os.path.exists(src):
@@ -114,6 +123,22 @@ def generate(mult: int, out_dir: str) -> None:
                  ts, user_id, event_type, value, props
           FROM '{BASE}/events.parquet', (SELECT unnest([{reps}]) AS i) r
         ) TO '{out_dir}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    # documents ×mult with offset doc_ids: the synthetic paragraph/URL/flag
+    # derivations are doc_id-arithmetic, so replicas generate DIFFERENT
+    # boilerplate mixes per id band while shared boilerplate paragraphs'
+    # document frequency inflates ×mult — exactly the dedup stress we want
+    dkey_span = con.execute(
+        f"SELECT max(doc_id) + 1 FROM '{BASE}/documents.parquet'"
+    ).fetchone()[0]
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id + r.i * {dkey_span} AS doc_id,
+                 text, lang, source, n_chars
+          FROM '{BASE}/documents.parquet', (SELECT unnest([{reps}]) AS i) r
+        ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)
         """
     )
 
