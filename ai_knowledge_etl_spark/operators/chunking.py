@@ -125,6 +125,11 @@ def rag_chunks_smart(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     chunker. Not SQL-expressible (order-dependent accumulation), so the
     driver gate is rows-only; invariants are property-tested in
     tests/test_chunking.py."""
+    from ai_knowledge_etl_spark.sources.catalog import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers(df.sparkSession)
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, chunk_idx int, chunk string"
 

@@ -357,6 +357,44 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg-hll-sketch-merge",
+    """
+SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_5pct
+""".strip()
+    + "\nFROM events",
+    doc="Mergeable HLL sketches (Spark 3.5+ hll_sketch_agg / hll_union_agg "
+    "/ hll_sketch_estimate): per-event_type user sketches unioned into a "
+    "global distinct estimate — the pre-aggregation pattern that makes "
+    "100 TB distinct-counting incremental (daily sketch tables union into "
+    "any window without rescanning raw events; plain approx_count_distinct "
+    "cannot compose that way). Bound-check oracle like agg-approx-distinct: "
+    "the merged estimate must land within ±5% of exact or the hash breaks.",
+)
+def q_agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_type.agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est"),
+    )
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_types",
+        "exact_users",
+        (
+            F.abs(F.col("__est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
+    )
+
+
+@register(
     "sink-index-report",
     """
 SELECT source,

@@ -97,6 +97,14 @@ def fetch_pipeline(
     classify → frontmatter header. The full single-page lifecycle
     (SURVEY §3.1) as one lazy plan; the fetch UDF runs on executors with
     per-domain pacing, the rest is Catalyst column work."""
+    from ai_knowledge_etl_spark.sources.catalog import (
+        ensure_package_on_workers,
+    )
+
+    # direct API users (README quick-start) call this without going through
+    # the registry/catalog path — ship the package so the mapInPandas
+    # kernels resolve on workers regardless of the caller's cwd
+    ensure_package_on_workers(urls_df.sparkSession)
 
     routed = urls_df.select(
         "url",

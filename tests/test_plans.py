@@ -125,6 +125,10 @@ PLAN_ALLOWLIST = {
     # BM25's corpus constants (N, avgdl) are global scalars (1-row combine
     # + 1-row broadcast); df/tf sides are hash-agg equi-joins
     "text-bm25-rank": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    # merged-sketch estimate vs exact distinct: two global scalar aggs
+    # (1-row combines) joined as a 1-row broadcast — inherent to a
+    # whole-table accuracy check
+    "agg-hll-sketch-merge": {"SinglePartition", "BroadcastNestedLoopJoin"},
     # DSIR weight table: corpus/target token totals are global scalars
     # (1-row combine + 1-row broadcast onto the 4096-row weight dim);
     # the token stream itself only sees the broadcast equi-join
