@@ -40,6 +40,7 @@ class ExtractResult:
     report: DataFrame  # top-k pages
     chunks: DataFrame  # RAG chunks (doc ref + chunk_idx + chunk)
     output: DataFrame | None  # --pipe formatted records
+    ir_stats: "Observation | None" = None  # filled after any pages action
 
 
 def extract(
@@ -85,7 +86,23 @@ def extract(
         .drop("__rn", "fp")
     )
 
-    pages = deduped
+    # IR run stats observed for free on the pages pass (reference:
+    # DESIGN.md:1092-1099 — totalChars / filesProcessed / errors). An
+    # Observation rides the existing scan: zero extra jobs, metrics appear
+    # after the first action on `pages` via result.ir_stats.get.
+    from pyspark.sql import Observation
+
+    ir_obs = Observation("ir_stats")
+    pages = deduped.observe(
+        ir_obs,
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+            "n_errors"
+        ),
+        F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias(
+            "total_chars"
+        ),
+    )
 
     index = (
         pages.groupBy(U.domain("url").alias("source"))
@@ -149,7 +166,12 @@ def extract(
         raise ValueError(f"unknown pipe format {pipe!r}")
 
     return ExtractResult(
-        pages=pages, index=index, report=report, chunks=chunks, output=output
+        pages=pages,
+        index=index,
+        report=report,
+        chunks=chunks,
+        output=output,
+        ir_stats=ir_obs,
     )
 
 

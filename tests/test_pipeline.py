@@ -30,6 +30,13 @@ def test_extract_end_to_end(spark, frontier):
     )
     pages = res.pages.collect()
     assert 0 < len(pages) <= 25
+    # run metrics observed for free on the same pass (DESIGN.md:1092-1099)
+    stats = res.ir_stats.get
+    assert stats["n_pages"] == len(pages)
+    assert stats["n_errors"] == sum(1 for r in pages if r["error"] is not None)
+    assert stats["total_chars"] == sum(
+        len(r["text"] or "") for r in pages
+    )
     # scores bounded, stars attached, obstacles classified
     for r in pages:
         assert 0 <= r["relevance"] <= 10

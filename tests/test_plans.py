@@ -7,6 +7,7 @@ refactor regresses a plan shape, these fail before any benchmark does."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from ai_knowledge_etl_spark.registry import REGISTRY
 
@@ -306,3 +307,30 @@ def test_join_hints_control_physical_strategy(spark, sf_dir):
         o.join(c.hint("shuffle_hash"), o["o_custkey"] == c["c_custkey"])
     )
     assert "ShuffledHashJoin" in hashed and "BroadcastHashJoin" not in hashed
+
+
+def test_dynamic_partition_pruning_reaches_partitioned_scan(
+    spark, sf_dir, tmp_path
+):
+    """Catalyst's dynamic partition pruning: a partitioned fact joined with
+    a filtered dim must plan a runtime `dynamicpruning` subquery on the
+    fact scan — at 100 TB this is the difference between scanning one
+    partition directory and scanning the table. The corpus analog is
+    partition-by-crawl-band (SURVEY §4 'partition pruning analog')."""
+    from ai_knowledge_etl_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_by_priority")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .where(F.col("o_orderpriority").startswith("1"))
+    )
+    joined = fact.join(dim, "o_orderpriority")
+    plan = joined._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan
+    # and the pruning actually restricts rows at runtime
+    want = orders.where(F.col("o_orderpriority").startswith("1")).count()
+    assert joined.count() == want
