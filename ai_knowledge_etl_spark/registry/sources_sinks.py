@@ -555,6 +555,98 @@ FROM pdfs WHERE garbage
 """.strip()
 
 
+# one WARC record per doc; every 13th record's magic is clobbered so the
+# parser's corruption-resync path has true positives. CRLFs via chr(13/10).
+_WARC_REC_DUCK = f"""
+CASE WHEN doc_id % 13 = 0 THEN 'GARBAGE!' ELSE 'WARC/1.0' END
+|| chr(13) || chr(10) || 'WARC-Type: response'
+|| chr(13) || chr(10) || 'WARC-Target-URI: ' || ({syn.URL_EXPR})
+|| chr(13) || chr(10) || 'Content-Length: '
+|| CAST(octet_length(encode(text)) AS VARCHAR)
+|| chr(13) || chr(10) || chr(13) || chr(10) || text
+|| chr(13) || chr(10) || chr(13) || chr(10)
+""".strip()
+
+
+@register(
+    "scan-warc",
+    f"""
+WITH recs AS (
+  SELECT doc_id, doc_id % 125 AS file_id,
+         ({syn.URL_EXPR}) AS uri,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         octet_length(encode({_WARC_REC_DUCK})) AS rec_len,
+         doc_id % 13 = 0 AS corrupt,
+         substring(text, 1, 40) AS head
+  FROM documents
+),
+offs AS (
+  SELECT *, CAST(coalesce(sum(rec_len) OVER (
+             PARTITION BY file_id ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER)
+           AS rec_offset
+  FROM recs
+)
+SELECT CAST(file_id AS BIGINT) AS file_id, uri, n_bytes, head, rec_offset
+FROM offs WHERE NOT corrupt
+""".strip(),
+    doc="WARC record scanning (Common-Crawl-shaped ingestion; the 100 TB "
+    "arrival format of the reference's live-page content, "
+    "commands/extract.md:445-559): documents are packed 4-per-file into "
+    "real WARC bytes (headers + Content-Length-delimited payloads), then "
+    "sources/warc.py's single-pass parser splits them back out via "
+    "Arrow-batched mapInPandas — corrupted records (clobbered magic, "
+    "every 13th) are skipped by forward-resync without killing the file. "
+    "The oracle regenerates every surviving record's (uri, n_bytes, "
+    "head, byte offset) arithmetically — offsets via an exclusive "
+    "running sum of record lengths — so the parser is differentially "
+    "proven including the resync path.",
+)
+def q_scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.sources import warc
+
+    docs = _docs(spark, sf_dir)
+    crlf = F.lit("\r\n")
+    rec = F.concat(
+        F.when(F.expr("doc_id % 13 = 0"), F.lit("GARBAGE!")).otherwise(
+            F.lit("WARC/1.0")
+        ),
+        crlf,
+        F.lit("WARC-Type: response"),
+        crlf,
+        F.lit("WARC-Target-URI: "),
+        syn.url_col(),
+        crlf,
+        F.lit("Content-Length: "),
+        F.octet_length("text").cast("string"),
+        crlf,
+        crlf,
+        F.col("text"),
+        crlf,
+        crlf,
+    )
+    files = (
+        docs.select(
+            F.expr("doc_id % 125").alias("file_id"), "doc_id", rec.alias("rec")
+        )
+        .groupBy("file_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
+                    lambda s: s.getField("rec"),
+                ),
+                "",
+            ).alias("blob_str")
+        )
+        .select(
+            F.col("file_id").cast("bigint").alias("file_id"),
+            F.encode("blob_str", "utf-8").alias("content"),
+        )
+    )
+    return warc.scan_warc(files)
+
+
 @register(
     "scan-pdf",
     None if _HAS_PYPDF else _PDF_ORACLE,

@@ -491,3 +491,39 @@ def test_pagesource_writer_commit_protocol(spark, sf_dir, tmp_path):
     # the 4-task batch's extra part files are gone; listing == manifest
     assert sorted(m["file"] for m in manifest2["files"]) == parts2
     assert sum(m["n_rows"] for m in manifest2["files"]) == 50
+
+
+def test_warc_parser_edges():
+    """Direct parser edge cases: empty file, trailing garbage, a header
+    block without Content-Length (resync), payload hitting EOF."""
+    from ai_knowledge_etl_spark.sources.warc import parse_warc_bytes
+
+    def rec(uri: str, payload: bytes) -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+            + uri.encode()
+            + b"\r\nContent-Length: "
+            + str(len(payload)).encode()
+            + b"\r\n\r\n"
+            + payload
+            + b"\r\n\r\n"
+        )
+
+    assert parse_warc_bytes(b"") == ([], 0)
+    assert parse_warc_bytes(b"no records here") == ([], 15)
+
+    two = rec("http://a", b"AAAA") + rec("http://b", b"BB")
+    recs, skipped = parse_warc_bytes(two)
+    assert skipped == 0
+    assert [(u, n) for u, n, _, _ in recs] == [("http://a", 4), ("http://b", 2)]
+    assert recs[0][3] == 0 and recs[1][3] == len(rec("http://a", b"AAAA"))
+
+    # header without Content-Length: resync past it, next record survives
+    bad = b"WARC/1.0\r\nWARC-Type: broken\r\n\r\n" + rec("http://c", b"C")
+    recs, skipped = parse_warc_bytes(bad)
+    assert [u for u, *_ in recs] == ["http://c"] and skipped > 0
+
+    # truncated payload: record reports what's actually there
+    trunc = rec("http://d", b"DDDD")[:-8]  # cuts into the payload
+    recs, _ = parse_warc_bytes(trunc)
+    assert recs[0][0] == "http://d" and recs[0][1] < 4 or recs[0][1] == 2
