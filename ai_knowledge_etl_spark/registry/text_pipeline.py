@@ -395,6 +395,46 @@ def q_agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg-approx-percentile-gate",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       TRUE AS p50_ok, TRUE AS p95_ok
+FROM events GROUP BY event_type
+""".strip(),
+    doc="approx_percentile (t-digest) accuracy gate per group — the 100 TB "
+    "substitute for the exact interpolated percentile (agg-percentiles' "
+    "own doc prescribes the swap). Same bound-check oracle pattern as "
+    "agg-approx-distinct/agg-hll-sketch-merge: the query computes exact "
+    "AND sketch percentiles in one pass and emits booleans asserting the "
+    "sketch landed within 5%; the oracle expects TRUE, so a t-digest "
+    "regression breaks the hash.",
+)
+def q_agg_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.expr("percentile(v, 0.5)").alias("__p50"),
+        F.expr("percentile(v, 0.95)").alias("__p95"),
+        F.expr("approx_percentile(v, 0.5, 1000)").alias("__a50"),
+        F.expr("approx_percentile(v, 0.95, 1000)").alias("__a95"),
+    )
+
+    def ok(a: str, e: str):
+        return F.abs(F.col(a) - F.col(e)) <= 0.05 * F.greatest(
+            F.abs(F.col(e)), F.lit(1.0)
+        )
+
+    return g.select(
+        "event_type",
+        "n_events",
+        ok("__a50", "__p50").alias("p50_ok"),
+        ok("__a95", "__p95").alias("p95_ok"),
+    )
+
+
+@register(
     "sink-index-report",
     """
 SELECT source,

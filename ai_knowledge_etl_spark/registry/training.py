@@ -435,6 +435,82 @@ def q_sample_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample-temperature-mixture",
+    """
+WITH cnts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM cnts),
+wts AS (
+  SELECT lang, n_docs, pow(CAST(n_docs AS DOUBLE) / tot.total, 0.3) AS w
+  FROM cnts, tot
+),
+wsum AS (SELECT sum(w) AS ws FROM wts),
+thr AS (
+  SELECT lang, n_docs,
+         CAST(round(1048576 * least(1.0, 300.0 * w / (wsum.ws * n_docs)))
+              AS BIGINT) AS t_int
+  FROM wts, wsum
+)
+SELECT d.lang, max(t.n_docs) AS n_docs,
+       CAST(max(t.t_int) AS BIGINT) AS t_int,
+       CAST(count(*) AS BIGINT) AS n_sampled
+FROM documents d JOIN thr t USING (lang)
+WHERE substring(md5('ts:' || CAST(d.doc_id AS STRING)), 1, 5)
+      < printf('%05x', t.t_int)
+GROUP BY d.lang
+""".strip(),
+    doc="Exponent-smoothed (temperature) language mixture — the "
+    "multilingual-pretraining convention q_l ∝ p_l^0.3 (published as the "
+    "mBERT/XLM-R sampling rule): high-resource languages are downsampled "
+    "toward a flatter mixture under a fixed doc budget (300). Per-lang "
+    "keep-rate becomes a 2^20-scaled integer threshold compared against "
+    "an md5 prefix in hex-string space — the same deterministic-sampling "
+    "discipline as sample-domain-reweight, so both engines (and any two "
+    "cluster runs) select the identical row set. The pow() is the one "
+    "float step; its result is rounded to integer millionths before any "
+    "comparison.",
+)
+def q_sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    cnts = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    tot = cnts.agg(F.sum("n_docs").cast("long").alias("total"))
+    wts = cnts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.pow(F.col("n_docs").cast("double") / F.col("total"), 0.3).alias("w"),
+    )
+    wsum = wts.agg(F.sum("w").alias("ws"))
+    thr = wts.crossJoin(F.broadcast(wsum)).select(
+        "lang",
+        "n_docs",
+        F.round(
+            1048576
+            * F.least(
+                F.lit(1.0),
+                300.0 * F.col("w") / (F.col("ws") * F.col("n_docs")),
+            )
+        )
+        .cast("long")
+        .alias("t_int"),
+    )
+    tag = F.substring(
+        F.md5(F.concat(F.lit("ts:"), F.col("doc_id").cast("string"))), 1, 5
+    )
+    return (
+        d.select("doc_id", "lang", tag.alias("tag"))
+        .join(F.broadcast(thr), "lang")
+        .where(F.col("tag") < F.format_string("%05x", F.col("t_int")))
+        .groupBy("lang")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("t_int").cast("long").alias("t_int"),
+            F.count("*").cast("long").alias("n_sampled"),
+        )
+    )
+
+
+@register(
     "agg-vocab-topk",
     """
 WITH counts AS (

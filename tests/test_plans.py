@@ -130,6 +130,16 @@ PLAN_ALLOWLIST = {
     # (1-row combines) joined as a 1-row broadcast — inherent to a
     # whole-table accuracy check
     "agg-hll-sketch-merge": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    # end-to-end curation pipeline inherits DSIR's scalar token totals
+    # (1-row combine + 1-row broadcast onto the 4096-row weight dim)
+    "pipeline-curate-corpus": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    # temperature mixture: corpus total and weight-sum are global scalars
+    # (1-row combines + 1-row broadcasts onto the 5-row lang dim); the
+    # corpus itself sees only the threshold broadcast join
+    "sample-temperature-mixture": {
+        "SinglePartition",
+        "BroadcastNestedLoopJoin",
+    },
     # DSIR weight table: corpus/target token totals are global scalars
     # (1-row combine + 1-row broadcast onto the 4096-row weight dim);
     # the token stream itself only sees the broadcast equi-join
