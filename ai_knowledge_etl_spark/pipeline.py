@@ -296,3 +296,65 @@ def curate_corpus(
     return topk.top_k(
         out, top_n, F.desc("score_millinats"), F.asc(id_col)
     )
+
+
+def crawl(
+    spark: SparkSession,
+    seeds: DataFrame,
+    fetcher: Callable[[str], str],
+    topic_re: str,
+    max_depth: int = 2,
+) -> DataFrame:
+    """Multi-wave BFS crawl — the reference's flagship stateful loop
+    (commands/extract.md:761-831) through the REAL single-page pipeline:
+    each wave fetches the frontier via `web.fetch_pipeline` (security
+    route → politeness → retry → strip → obstacle), extracts markdown
+    links from the fetched text, scores them (`scoring.score_link`),
+    keeps score ≥ SKIP_THRESHOLD, anti-joins the visited set, and
+    enqueues the survivors as the next wave. Returns (url, depth) for
+    every discovered page at its first-discovery (= minimum) depth.
+
+    State discipline: the visited set is localCheckpoint'ed per wave —
+    lineage stays O(1) deep across iterations (the clustering-loop rule),
+    and each wave's fetch is a fresh bounded job. At scale the frontier
+    is naturally partitioned by domain inside fetch_pipeline; the anti-
+    join is the only cross-wave shuffle.
+    """
+    from ai_knowledge_etl_spark.sources import synthetic as syn
+
+    frontier = seeds.select("url").distinct().withColumn("depth", F.lit(0))
+    visited = frontier.localCheckpoint(eager=True)
+    pat = F.lit(syn.MD_LINK_RE)
+    for depth in range(1, max_depth + 1):
+        to_fetch = visited.where(F.col("depth") == depth - 1).select("url")
+        fetched = web.fetch_pipeline(
+            to_fetch, fetcher, interval_s=0.0, n_domain_partitions=8
+        )
+        links = (
+            fetched.where(F.col("text").isNotNull())
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.regexp_extract_all("text", pat, 1).alias("anchor"),
+                        F.regexp_extract_all("text", pat, 2).alias("link"),
+                    )
+                ).alias("z")
+            )
+            .select(
+                F.col("z.anchor").alias("anchor"), F.col("z.link").alias("url")
+            )
+        )
+        scored = links.withColumn(
+            "score",
+            scoring.score_link(F.col("url"), F.col("anchor"), F.lit(""), topic_re),
+        )
+        cand = (
+            scored.where(F.col("score") >= config.SKIP_THRESHOLD)
+            .select("url")
+            .distinct()
+        )
+        new = cand.join(visited.select("url"), "url", "left_anti").withColumn(
+            "depth", F.lit(depth)
+        )
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+    return visited

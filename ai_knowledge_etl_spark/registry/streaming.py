@@ -43,6 +43,61 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.tumbling_counts(_events(spark, sf_dir), 600)
 
 
+_CRAWL_SEEDS = [
+    "https://seed.example.com/p/0",
+    "https://seed.example.com/p/1",
+    "https://seed.example.com/p/2",
+]
+
+_CRAWL_ORACLE = f"""
+WITH RECURSIVE gen AS (SELECT unnest([1, 2, 3]) AS i),
+crawl(url, depth) AS (
+    SELECT unnest({_CRAWL_SEEDS!r}) AS url, 0 AS depth
+  UNION
+    SELECT 'https://site' || CAST(c.h % 5 AS VARCHAR) || '.example.com/p/'
+           || CAST((c.h * 7 + g.i * 13) % 400 AS VARCHAR) AS url,
+           c.depth + 1 AS depth
+    FROM (
+      SELECT url, depth,
+             list_sum(list_transform(range(1, length(url) + 1),
+                      j -> ord(substring(url, j, 1)))) AS h
+      FROM crawl WHERE depth < 3
+    ) c CROSS JOIN gen g
+    WHERE g.i <= (c.h % 3) + 1
+      AND c.h % 13 <> 0 AND c.h % 11 <> 0
+      AND regexp_matches(CASE CAST((c.h + g.i) % 4 AS INTEGER)
+            WHEN 0 THEN 'spark tuning' WHEN 1 THEN 'shuffle internals'
+            WHEN 2 THEN 'join guide' ELSE 'pricing page' END,
+            '(spark|shuffle|join)')
+)
+SELECT url, CAST(min(depth) AS INTEGER) AS depth
+FROM crawl GROUP BY url
+""".strip()
+
+
+@register(
+    "pipeline-crawl-e2e",
+    _CRAWL_ORACLE,
+    doc="The reference's flagship stateful loop END-TO-END "
+    "(commands/extract.md:761-831): pipeline.crawl runs 4 BFS waves "
+    "through the REAL single-page pipeline — politeness-paced fetch of "
+    "the offline linked fetcher, boilerplate strip, markdown link "
+    "extraction, relevance scoring, threshold filter, visited anti-join, "
+    "per-wave localCheckpoint. Because the linked fetcher's pages are "
+    "pure arithmetic in sum(ord(url)), the ENTIRE crawl — every wave, "
+    "failure, login wall, scored link, and dedup — is replayed by one "
+    "recursive CTE; min-depth per url must match exactly.",
+)
+def q_pipeline_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark import pipeline as P
+    from ai_knowledge_etl_spark.sources import web
+
+    seeds = spark.createDataFrame([(u,) for u in _CRAWL_SEEDS], "url string")
+    return P.crawl(
+        spark, seeds, web.demo_fetcher_linked, "(spark|shuffle|join)", 3
+    )
+
+
 @register(
     "stream-dedup-watermark",
     """

@@ -87,6 +87,36 @@ def demo_fetcher(url: str) -> str:
     return f"<html><body>{body}</body></html>"
 
 
+CRAWL_ANCHORS = (
+    "spark tuning",
+    "shuffle internals",
+    "join guide",
+    "pricing page",
+)
+
+
+def demo_fetcher_linked(url: str) -> str:
+    """demo_fetcher plus embedded markdown links, so the full crawl loop
+    (fetch → extract links → score → enqueue) runs offline. Link targets
+    and anchors are pure arithmetic in h = sum(ord(url)) — which makes the
+    ENTIRE multi-wave crawl SQL-replayable (the pipeline-crawl-e2e oracle
+    regenerates every wave with a recursive CTE). Same failure modes as
+    demo_fetcher: h%13 → connection error, h%11 → login wall (no links)."""
+    h = sum(ord(c) for c in url)
+    if h % 13 == 0:
+        raise ConnectionError(f"synthetic 404 for {url}")
+    if h % 11 == 0:
+        return "<html><body>" + "please log in to continue " * 10 + "</body></html>"
+    body = f"<h1>Page {h % 1000}</h1>" + "<p>spark shuffle join content</p>" * (
+        h % 7 + 1
+    )
+    for i in range(1, h % 3 + 2):
+        anchor = CRAWL_ANCHORS[(h + i) % 4]
+        target = f"https://site{h % 5}.example.com/p/{(h * 7 + i * 13) % 400}"
+        body += f"<p>see [{anchor}]({target})</p>"
+    return f"<html><body>{body}</body></html>"
+
+
 def fetch_pipeline(
     urls_df: DataFrame,
     fetcher: Callable[[str], str],

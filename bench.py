@@ -88,6 +88,8 @@ def duckdb_oracle_wall() -> tuple[float, int]:
 HEAVY_FIRST = {
     "stream-late-data-watermark": 20,
     "pipeline-curate-corpus": 9,
+    "pipeline-crawl-e2e": 9,
+    "scan-warc": 5,
     "dedup-cluster-cc": 13,
     "scan-custom-datasource": 12,
     "scan-web-connector": 8,
