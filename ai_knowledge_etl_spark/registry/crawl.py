@@ -283,6 +283,61 @@ def q_filter_url_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROBOTS_CTE = """
+robots AS (
+  SELECT DISTINCT source || '.example.com' AS rdomain, pfx
+  FROM documents
+  CROSS JOIN (SELECT unnest(['/cart', '/login', '/search']) AS pfx)
+)
+""".strip()
+
+
+@register(
+    "filter-robots-disallow",
+    f"""
+WITH {syn.LINKS_CTE}, {_ROBOTS_CTE}
+SELECT l.doc_id, l.url FROM links l
+WHERE NOT EXISTS (
+  SELECT 1 FROM robots r
+  WHERE r.rdomain = regexp_extract(l.url, 'https?://([^/]+)', 1)
+    AND regexp_extract(l.url, 'https?://[^/]+(/.*)', 1) LIKE r.pfx || '%'
+)
+""".strip(),
+    doc="robots.txt-style disallow filter: per-domain path-prefix rules "
+    "anti-joined against the frontier (the crawl-politeness complement of "
+    "filter-url-skip's global patterns; reference analog: the per-domain "
+    "security routing of config/security.yaml). Plan: the rules table is "
+    "a tiny broadcast; the frontier sees one broadcast LEFT ANTI join — "
+    "at 10^9 frontier URLs the rules side (domains × few prefixes) still "
+    "broadcasts.",
+)
+def q_filter_robots_disallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    links = _links(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    rules = (
+        docs.select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("rdomain")
+        )
+        .distinct()
+        .crossJoin(
+            spark.createDataFrame(
+                [("/cart",), ("/login",), ("/search",)], "pfx string"
+            )
+        )
+    )
+    path = F.regexp_extract(F.col("url"), r"https?://[^/]+(/.*)", 1)
+    cand = links.select(
+        "doc_id", "url", urls.domain("url").alias("rdomain"), path.alias("path")
+    )
+    kept = cand.join(
+        F.broadcast(rules),
+        (cand["rdomain"] == rules["rdomain"])
+        & cand["path"].startswith(rules["pfx"]),
+        "left_anti",
+    )
+    return kept.select("doc_id", "url")
+
+
 @register(
     "filter-same-domain",
     f"""
