@@ -285,9 +285,9 @@ def q_filter_url_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROBOTS_CTE = """
 robots AS (
-  SELECT DISTINCT source || '.example.com' AS rdomain, pfx
+  SELECT DISTINCT source || '.example.com' AS rdomain, seg
   FROM documents
-  CROSS JOIN (SELECT unnest(['/cart', '/login', '/search']) AS pfx)
+  CROSS JOIN (SELECT unnest(['cart', 'login', 'search']) AS seg)
 )
 """.strip()
 
@@ -295,21 +295,28 @@ robots AS (
 @register(
     "filter-robots-disallow",
     f"""
-WITH {syn.LINKS_CTE}, {_ROBOTS_CTE}
-SELECT l.doc_id, l.url FROM links l
+WITH {syn.LINKS_CTE}, {_ROBOTS_CTE},
+cand AS (
+  SELECT doc_id, url,
+         regexp_extract(url, 'https?://([^/]+)', 1) AS rdomain,
+         regexp_extract(url, 'https?://[^/]+/([^/]+)', 1) AS seg
+  FROM links
+)
+SELECT c.doc_id, c.url FROM cand c
 WHERE NOT EXISTS (
   SELECT 1 FROM robots r
-  WHERE r.rdomain = regexp_extract(l.url, 'https?://([^/]+)', 1)
-    AND regexp_extract(l.url, 'https?://[^/]+(/.*)', 1) LIKE r.pfx || '%'
+  WHERE r.rdomain = c.rdomain AND r.seg = c.seg
 )
 """.strip(),
-    doc="robots.txt-style disallow filter: per-domain path-prefix rules "
-    "anti-joined against the frontier (the crawl-politeness complement of "
-    "filter-url-skip's global patterns; reference analog: the per-domain "
-    "security routing of config/security.yaml). Plan: the rules table is "
-    "a tiny broadcast; the frontier sees one broadcast LEFT ANTI join — "
-    "at 10^9 frontier URLs the rules side (domains × few prefixes) still "
-    "broadcasts.",
+    doc="robots.txt-style disallow filter: per-domain DIRECTORY rules "
+    "anti-joined against the frontier on (domain, first path segment) — "
+    "a pure equi key, so the plan is a broadcast hash LEFT ANTI join "
+    "(plan-tested), never a nested loop; at 10^9 frontier URLs the rules "
+    "side (domains × few directories) still broadcasts. Directory-segment "
+    "equality rather than raw prefix matching is deliberate: it keeps the "
+    "join equi (prefix rules would force a nested-loop or a per-rule "
+    "rewrite) and matches how disallow rules are overwhelmingly written. "
+    "Crawl-politeness complement of filter-url-skip's global patterns.",
 )
 def q_filter_robots_disallow(spark: SparkSession, sf_dir: str) -> DataFrame:
     links = _links(spark, sf_dir)
@@ -319,22 +326,22 @@ def q_filter_robots_disallow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("source"), F.lit(".example.com")).alias("rdomain")
         )
         .distinct()
-        .crossJoin(
-            spark.createDataFrame(
-                [("/cart",), ("/login",), ("/search",)], "pfx string"
-            )
+        .select(
+            "rdomain",
+            F.explode(
+                F.array(F.lit("cart"), F.lit("login"), F.lit("search"))
+            ).alias("seg"),
         )
     )
-    path = F.regexp_extract(F.col("url"), r"https?://[^/]+(/.*)", 1)
     cand = links.select(
-        "doc_id", "url", urls.domain("url").alias("rdomain"), path.alias("path")
+        "doc_id",
+        "url",
+        urls.domain("url").alias("rdomain"),
+        F.regexp_extract(F.col("url"), r"https?://[^/]+/([^/]+)", 1).alias(
+            "seg"
+        ),
     )
-    kept = cand.join(
-        F.broadcast(rules),
-        (cand["rdomain"] == rules["rdomain"])
-        & cand["path"].startswith(rules["pfx"]),
-        "left_anti",
-    )
+    kept = cand.join(F.broadcast(rules), ["rdomain", "seg"], "left_anti")
     return kept.select("doc_id", "url")
 
 
