@@ -658,6 +658,10 @@ def q_rank_pages_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("parent_id").alias("src"), F.col("doc_id").alias("dst")
     )
     n = docs.count()
+    if n == 0:  # empty corpus: no pages to rank (1/N teleport undefined)
+        return docs.select(
+            F.col("doc_id"), F.lit(0.0).alias("pagerank")
+        )
     pr = graph.pagerank(nodes, edges, n_nodes=n, n_iter=2)
     return pr.select(
         F.col("node").alias("doc_id"), F.round("pr", 12).alias("pagerank")

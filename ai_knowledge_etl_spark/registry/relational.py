@@ -402,6 +402,7 @@ def q_join_nested_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = li.agg(
         F.sum(_dec("l_quantity")).alias("t")
     ).first()["t"]
+    total = 0.0 if total is None else total  # empty table: no heavy suppliers
     heavy = (
         li.groupBy("l_suppkey")
         .agg(F.sum(_dec("l_quantity")).alias("q"))
@@ -1423,6 +1424,7 @@ def q_join_global_avg_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.avg("c_acctbal").alias("a"))
         .first()["a"]
     )
+    avg_bal = 0.0 if avg_bal is None else avg_bal  # empty table: nobody rich
     rich = c.where(F.col("c_acctbal") > float(avg_bal)).select(
         "c_custkey",
         "c_acctbal",

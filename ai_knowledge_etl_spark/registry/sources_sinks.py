@@ -891,7 +891,8 @@ def q_scan_cache_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
         F.expr("ts div 1000000000").alias("sec"),
     )
-    now_s = int(log.agg(F.max("sec")).first()[0])
+    now_row = log.agg(F.max("sec")).first()[0]
+    now_s = 0 if now_row is None else int(now_row)  # empty log: no entries
     latest = log.groupBy("url").agg(
         F.max("sec").cast("bigint").alias("last_fetch_s")
     )
