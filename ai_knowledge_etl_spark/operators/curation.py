@@ -49,13 +49,24 @@ def paragraph_dedup(
     its first occurrence (lowest (id, idx)); docs are reassembled from their
     surviving paragraphs. Returns (id, n_paras, n_kept, text_kept).
 
-    The keep-first window partitions on md5(para) — the 32-char fingerprint
-    is the shuffle key, so key width is constant regardless of paragraph
-    size and the comparator never touches raw text."""
+    Keep-first is computed as min(struct(id, idx)) per md5(para) — a hash
+    AGGREGATE, not a ranking window, deliberately: the window formulation
+    (kept as the oracle twin) puts every copy of a hot boilerplate
+    paragraph into ONE unsplittable window partition, while the aggregate
+    gets a map-side partial combine (the hot fingerprint collapses to one
+    row per input partition before the shuffle) and the winner join-back
+    is an equi-join AQE can skew-split. The 32-char fingerprint is the
+    only shuffle key — constant width at any paragraph size."""
     paras = split_paragraphs(docs, id_col, text_col)
-    w = Window.partitionBy(F.md5("para")).orderBy(id_col, "idx")
-    ranked = paras.withColumn("rn", F.row_number().over(w))
-    kept = ranked.withColumn("keep", F.col("rn") == 1)
+    fp = paras.withColumn("fp", F.md5("para"))
+    winners = fp.groupBy("fp").agg(
+        F.min(F.struct(id_col, "idx")).alias("w")
+    )
+    kept = fp.join(winners, "fp").withColumn(
+        "keep",
+        (F.col(id_col) == F.col(f"w.{id_col}"))
+        & (F.col("idx") == F.col("w.idx")),
+    )
     return (
         kept.groupBy(id_col)
         .agg(

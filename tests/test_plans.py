@@ -344,3 +344,12 @@ def test_dynamic_partition_pruning_reaches_partitioned_scan(
     # and the pruning actually restricts rows at runtime
     want = orders.where(F.col("o_orderpriority").startswith("1")).count()
     assert joined.count() == want
+
+
+def test_paragraph_dedup_keep_first_is_aggregate_not_window(spark, sf_dir):
+    """The keep-first must plan as a hash aggregate (partial combine
+    crushes hot boilerplate fingerprints map-side) + equi join — never a
+    ranking window, whose hot-fingerprint partition is unsplittable."""
+    plan = _plan(spark, sf_dir, "dedup-paragraph")
+    assert "WindowExec" not in plan and "RunningWindowFunction" not in plan
+    assert "HashAggregate" in plan
