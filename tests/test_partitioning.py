@@ -179,6 +179,13 @@ def test_results_invariant_under_shuffle_partitioning(spark, sf_dir):
         "dedup-cluster-cc",
         "agg-touch-attribution",
         "join-min-cost-supplier",
+        # round-2 additions: fingerprint keep-first, integer-millinat
+        # DSIR sums, md5-threshold mixtures, the composed pipelines
+        "dedup-paragraph",
+        "sample-importance-reweight",
+        "sample-temperature-mixture",
+        "pipeline-curate-corpus",
+        "pipeline-crawl-e2e",
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
