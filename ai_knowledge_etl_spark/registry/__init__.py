@@ -12,6 +12,13 @@ Parity rules (see also sources/synthetic.py):
   - round floating aggregates to 2 decimals on BOTH sides (summation order
     differs between engines);
   - regexes in the Java-regex ∩ RE2 subset.
+  - NO top-level array/map/struct output columns in oracled queries: the
+    driver's canonicalizer sorts rows via pandas, which throws
+    `unhashable type: 'list'` on list cells (CORRECTNESS_r02
+    udf-embed-text). Project per-dim scalar columns, to_json(...), or an
+    md5 fingerprint instead; keep the complex-typed contract in a
+    composable operator + unit test (see sources_sinks.embed_text_array).
+    tools/difftest.py enforces this registry-wide.
 """
 
 from __future__ import annotations

@@ -679,27 +679,47 @@ def q_scan_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # normalized text (a stub embedder — a model UDF slots behind the same
 # signature; what matters is the array<double> column contract)
 _EMB_DIMS = 8
-_EMBED_SQL = (
-    "["
-    + ", ".join(
-        f"(ascii(substring(text, {i * 3 + 1}, 1)) % 32) / 32.0 + {i}.0 / {_EMB_DIMS}"
-        for i in range(_EMB_DIMS)
-    )
-    + "]"
-)
 
 
 @register(
     "udf-embed-text",
-    f"""
-SELECT doc_id, {_EMBED_SQL} AS embedding
-FROM documents
-""".strip(),
-    doc="Deterministic text → array<double> embedding stub (north-star "
-    "udf-embed-text): the column contract for model embedders.",
+    "SELECT doc_id, "
+    + ", ".join(
+        f"round((ascii(substring(text, {i * 3 + 1}, 1)) % 32) / 32.0"
+        f" + {i}.0 / {_EMB_DIMS}, 6) AS emb_{i}"
+        for i in range(_EMB_DIMS)
+    )
+    + "\nFROM documents",
+    doc="Deterministic text → embedding stub (north-star udf-embed-text). "
+    "Registered output is one DOUBLE column per dimension (emb_0..emb_7) "
+    "because the driver's pandas canonicalizer cannot hash list cells; "
+    "the array<double> column contract itself is exercised by "
+    "embed_text_array() (consumed by udf-embed-quantize-int8 and "
+    "tests/test_functions.py). Parity note in registry/__init__: oracled "
+    "queries must not emit top-level array/map/struct columns.",
 )
 def q_udf_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
+        "doc_id",
+        *[
+            F.round(
+                (F.ascii(F.substring("text", i * 3 + 1, 1)) % 32) / 32.0
+                + i / _EMB_DIMS,
+                6,
+            ).alias(f"emb_{i}")
+            for i in range(_EMB_DIMS)
+        ],
+    )
+
+
+def embed_text_array(df: DataFrame) -> DataFrame:
+    """The array<double> embedding contract for model embedders.
+
+    Kept as a composable operator (not a registered/oracled output shape):
+    the driver canonicalizer cannot hash list cells, so registered queries
+    project per-dim columns instead (see q_udf_embed_text).
+    """
+    return df.select(
         "doc_id",
         F.array(
             *[

@@ -151,3 +151,42 @@ def test_python_udtf_surface(spark):
         (0, 2, "e"),
         (1, 0, "x y"),
     }
+
+
+def test_embed_text_array_contract(spark, sf_dir):
+    """The array<double> embedding contract (model-embedder column shape)
+    lives in embed_text_array(); the REGISTERED udf-embed-text query
+    projects per-dim scalar columns because the driver canonicalizer
+    cannot hash list cells (CORRECTNESS_r02). The two must agree
+    element-for-element."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from ai_knowledge_etl_spark.registry.sources_sinks import (
+        _EMB_DIMS,
+        embed_text_array,
+        q_udf_embed_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    arr = embed_text_array(docs)
+    field = arr.schema["embedding"].dataType
+    assert isinstance(field, ArrayType)
+    assert isinstance(field.elementType, DoubleType)
+
+    flat = q_udf_embed_text(spark, sf_dir)
+    # registered shape: scalar-only top-level columns
+    assert flat.columns == ["doc_id"] + [f"emb_{i}" for i in range(_EMB_DIMS)]
+    joined = (
+        arr.select(
+            "doc_id",
+            *[
+                F.round(F.col("embedding")[i], 6).alias(f"a_{i}")
+                for i in range(_EMB_DIMS)
+            ],
+        )
+        .join(flat, "doc_id")
+        .where(
+            " OR ".join(f"a_{i} <> emb_{i}" for i in range(_EMB_DIMS))
+        )
+    )
+    assert joined.count() == 0

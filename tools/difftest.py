@@ -55,6 +55,22 @@ def run_one(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
     qd = REGISTRY[name]
     t0 = time.time()
     sdf = qd.spark(spark, sf_dir)
+    if qd.oracle is not None:
+        # Driver-canonicalizer contract (registry/__init__ parity notes):
+        # pandas-based row sorting crashes on list/dict cells, so oracled
+        # queries must emit scalar-only top-level columns.
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        complex_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            return False, (
+                f"COMPLEX top-level columns {complex_cols} — driver "
+                "canonicalizer cannot hash these; project scalars/to_json"
+            )
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
     t_spark = time.time() - t0
