@@ -48,6 +48,15 @@ def merge_latest(
     )
 
 
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit existence probe through the Hadoop FileSystem API (works
+    for any scheme the cluster can read, not just local paths)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def upsert_parquet(
     spark: SparkSession,
     path: str,
@@ -61,12 +70,20 @@ def upsert_parquet(
     Reads back ONLY the buckets present in `updates` (partition pruning on
     the scan), merges, and dynamic-overwrites exactly those partition dirs.
     First call (no table yet) writes all buckets.
+
+    The bootstrap branch is taken ONLY on an explicit existence probe —
+    never by swallowing a read failure. This sink is the foreachBatch
+    exactly-once MERGE target: treating a transient FS error or corrupted
+    footer as "no table yet" would dynamic-overwrite the touched buckets
+    with batch-only rows, silently dropping every pre-existing key in
+    them. A failed read-back/collect now propagates and the micro-batch
+    retries (round-3 advisor finding).
     """
     bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).alias(
         "__bucket"
     )
     upd = updates.withColumn("__bucket", bucket)
-    try:
+    if table_exists(spark, path):
         current = spark.read.parquet(path)
         touched = [r["__bucket"] for r in upd.select("__bucket").distinct().collect()]
         base = current.where(F.col("__bucket").isin(touched))
@@ -76,7 +93,7 @@ def upsert_parquet(
         merged = merge_latest(
             base, upd, key=key, rev_col=rev_col
         ).localCheckpoint()
-    except Exception:  # AnalysisException: path does not exist yet
+    else:
         # bootstrap must still collapse duplicate keys WITHIN the first
         # batch (one row per key, highest rev) — an at-least-once source
         # can deliver a key twice in the very first micro-batch

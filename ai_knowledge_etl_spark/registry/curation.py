@@ -77,7 +77,28 @@ from ai_knowledge_etl_spark.registry.sources_sinks import (  # noqa: E402
     _COS_PAIR_SQL,
 )
 
-_SEM_ASSIGN_CACHE: dict[tuple[int, str], DataFrame] = {}
+# Keyed by applicationId, NOT id(spark): CPython reuses object ids after
+# GC, so an id-keyed entry could alias a persisted DataFrame bound to a
+# stopped SparkContext (round-3 advisor). applicationId is unique per
+# context; entries for other applications are evicted (and unpersisted
+# where still possible) whenever a new application touches the cache, so
+# dead sessions don't pin assignments forever.
+_SEM_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _sem_assign_cached(spark: SparkSession, sf_dir: str, corpus, cents):
+    app_id = spark.sparkContext.applicationId
+    stale = [k for k in _SEM_ASSIGN_CACHE if k[0] != app_id]
+    for k in stale:
+        df = _SEM_ASSIGN_CACHE.pop(k)
+        try:
+            df.unpersist()
+        except Exception:  # context already stopped — nothing to release
+            pass
+    key = (app_id, sf_dir)
+    if key not in _SEM_ASSIGN_CACHE:
+        _SEM_ASSIGN_CACHE[key] = CU.nearest_centroid(corpus, cents).persist()
+    return _SEM_ASSIGN_CACHE[key]
 
 _L2_SQL = """
 list_sum(list_transform(generate_series(1, len(e.embedding)),
@@ -124,16 +145,12 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = corpus.where("vec_id < 8").select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
     )
-    # session-keyed persisted assignment (shingle-cache discipline): the
-    # argmin runs once per (session, sf_dir) no matter how many times the
-    # query is invoked — no per-call persist pile-up
-    key = (id(spark), sf_dir)
-    if key not in _SEM_ASSIGN_CACHE:
-        _SEM_ASSIGN_CACHE[key] = CU.nearest_centroid(
-            corpus, cents
-        ).persist()
+    # application-keyed persisted assignment (shingle-cache discipline):
+    # the argmin runs once per (application, sf_dir) no matter how many
+    # times the query is invoked — no per-call persist pile-up
+    assigned = _sem_assign_cached(spark, sf_dir, corpus, cents)
     out = CU.semantic_dedup(
-        corpus, cents, threshold=0.95, assigned=_SEM_ASSIGN_CACHE[key]
+        corpus, cents, threshold=0.95, assigned=assigned
     )
     return out.select(
         "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "kept"

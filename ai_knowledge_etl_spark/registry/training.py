@@ -456,8 +456,8 @@ SELECT d.lang, max(t.n_docs) AS n_docs,
        CAST(max(t.t_int) AS BIGINT) AS t_int,
        CAST(count(*) AS BIGINT) AS n_sampled
 FROM documents d JOIN thr t USING (lang)
-WHERE substring(md5('ts:' || CAST(d.doc_id AS STRING)), 1, 5)
-      < printf('%05x', t.t_int)
+WHERE lpad(substring(md5('ts:' || CAST(d.doc_id AS STRING)), 1, 5), 6, '0')
+      < printf('%06x', t.t_int)
 GROUP BY d.lang
 """.strip(),
     doc="Exponent-smoothed (temperature) language mixture — the "
@@ -469,7 +469,13 @@ GROUP BY d.lang
     "discipline as sample-domain-reweight, so both engines (and any two "
     "cluster runs) select the identical row set. The pow() is the one "
     "float step; its result is rounded to integer millionths before any "
-    "comparison.",
+    "comparison. The 5-char tag is lpadded to 6 and the threshold "
+    "formatted %06x (one char wider than the tag's value range) so a "
+    "saturated keep-rate of 1.0 (t_int = 2^20 -> '100000') keeps exactly "
+    "100% of docs — a bare %05x would emit a 6-char string that "
+    "lexicographically excludes every tag above '10000' (~6% kept). "
+    "Rare low-count languages are precisely where the least(1.0,...) cap "
+    "fires, so the saturated branch is load-bearing in production.",
 )
 def q_sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -494,13 +500,20 @@ def q_sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("t_int"),
     )
-    tag = F.substring(
-        F.md5(F.concat(F.lit("ts:"), F.col("doc_id").cast("string"))), 1, 5
+    # lpad the 5-hex-char tag to 6 and format the threshold %06x so the
+    # saturated t_int = 2^20 ('100000') admits every '0'-prefixed tag —
+    # see the oracle docstring for the %05x failure mode this avoids.
+    tag = F.lpad(
+        F.substring(
+            F.md5(F.concat(F.lit("ts:"), F.col("doc_id").cast("string"))), 1, 5
+        ),
+        6,
+        "0",
     )
     return (
         d.select("doc_id", "lang", tag.alias("tag"))
         .join(F.broadcast(thr), "lang")
-        .where(F.col("tag") < F.format_string("%05x", F.col("t_int")))
+        .where(F.col("tag") < F.format_string("%06x", F.col("t_int")))
         .groupBy("lang")
         .agg(
             F.max("n_docs").alias("n_docs"),

@@ -66,11 +66,17 @@ def parse_warc_bytes(raw: bytes) -> tuple[list[tuple[str, int, str, int]], int]:
             continue
         body_start = hdr_end + len(_HDR_END)
         payload = raw[body_start : body_start + length]
+        # head = first 40 CHARACTERS of the decoded payload (not 40 raw
+        # bytes): byte truncation of multibyte UTF-8 text would emit
+        # replacement chars and diverge from any character-semantics
+        # consumer (the oracle's substring(text,1,40) included). Decoding
+        # is bounded to 164 bytes — 40 4-byte code points plus one
+        # possibly-split trailing char, which the [:40] slice discards.
         out.append(
             (
                 headers.get("warc-target-uri", ""),
                 len(payload),
-                payload[:40].decode("utf-8", "replace"),
+                payload[:164].decode("utf-8", "replace")[:40],
                 nxt,
             )
         )

@@ -94,12 +94,17 @@ def streaming_bfs_frontier(
     def process(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
         batch = batch.groupBy("doc_id").agg(F.min("depth").alias("depth"))
-        try:
+        # Explicit existence probe, not try/except: swallowing a transient
+        # read error here would re-process every visited doc in the batch
+        # (same failure class as the upsert_parquet advisor finding).
+        from ai_knowledge_etl_spark.operators.incremental import table_exists
+
+        if table_exists(sp, visited_dir):
             visited = sp.read.parquet(visited_dir)
             new = batch.join(
                 visited.select("doc_id"), "doc_id", "left_anti"
             )
-        except Exception:  # first batch — store doesn't exist yet
+        else:  # first batch — store doesn't exist yet
             new = batch
         new = new.localCheckpoint()
         if new.isEmpty():

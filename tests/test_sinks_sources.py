@@ -527,3 +527,38 @@ def test_warc_parser_edges():
     trunc = rec("http://d", b"DDDD")[:-8]  # cuts into the payload
     recs, _ = parse_warc_bytes(trunc)
     assert recs[0][0] == "http://d" and recs[0][1] < 4 or recs[0][1] == 2
+
+
+def test_incremental_upsert_raises_on_unreadable_existing_table(
+    spark, sf_dir, tmp_path
+):
+    """Regression (round-3 advisor): a pre-existing but UNREADABLE table
+    (corrupted footer / transient FS error) must raise, not be treated as
+    'no table yet' — that branch dynamic-overwrites the touched buckets
+    with batch-only rows, silently dropping every pre-existing key in a
+    sink documented as exactly-once under replay."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_etl_spark.operators import incremental
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lit(1).alias("rev"), F.md5("text").alias("fp")
+    )
+    path = str(tmp_path / "corrupt")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+
+    assert incremental.table_exists(spark, path)
+    with pytest.raises(Exception):
+        incremental.upsert_parquet(spark, path, docs, n_buckets=8)
+    # the corrupt file must still be there — nothing overwritten
+    with open(os.path.join(path, "part-00000.parquet"), "rb") as f:
+        assert f.read() == b"this is not a parquet file"
+
+    # bootstrap on a genuinely-absent path still works
+    fresh = str(tmp_path / "fresh")
+    assert not incremental.table_exists(spark, fresh)
+    incremental.upsert_parquet(spark, fresh, docs, n_buckets=8)
+    assert spark.read.parquet(fresh).count() == docs.count()

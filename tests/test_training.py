@@ -210,3 +210,39 @@ def test_vocab_topk_rank_and_monotonicity(spark, sf_dir):
         assert prev["cnt"] > cur["cnt"] or (
             prev["cnt"] == cur["cnt"] and prev["token"] < cur["token"]
         )
+
+
+def test_temperature_mixture_saturated_rate_keeps_all(spark, tmp_path):
+    """Regression (round-3 advisor): when the per-lang keep-rate saturates
+    at 1.0, t_int = 2^20 formats as the 6-char '100000'; a bare %05x
+    threshold against a 5-char tag would lexicographically keep only ~6%
+    of docs. With the lpad-to-6/%06x construction every doc of the rare
+    language must survive — in BOTH engines."""
+    import duckdb
+
+    from ai_knowledge_etl_spark.registry import REGISTRY
+
+    # 3 docs of 'xx' among 1200 'en': budget 300 * smoothed weight makes
+    # 300*w/(ws*n_docs) >> 1 for 'xx', so least(1.0, ...) fires.
+    rows = [(i, f"text {i}", "en" if i < 1200 else "xx", "s", 7)
+            for i in range(1203)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+
+    qd = REGISTRY["sample-temperature-mixture"]
+    got = {r["lang"]: r.asDict() for r in
+           qd.spark(spark, str(tmp_path)).collect()}
+    assert got["xx"]["t_int"] == 1048576  # saturated
+    assert got["xx"]["n_sampled"] == got["xx"]["n_docs"] == 3
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
+    oracle = {r[0]: r for r in con.execute(qd.oracle).fetchall()}
+    assert oracle["xx"][3] == 3  # n_sampled
+    assert {k: (v["n_docs"], v["t_int"], v["n_sampled"])
+            for k, v in got.items()} == {
+        k: (r[1], r[2], r[3]) for k, r in oracle.items()
+    }

@@ -40,7 +40,28 @@ def test_roundtrip_any_payload(recs):
         (u, len(p)) for u, p in recs
     ]
     for (_, _, head, _), (_, p) in zip(parsed, recs):
-        assert head == p[:40].decode("utf-8", "replace")
+        assert head == p.decode("utf-8", "replace")[:40]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            _uri,
+            st.text(max_size=80),  # arbitrary unicode incl. multibyte
+        ),
+        max_size=6,
+    )
+)
+def test_head_is_40_characters_for_multibyte_text(recs):
+    """Regression (round-3 advisor): head must be the first 40 CHARACTERS
+    of the decoded text, matching the oracle's substring(text, 1, 40) —
+    a 40-BYTE truncation would split multibyte chars and diverge."""
+    raw = b"".join(_record(u, t.encode("utf-8")) for u, t in recs)
+    parsed, skipped = parse_warc_bytes(raw)
+    assert skipped == 0
+    for (_, _, head, _), (_, t) in zip(parsed, recs):
+        assert head == t[:40]
 
 
 @settings(max_examples=60, deadline=None)
