@@ -2750,60 +2750,85 @@ WITH x AS (
   SELECT l_returnflag AS grp, CAST(l_extendedprice AS DECIMAL(12,2)) AS v
   FROM lineitem
 ),
-ranked AS (
-  SELECT grp, v,
-         row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
-         count(*) OVER (PARTITION BY grp) AS cnt
-  FROM x
+hist AS (
+  SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY grp, v
+),
+tot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS cnt FROM hist GROUP BY grp),
+cum AS (
+  SELECT grp, v, c,
+         CAST(sum(c) OVER (PARTITION BY grp ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cm
+  FROM hist
 ),
 med AS (
-  SELECT grp,
-         CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN v ELSE CAST(0 AS DECIMAL(12,2)) END)
-            + sum(CASE WHEN rn = (cnt + 2) // 2 THEN v ELSE CAST(0 AS DECIMAL(12,2)) END)
+  SELECT h.grp,
+         CAST(sum(CASE WHEN h.cm - h.c < (t.cnt + 1) // 2
+                        AND (t.cnt + 1) // 2 <= h.cm
+                       THEN h.v ELSE CAST(0 AS DECIMAL(12,2)) END)
+            + sum(CASE WHEN h.cm - h.c < (t.cnt + 2) // 2
+                        AND (t.cnt + 2) // 2 <= h.cm
+                       THEN h.v ELSE CAST(0 AS DECIMAL(12,2)) END)
             AS DECIMAL(14,2)) AS med2
-  FROM ranked GROUP BY grp
+  FROM cum h JOIN tot t ON h.grp = t.grp GROUP BY h.grp
 ),
 dev AS (
-  SELECT r.grp, r.v, CAST(abs(2 * r.v - m.med2) AS DECIMAL(15,2)) AS d2
-  FROM ranked r JOIN med m ON r.grp = m.grp
+  SELECT h.grp, CAST(abs(2 * h.v - m.med2) AS DECIMAL(15,2)) AS d2, h.c
+  FROM hist h JOIN med m ON h.grp = m.grp
 ),
-devranked AS (
-  SELECT grp, d2,
-         row_number() OVER (PARTITION BY grp ORDER BY d2) AS rn,
-         count(*) OVER (PARTITION BY grp) AS cnt
-  FROM dev
+dhist AS (
+  SELECT grp, d2, CAST(sum(c) AS BIGINT) AS c FROM dev GROUP BY grp, d2
+),
+dcum AS (
+  SELECT grp, d2, c,
+         CAST(sum(c) OVER (PARTITION BY grp ORDER BY d2
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cm
+  FROM dhist
 ),
 mad AS (
-  SELECT grp,
-         CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN d2 ELSE CAST(0 AS DECIMAL(15,2)) END)
-            + sum(CASE WHEN rn = (cnt + 2) // 2 THEN d2 ELSE CAST(0 AS DECIMAL(15,2)) END)
+  SELECT h.grp,
+         CAST(sum(CASE WHEN h.cm - h.c < (t.cnt + 1) // 2
+                        AND (t.cnt + 1) // 2 <= h.cm
+                       THEN h.d2 ELSE CAST(0 AS DECIMAL(15,2)) END)
+            + sum(CASE WHEN h.cm - h.c < (t.cnt + 2) // 2
+                        AND (t.cnt + 2) // 2 <= h.cm
+                       THEN h.d2 ELSE CAST(0 AS DECIMAL(15,2)) END)
             AS DECIMAL(17,2)) AS mad4
-  FROM devranked GROUP BY grp
+  FROM dcum h JOIN tot t ON h.grp = t.grp GROUP BY h.grp
 )
-SELECT dv.grp AS l_returnflag,
-       CAST(count(*) AS BIGINT) AS n,
+SELECT d.grp AS l_returnflag,
+       CAST(max(t.cnt) AS BIGINT) AS n,
        CAST(m.med2 * 0.5 AS DECIMAL(18,3)) AS median_price,
        CAST(a.mad4 * 0.25 AS DECIMAL(18,4)) AS mad,
-       CAST(count(*) FILTER (WHERE 2 * dv.d2 > 3 * a.mad4) AS BIGINT)
-         AS n_outliers
-FROM dev dv
-JOIN med m ON dv.grp = m.grp
-JOIN mad a ON dv.grp = a.grp
-GROUP BY dv.grp, m.med2, a.mad4
+       CAST(sum(CASE WHEN 2 * d.d2 > 3 * a.mad4 THEN d.c ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d
+JOIN med m ON d.grp = m.grp
+JOIN mad a ON d.grp = a.grp
+JOIN tot t ON d.grp = t.grp
+GROUP BY d.grp, m.med2, a.mad4
 """.strip(),
     doc="Robust outlier census per return flag: median + MAD (median "
     "absolute deviation), flag |v - median| > 3*MAD. Exact-parity trick: "
-    "medians are stated manually (avg of the two bracketing ranks) and "
+    "medians are stated manually (sum of the two bracketing ranks) and "
     "the whole computation runs in doubled/quadrupled DECIMAL space "
     "(med2 = 2*median, mad4 = 4*MAD, test 2*d2 > 3*mad4), so no "
     "division ever happens and both engines agree bit-for-bit — "
     "built-in median/quantile_cont interpolate differently across "
-    "engines. Scale: exact grouped medians need a per-group sort "
-    "(2 window passes here, partitioned by the 7 return flags); at 100 TB "
-    "swap in approx_percentile / t-digest sketches — this is the exact "
-    "twin that validates them. Skewed group cardinality is bounded "
-    "(3 flags), so per-partition sort memory is the row share, and AQE "
-    "splits any straggler partition.",
+    "engines. Scale (VERDICT r2 #3): the exact grouped median is "
+    "computed from a VALUE HISTOGRAM, not a row-level ranking window — "
+    "prices are DECIMAL(12,2), a bounded domain, so groupBy(grp, v) "
+    "hash-aggregates (map-side partial combine) the corpus down to "
+    "O(distinct values) rows, and the ordered cumulative-count window "
+    "runs over the histogram only. The bracketing ranks are then picked "
+    "from cumulative counts (rank r lives in the histogram row where "
+    "cum - c < r <= cum). No full-corpus WindowExec exists in this plan "
+    "at any scale; a window sort partitioned by the 3-value return flag "
+    "would put ~1/3 of the corpus in ONE task's sort, and AQE cannot "
+    "split window-sort stragglers (skew-split applies to shuffle joins). "
+    "approx-percentile/t-digest (agg-approx-percentile-gate) remains the "
+    "sketch path; this exact form now scales with the value domain.",
 )
 def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -2811,56 +2836,70 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("grp"),
         F.col("l_extendedprice").cast("decimal(12,2)").alias("v"),
     )
-    wv = Window.partitionBy("grp").orderBy("v")
-    wp = Window.partitionBy("grp")
-    ranked = x.select(
-        "grp",
-        "v",
-        F.row_number().over(wv).alias("rn"),
-        F.count("*").over(wp).alias("cnt"),
+    hist = x.groupBy("grp", "v").agg(F.count("*").cast("long").alias("c"))
+    tot = hist.groupBy("grp").agg(F.sum("c").cast("long").alias("cnt"))
+    wv = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "grp", "v", "c", F.sum("c").over(wv).cast("long").alias("cm")
     )
     lo = F.expr("(cnt + 1) div 2")
     hi = F.expr("(cnt + 2) div 2")
+
+    def bracket(val_col: str, zero, out_type: str):
+        """sum of the values holding the two bracketing ranks: rank r is
+        in the histogram row where cm - c < r <= cm (at most one row per
+        rank, so each sum has exactly one non-zero term)."""
+        in_lo = (F.col("cm") - F.col("c") < lo) & (lo <= F.col("cm"))
+        in_hi = (F.col("cm") - F.col("c") < hi) & (hi <= F.col("cm"))
+        return (
+            F.sum(F.when(in_lo, F.col(val_col)).otherwise(zero))
+            + F.sum(F.when(in_hi, F.col(val_col)).otherwise(zero))
+        ).cast(out_type)
+
     zero2 = F.lit(0).cast("decimal(12,2)")
-    med = ranked.groupBy("grp").agg(
-        (
-            F.sum(F.when(F.col("rn") == lo, F.col("v")).otherwise(zero2))
-            + F.sum(F.when(F.col("rn") == hi, F.col("v")).otherwise(zero2))
-        )
-        .cast("decimal(14,2)")
-        .alias("med2")
+    med = (
+        cum.join(F.broadcast(tot), "grp")
+        .groupBy("grp")
+        .agg(bracket("v", zero2, "decimal(14,2)").alias("med2"))
     )
-    dev = ranked.join(F.broadcast(med), "grp").select(
+    dev = hist.join(F.broadcast(med), "grp").select(
         "grp",
-        "v",
         F.abs(F.lit(2) * F.col("v") - F.col("med2"))
         .cast("decimal(15,2)")
         .alias("d2"),
+        "c",
     )
-    wd = Window.partitionBy("grp").orderBy("d2")
-    devranked = dev.select(
-        "grp",
-        "d2",
-        F.row_number().over(wd).alias("rn"),
-        F.count("*").over(wp).alias("cnt"),
+    dhist = dev.groupBy("grp", "d2").agg(F.sum("c").cast("long").alias("c"))
+    wd = (
+        Window.partitionBy("grp")
+        .orderBy("d2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dcum = dhist.select(
+        "grp", "d2", "c", F.sum("c").over(wd).cast("long").alias("cm")
     )
     zero3 = F.lit(0).cast("decimal(15,2)")
-    mad = devranked.groupBy("grp").agg(
-        (
-            F.sum(F.when(F.col("rn") == lo, F.col("d2")).otherwise(zero3))
-            + F.sum(F.when(F.col("rn") == hi, F.col("d2")).otherwise(zero3))
-        )
-        .cast("decimal(17,2)")
-        .alias("mad4")
+    mad = (
+        dcum.join(F.broadcast(tot), "grp")
+        .groupBy("grp")
+        .agg(bracket("d2", zero3, "decimal(17,2)").alias("mad4"))
     )
     return (
         dev.join(F.broadcast(mad), "grp")
         .join(F.broadcast(med), "grp")
+        .join(F.broadcast(tot), "grp")
         .groupBy("grp", "med2", "mad4")
         .agg(
-            F.count("*").cast("long").alias("n"),
-            F.count_if(
-                F.lit(2) * F.col("d2") > F.lit(3) * F.col("mad4")
+            F.max("cnt").cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    F.lit(2) * F.col("d2") > F.lit(3) * F.col("mad4"),
+                    F.col("c"),
+                ).otherwise(F.lit(0))
             )
             .cast("long")
             .alias("n_outliers"),
