@@ -77,15 +77,50 @@ def q_udtf_chunk_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "udtf-chunk-rag-smart",
-    None,  # order-dependent accumulation — not SQL-expressible; rows-only
+    """
+WITH base AS (
+  SELECT doc_id, '# Title ' || CAST(doc_id AS STRING) || chr(10)
+         || substring(text, 1, 300) AS head
+  FROM documents
+)
+SELECT doc_id, 0 AS chunk_idx,
+  CASE WHEN doc_id % 9 = 0 THEN
+         head || chr(10) || chr(10) || '## Section A' || chr(10)
+         || 'alpha beta gamma' || chr(10) || chr(10)
+         || '```' || chr(10) || 'x = 1' || chr(10) || '```'
+       WHEN doc_id % 3 = 0 THEN
+         head || chr(10) || chr(10) || '## Section A' || chr(10)
+         || 'alpha beta gamma'
+       WHEN doc_id % 3 = 1 THEN
+         head || chr(10) || chr(10) || '### Deep dive'
+       ELSE head || chr(10) || repeat('y', 600)
+  END AS chunk
+FROM base
+UNION ALL
+SELECT doc_id, 1 AS chunk_idx,
+       repeat('y', 100) || chr(10) || repeat('z', 600) AS chunk
+FROM base WHERE doc_id % 3 = 2
+""".strip(),
     doc="Production RAG chunker: heading-aware, code-blocks atomic, "
     "500-1000 chars + 100 overlap via Arrow mapInPandas "
-    "(reference: output-transformer.md:301-330). Invariants are "
-    "property-tested in tests/test_chunking.py.",
+    "(reference: output-transformer.md:301-330). Oracled (VERDICT r2 #4) "
+    "by replaying the accumulation on the probe input in closed form: "
+    "the fixture corpus contains no newlines/headings/fences (verified "
+    "across sf0.001/0.01/0.1), so segmentation of MD_CHUNK_TEXT_EXPR is "
+    "fully determined by the probe's CASE structure. doc_id%3 in (0,1) "
+    "docs fit one chunk (heading + prose [+ atomic fence] joined by "
+    "newline; the heading-boundary split consumes nothing, the "
+    "blank-line split collapses to the single join newline). doc_id%3==2 "
+    "docs carry a two-paragraph 600-char tail sized so the accumulator "
+    "holds head+para1 (~913 chars ≥ min 500), flushes when para2 would "
+    "exceed max 1000, and the second chunk is overlap(100 trailing "
+    "'y's) + newline + para2 — the flush/overlap path, closed-form. "
+    "General multi-flush behavior stays covered by "
+    "tests/test_chunking.py properties and the SQL invariants twin.",
 )
 def q_udtf_chunk_rag_smart(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = _docs(spark, sf_dir).select(
-        "doc_id", F.expr(syn.MD_TEXT_EXPR).alias("text")
+        "doc_id", F.expr(syn.MD_CHUNK_TEXT_EXPR).alias("text")
     )
     return chunking.rag_chunks_smart(probed, "doc_id", "text")
 

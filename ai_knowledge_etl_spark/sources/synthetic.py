@@ -156,6 +156,20 @@ MD_TEXT_EXPR = (
     "      ELSE '' END"
 )
 
+# Chunker probe: MD_TEXT_EXPR plus, on doc_id%3==2 docs (no section, no
+# fence there), a two-paragraph 600-char tail that forces exactly one
+# flush in the smart RAG chunker — so the accumulate/flush/overlap path
+# is exercised by an input whose chunk boundaries are still closed-form
+# (the fixture corpus has no newlines, verified in the oracle's docstring)
+# and therefore DuckDB-replayable.
+MD_CHUNK_TEXT_EXPR = (
+    MD_TEXT_EXPR
+    + " || CASE WHEN doc_id % 3 = 2"
+    "      THEN chr(10) || chr(10) || repeat('y', 600)"
+    "        || chr(10) || chr(10) || repeat('z', 600)"
+    "      ELSE '' END"
+)
+
 # Probe with embedded markdown links for udf-extract-links.
 LINKED_TEXT_EXPR = (
     "substring(text, 1, 150)"
