@@ -28,19 +28,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _pinned_rdd_ids(sc) -> set[int]:
-    """Ids of RDDs currently held in executor storage (py4j JavaMap)."""
-    return set(dict(sc._jsc.getPersistentRDDs()).keys())
+def _checkpointed_rdd_id(df: DataFrame) -> int | None:
+    """Id of the RDD an EAGER localCheckpoint pinned for `df`.
+
+    Read directly off the DataFrame's analyzed plan (a LogicalRDD wrapping
+    the checkpointed RDD) — NEVER by diffing sc.getPersistentRDDs() before
+    and after: under concurrent queries that diff claims other threads'
+    freshly checkpointed RDDs, and releasing those kills the running query
+    with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (seen in the round-3 concurrent
+    bench)."""
+    try:
+        return df._jdf.queryExecution().analyzed().rdd().id()
+    except Exception:  # not a LogicalRDD-backed frame — nothing pinned
+        return None
 
 
-def _release_rdds(sc, rdd_ids: set[int]) -> None:
+def _release_rdds(sc, rdd_ids: set[int | None]) -> None:
     """Unpersist the given checkpointed RDDs if still pinned. localCheckpoint
     pins its materialized RDD in storage until GC; an iterative loop must
     release round N-1's copy explicitly or up to max_iter label tables stay
     resident (ADVICE r1)."""
     jmap = dict(sc._jsc.getPersistentRDDs())
     for rid in rdd_ids:
-        jrdd = jmap.get(rid)
+        jrdd = jmap.get(rid) if rid is not None else None
         if jrdd is not None:
             jrdd.unpersist(False)
 
@@ -74,14 +84,13 @@ def connected_components(
         .localCheckpoint()
     )
     sc = edges.sparkSession.sparkContext
-    before = _pinned_rdd_ids(sc)
     labels = (
         e.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    labels_ids = _pinned_rdd_ids(sc) - before
+    labels_ids = {_checkpointed_rdd_id(labels)}
     for _ in range(max_iter):
         # each node offers its label to every neighbor; take the min offer
         offers = (
@@ -89,7 +98,6 @@ def connected_components(
             .groupBy(F.col("b").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        before = _pinned_rdd_ids(sc)
         new_labels = (
             labels.join(offers, labels["node"] == offers["node2"], "left")
             .select(
@@ -103,7 +111,7 @@ def connected_components(
             # lineage, so the convergence probe below reads checkpointed rows
             .localCheckpoint()
         )
-        new_ids = _pinned_rdd_ids(sc) - before
+        new_ids = {_checkpointed_rdd_id(new_labels)}
         changed = new_labels.agg(
             F.max(F.coalesce("__chg", F.lit(False)))
         ).first()[0]

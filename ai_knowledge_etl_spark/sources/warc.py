@@ -31,13 +31,15 @@ RECORD_SCHEMA = (
 )
 
 
-def parse_warc_bytes(raw: bytes) -> tuple[list[tuple[str, int, str, int]], int]:
-    """Single pass over one WARC file's bytes.
+def iter_warc_records(
+    raw: bytes,
+) -> tuple[list[tuple[dict[str, str], bytes, int]], int]:
+    """Single pass over one WARC file's bytes: the shared record walker.
 
-    Returns ([(uri, payload_len, payload_head, record_offset)], skipped) —
+    Returns ([(headers, payload_bytes, record_offset)], skipped) —
     `skipped` counts bytes not attributable to a well-formed record
     (corruption resync)."""
-    out: list[tuple[str, int, str, int]] = []
+    out: list[tuple[dict[str, str], bytes, int]] = []
     pos, skipped = 0, 0
     n = len(raw)
     while pos < n:
@@ -66,6 +68,22 @@ def parse_warc_bytes(raw: bytes) -> tuple[list[tuple[str, int, str, int]], int]:
             continue
         body_start = hdr_end + len(_HDR_END)
         payload = raw[body_start : body_start + length]
+        out.append((headers, payload, nxt))
+        pos = body_start + length
+        # consume the well-formed record trailer so it isn't counted as
+        # skipped/corrupt bytes
+        if raw[pos : pos + len(_HDR_END)] == _HDR_END:
+            pos += len(_HDR_END)
+    return out, skipped
+
+
+def parse_warc_bytes(raw: bytes) -> tuple[list[tuple[str, int, str, int]], int]:
+    """Metadata view over `iter_warc_records`.
+
+    Returns ([(uri, payload_len, payload_head, record_offset)], skipped)."""
+    recs, skipped = iter_warc_records(raw)
+    out = []
+    for headers, payload, off in recs:
         # head = first 40 CHARACTERS of the decoded payload (not 40 raw
         # bytes): byte truncation of multibyte UTF-8 text would emit
         # replacement chars and diverge from any character-semantics
@@ -77,14 +95,9 @@ def parse_warc_bytes(raw: bytes) -> tuple[list[tuple[str, int, str, int]], int]:
                 headers.get("warc-target-uri", ""),
                 len(payload),
                 payload[:164].decode("utf-8", "replace")[:40],
-                nxt,
+                off,
             )
         )
-        pos = body_start + length
-        # consume the well-formed record trailer so it isn't counted as
-        # skipped/corrupt bytes
-        if raw[pos : pos + len(_HDR_END)] == _HDR_END:
-            pos += len(_HDR_END)
     return out, skipped
 
 
@@ -120,3 +133,34 @@ def scan_warc(
             )
 
     return files.select(id_col, content_col).mapInPandas(gen, RECORD_SCHEMA)
+
+
+TEXT_SCHEMA = "uri string, text string"
+
+
+def scan_warc_text(
+    files: DataFrame, id_col: str = "file_id", content_col: str = "content"
+) -> DataFrame:
+    """(file_id, content binary) → (uri, text): the corpus-ingestion view —
+    full decoded payload text per surviving record, corrupted records
+    resync'd past. This is the entry stage of pipeline-warc-corpus; the
+    metadata view (scan_warc) stays the cheap census."""
+    from ai_knowledge_etl_spark.sources.catalog import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers(files.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            uris, texts = [], []
+            for blob in pdf[content_col]:
+                recs, _ = iter_warc_records(
+                    bytes(blob) if blob is not None else b""
+                )
+                for headers, payload, _off in recs:
+                    uris.append(headers.get("warc-target-uri", ""))
+                    texts.append(payload.decode("utf-8", "replace"))
+            yield pd.DataFrame({"uri": uris, "text": texts})
+
+    return files.select(id_col, content_col).mapInPandas(gen, TEXT_SCHEMA)

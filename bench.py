@@ -23,6 +23,11 @@ stdout line stays small enough for the driver's tail-capture to parse.
 - DuckDB side-by-side: BASELINE.md defines DuckDB wall on the same parquet
   as the 2× comparison oracle, so the JSON carries it (all registered
   oracle SQLs, sequential, 32 threads).
+- BENCH_DETAIL.json additionally carries `isolated`: one-at-a-time
+  sequential timings for the HEAVY_FIRST set (same warmed session,
+  alphabetical). These are true isolated latencies — the per-round
+  comparable numbers — unlike the queue-inclusive concurrent timings.
+  Disable with SPARK_GRAFT_BENCH_ISOLATED=0.
 """
 
 from __future__ import annotations
@@ -163,6 +168,15 @@ def main() -> None:
             timings = pass_timings
         totals.append(wall)
     total = min(totals)
+    # Isolated sequential pass over the heavy set (VERDICT r2 #5): the
+    # concurrent per-query numbers above are queue-inclusive (Σ per-query
+    # ≈ workers × wall by construction) and cannot be compared across
+    # rounds. One query at a time, alphabetical, same warmed session —
+    # these ARE isolated latencies, the round-over-round comparable set.
+    isolated = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
+        for name in sorted(HEAVY_FIRST):
+            isolated[name] = run(name)[1]
     # stop the JVM before the DuckDB phase so the baseline measurement does
     # not compete with a resident 16 GB heap; best-of-2 damps VM noise
     # (same direction for both engines: min-of-passes each).
@@ -186,7 +200,12 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:
-        json.dump({**headline, "queries": timings}, f, indent=1, sort_keys=True)
+        json.dump(
+            {**headline, "queries": timings, "isolated": isolated},
+            f,
+            indent=1,
+            sort_keys=True,
+        )
     print(json.dumps(headline))
 
 
