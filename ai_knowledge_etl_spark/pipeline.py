@@ -298,6 +298,157 @@ def curate_corpus(
     )
 
 
+def curate_warc_corpus(
+    warc_files: DataFrame,
+    uri_lookup: DataFrame,
+    target_pred: str = "lang = 'en'",
+    lp_min: float = -4.5,
+    min_norm_chars: int = 40,
+    top_n: int = 100,
+) -> DataFrame:
+    """The Common-Crawl entry pipeline END-TO-END as one lazy plan — the
+    first thing a training-data user runs against 100 TB of WARC:
+
+      scan-warc (full-text records, resync past corruption)
+      → Gopher repetition gates (dup-3-gram fraction + top-word occupancy)
+      → unigram-logprob quality gate (corpus-self-trained LM score)
+      → corpus-wide paragraph dedup (strip exact boilerplate)
+      → MinHash-LSH near-dup removal (df-capped shingles, 8 sigs,
+        4 bands of 2; the LOWEST doc id of each candidate pair survives)
+      → DSIR importance scoring vs the target slice → deterministic top-N
+
+    `warc_files` carries (file_id, content binary); `uri_lookup` maps
+    uri → (doc_id, lang, source). Returns (doc_id, n_kept, n_toks,
+    avg_logprob, score_millinats): the top_n highest-importance
+    survivors. Registered with a fully composed DuckDB oracle as
+    `pipeline-warc-corpus`.
+
+    Scale: the WARC parse is Arrow-batched mapInPandas (1 file → N
+    records); every gate is a hash-agg or broadcast join; paragraph
+    dedup is the min-struct aggregate; the pair stage is banded LSH
+    (never all-pairs) with the hot-shingle df cap; the DSIR weight table
+    is a 4096-row broadcast. Token splits use the raw ' ' delimiter
+    throughout (newline-glued tokens are deterministic and mirrored in
+    the oracle)."""
+    from ai_knowledge_etl_spark import config as cfg
+    from ai_knowledge_etl_spark.operators import curation as CU
+    from ai_knowledge_etl_spark.sources import warc
+
+    parsed = warc.scan_warc_text(warc_files).join(uri_lookup, "uri")
+
+    # Gopher repetition gates (registry twin: filter-repetition-gopher)
+    words = parsed.select("doc_id", F.split("text", " ").alias("ws"))
+    tri = words.select(
+        "doc_id",
+        F.greatest(F.size("ws") - 2, F.lit(1)).alias("t3"),
+        F.size(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(ws) - 2, 1)),"
+                    " i -> concat_ws(' ', slice(ws, i, 3)))"
+                )
+            )
+        ).alias("d3"),
+    )
+    tw = (
+        words.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    top = tw.groupBy("doc_id").agg(
+        F.max("c").alias("mx"), F.sum("c").alias("n_tokens")
+    )
+    gop = (
+        tri.join(top, "doc_id")
+        .where(
+            (1.0 - F.col("d3").cast("double") / F.col("t3")
+             <= cfg.GOPHER_DUP3_MAX)
+            & (F.col("mx").cast("double") / F.col("n_tokens")
+               <= cfg.GOPHER_TOPWORD_MAX)
+        )
+        .select("doc_id")
+    )
+    gated = parsed.join(gop, "doc_id")
+
+    # unigram-logprob gate, self-trained on the gate survivors
+    toks = gated.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    vtot = toks.agg(F.count("*").alias("tot"))
+    lp = (
+        toks.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(vtot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("cnt").cast("double") / F.col("tot"))), 3
+            ).alias("avg_logprob")
+        )
+        .where(F.col("avg_logprob") >= lp_min)
+    )
+    # Persisted: `qual` feeds three consumers (paragraph dedup, the
+    # shingle stage's source join — via an 8-way banded self-join — and
+    # the final flag join); without the persist every band join re-runs
+    # the WARC parse + both quality gates (the jaccard_pairs persist
+    # rationale, measured: the composed plan goes from minutes-hung to
+    # seconds with these three cuts).
+    qual = gated.join(lp, "doc_id").localCheckpoint()
+
+    # corpus-wide paragraph dedup on the quality survivors
+    dd = CU.paragraph_dedup(
+        qual.select("doc_id", F.col("text").alias("ptext"))
+    ).localCheckpoint()
+
+    # MinHash-LSH near-dup removal over the deduped text
+    sh = dedup.shingles(
+        dd.join(qual.select("doc_id", "source"), "doc_id"),
+        "doc_id",
+        "text_kept",
+        n=3,
+        keep=("source",),
+    )
+    shc = dedup.cap_shingle_df(
+        sh, "doc_id", cfg.DEDUP_SHINGLE_MAX_DF, "source"
+    )
+    sigs = dedup.minhash_signatures(shc, "doc_id", k=8).localCheckpoint()
+    cands = dedup.minhash_candidates(sigs, "doc_id", k=8, rows_per_band=2)
+    dupes = cands.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = dd.join(dupes, "doc_id", "left_anti")
+
+    # DSIR importance scoring vs the target slice, then deterministic top-N
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text_kept")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    normalized = kept.select(
+        "doc_id", "n_kept", norm.alias("norm")
+    ).where(F.length("norm") >= min_norm_chars)
+    # persisted: the DSIR stage tokenizes `flagged` three times (target
+    # and corpus distributions + the scoring join) and the final project
+    # joins it again — without the cut each pass re-runs the LSH anti-join
+    # and everything above it (measured 94 s → seconds at sf0.001)
+    flagged = (
+        normalized.join(
+            qual.select("doc_id", "lang", "avg_logprob"), "doc_id"
+        )
+        .withColumn("is_target", F.expr(target_pred))
+        .localCheckpoint()
+    )
+    scored = CU.importance_scores(
+        flagged.select("doc_id", "is_target", "norm"),
+        "is_target",
+        text_col="norm",
+    )
+    out = scored.join(
+        flagged.select("doc_id", "n_kept", "avg_logprob"), "doc_id"
+    ).select("doc_id", "n_kept", "n_toks", "avg_logprob", "score_millinats")
+    return topk.top_k(
+        out, top_n, F.desc("score_millinats"), F.asc("doc_id")
+    )
+
+
 def crawl(
     spark: SparkSession,
     seeds: DataFrame,

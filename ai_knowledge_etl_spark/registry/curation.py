@@ -303,6 +303,212 @@ LIMIT 100
 """.strip()
 
 
+# --- Common-Crawl entry pipeline (scan-warc → gates → dedup → DSIR) -------------
+
+# lexicographic-min md5 band fragments shared with dedup-minhash
+from ai_knowledge_etl_spark.registry.northstar import (  # noqa: E402
+    _MINHASH_BANDS_SQL,
+    _MINHASH_CAND_SQL,
+)
+
+from ai_knowledge_etl_spark import config as _cfg  # noqa: E402
+
+_PWC_LP_MIN = -4.5  # measured corpus spread [-4.82, -3.83]; gates the tail
+
+_WARC_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text_kept), '[^a-z0-9 ]', "
+    "' ', 'g'), ' +', ' ', 'g'))"
+)
+
+_WARC_CORPUS_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, lang, source, {{PWC_TEXT}} AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, lang, source,
+         {{PWC_CLONE}} AS text
+  FROM documents WHERE doc_id % 10 = 5
+),
+surv AS MATERIALIZED (SELECT * FROM corpus WHERE doc_id % 13 <> 0),
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM surv),
+tri AS (
+  SELECT doc_id, greatest(len(ws) - 2, 1) AS t3,
+         len(list_distinct(list_transform(
+             generate_series(1, greatest(len(ws) - 2, 1)),
+             i -> array_to_string(ws[i:i+2], ' ')))) AS d3
+  FROM words
+),
+tw AS (SELECT doc_id, w, count(*) AS c
+       FROM (SELECT doc_id, unnest(ws) AS w FROM words) GROUP BY doc_id, w),
+topw AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS n_tokens
+         FROM tw GROUP BY doc_id),
+gop AS (
+  SELECT t.doc_id FROM tri t JOIN topw USING (doc_id)
+  WHERE 1.0 - CAST(d3 AS DOUBLE) / t3 <= {_cfg.GOPHER_DUP3_MAX}
+    AND CAST(mx AS DOUBLE) / n_tokens <= {_cfg.GOPHER_TOPWORD_MAX}
+),
+gated AS MATERIALIZED (SELECT s.* FROM surv s JOIN gop USING (doc_id)),
+gtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM gated),
+vocab AS (SELECT w, count(*) AS cnt FROM gtoks GROUP BY w),
+vtot AS (SELECT count(*) AS tot FROM gtoks),
+lp AS (
+  SELECT doc_id, round(avg(ln(CAST(cnt AS DOUBLE) / tot)), 3) AS avg_logprob
+  FROM gtoks JOIN vocab USING (w), vtot GROUP BY doc_id
+),
+qual AS MATERIALIZED (
+  SELECT g.doc_id, g.lang, g.source, g.text, l.avg_logprob
+  FROM gated g JOIN lp l USING (doc_id)
+  WHERE l.avg_logprob >= {_PWC_LP_MIN}
+),
+paras AS (
+  SELECT doc_id, idx, para FROM (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, chr(10) || chr(10)), 1) AS idx,
+           unnest(string_split(text, chr(10) || chr(10))) AS para
+    FROM qual
+  ) WHERE length(trim(para)) > 0
+),
+ranked AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, idx) AS rn
+  FROM paras
+),
+dd AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_paras,
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                             chr(10) || chr(10) ORDER BY idx), '') AS text_kept
+  FROM ranked GROUP BY doc_id
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, source, array_to_string(w2[i:i+2], ' ') AS shingle
+  FROM (
+    SELECT d.doc_id, q.source, string_split(d.text_kept, ' ') AS w2,
+           unnest(generate_series(1,
+             greatest(len(string_split(d.text_kept, ' ')) - 2, 1))) AS i
+    FROM dd d JOIN qual q USING (doc_id)
+  )
+),
+shc AS MATERIALIZED (
+  SELECT sh.doc_id, sh.source, sh.shingle FROM sh
+  JOIN (
+    SELECT source, shingle FROM sh GROUP BY source, shingle
+    HAVING count(*) <= {_cfg.DEDUP_SHINGLE_MAX_DF}
+  ) ok USING (source, shingle)
+),
+seeded AS (
+  SELECT doc_id, unnest(generate_series(0, 7)) AS seed, shingle FROM shc
+),
+sigs AS MATERIALIZED (
+  SELECT doc_id, seed,
+         min(md5(CAST(seed AS STRING) || ':' || shingle)) AS sig
+  FROM seeded GROUP BY doc_id, seed
+),
+banded AS MATERIALIZED (
+  SELECT doc_id,
+    {_MINHASH_BANDS_SQL}
+  FROM sigs GROUP BY doc_id
+),
+cands AS (
+  {_MINHASH_CAND_SQL}
+),
+dupes AS (SELECT DISTINCT doc_b FROM cands),
+kept AS MATERIALIZED (
+  SELECT d.* FROM dd d LEFT JOIN dupes ON d.doc_id = dupes.doc_b
+  WHERE dupes.doc_b IS NULL
+),
+normd AS (
+  SELECT doc_id, n_kept, norm FROM (
+    SELECT doc_id, n_kept, {_WARC_NORM_SQL} AS norm FROM kept
+  ) WHERE length(norm) >= 40
+),
+flagged AS MATERIALIZED (
+  SELECT n.doc_id, n.n_kept, n.norm, (q.lang = 'en') AS is_target,
+         q.avg_logprob
+  FROM normd n JOIN qual q USING (doc_id)
+),
+dtoks AS MATERIALIZED (
+  SELECT doc_id, is_target, CAST({_BUCKET_SQL} AS INTEGER) AS bucket
+  FROM (
+    SELECT doc_id, is_target,
+           unnest(string_split_regex(lower(norm), '[^a-z]+')) AS tok
+    FROM flagged
+  ) WHERE length(tok) > 0
+),
+c AS (
+  SELECT bucket, count(*) AS c_n,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_n
+  FROM dtoks GROUP BY bucket
+),
+tot AS (
+  SELECT count(*) AS c_tot,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_tot
+  FROM dtoks
+),
+w AS (
+  SELECT bucket,
+         CAST(round(1000000.0 * (
+            ln((t_n + 1.0) / (tot.t_tot + {CU.N_FEATURE_BUCKETS}))
+          - ln((c_n + 1.0) / (tot.c_tot + {CU.N_FEATURE_BUCKETS}))
+         )) AS BIGINT) AS w_millinats
+  FROM c CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(w.w_millinats) AS BIGINT) AS score_millinats
+  FROM dtoks JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT s.doc_id, f.n_kept, s.n_toks, f.avg_logprob, s.score_millinats
+FROM scored s JOIN flagged f USING (doc_id)
+ORDER BY score_millinats DESC, s.doc_id ASC
+LIMIT 100
+""".strip()
+
+
+@register(
+    "pipeline-warc-corpus",
+    _WARC_CORPUS_ORACLE.replace("{PWC_TEXT}", syn.PWC_TEXT_EXPR).replace(
+        "{PWC_CLONE}", syn.PWC_CLONE_TEXT_EXPR
+    ),
+    doc="The Common-Crawl ENTRY pipeline end-to-end as one lazy plan "
+    "(pipeline.curate_warc_corpus) — the first query a training-data "
+    "user runs at 100 TB: WARC full-text scan (forward-resync past "
+    "corrupted records) → Gopher repetition gates → unigram-logprob "
+    "quality gate (self-trained, gate at measured tail) → corpus-wide "
+    "paragraph dedup → MinHash-LSH near-dup removal (df-capped "
+    "shingles, 8 sigs, 4 bands; lowest doc id survives) → DSIR "
+    "importance scoring vs lang='en' → deterministic top-100. The "
+    "probe corpus injects all three failure classes (spam paragraphs "
+    "for the repetition gate, 'v2 '-perturbed clones that survive "
+    "paragraph dedup but not LSH, every-13th-record corruption for the "
+    "resync path), and the oracle replays every stage — corruption "
+    "arithmetically, the rest as the composed CTEs of the individual "
+    "operators' oracles. Every stage is an already-oracled operator; "
+    "this proves their COMPOSITION.",
+)
+def q_pipeline_warc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark import pipeline as P
+    from ai_knowledge_etl_spark.registry.sources_sinks import warc_pack_files
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id", "lang", "source", F.expr(syn.PWC_TEXT_EXPR).alias("text")
+    )
+    clones = docs.where("doc_id % 10 = 5").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "lang",
+        "source",
+        F.expr(syn.PWC_CLONE_TEXT_EXPR).alias("text"),
+    )
+    corpus = base.unionByName(clones)
+    files = warc_pack_files(corpus, syn.url_col())
+    lookup = corpus.select(
+        syn.url_col().alias("uri"), "doc_id", "lang", "source"
+    )
+    return P.curate_warc_corpus(files, lookup, lp_min=_PWC_LP_MIN)
+
+
 @register(
     "pipeline-curate-corpus",
     _CURATE_ORACLE,

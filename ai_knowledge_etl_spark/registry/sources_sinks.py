@@ -568,6 +568,62 @@ CASE WHEN doc_id % 13 = 0 THEN 'GARBAGE!' ELSE 'WARC/1.0' END
 """.strip()
 
 
+def warc_pack_files(
+    docs: DataFrame,
+    uri,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corrupt_pred: str = "doc_id % 13 = 0",
+    file_expr: str = "doc_id % 125",
+) -> DataFrame:
+    """Pack (id, text) rows into synthetic WARC file blobs — N records per
+    file (grouped by `file_expr`, ordered by id), every `corrupt_pred` row's
+    magic clobbered so parsers must exercise forward-resync. Shared by
+    scan-warc and pipeline-warc-corpus; the oracles replay the corruption
+    arithmetically (id-predicate) instead of re-parsing bytes."""
+    crlf = F.lit("\r\n")
+    rec = F.concat(
+        F.when(F.expr(corrupt_pred), F.lit("GARBAGE!")).otherwise(
+            F.lit("WARC/1.0")
+        ),
+        crlf,
+        F.lit("WARC-Type: response"),
+        crlf,
+        F.lit("WARC-Target-URI: "),
+        uri,
+        crlf,
+        F.lit("Content-Length: "),
+        F.octet_length(text_col).cast("string"),
+        crlf,
+        crlf,
+        F.col(text_col),
+        crlf,
+        crlf,
+    )
+    return (
+        docs.select(
+            F.expr(file_expr).alias("file_id"),
+            F.col(id_col).alias("__id"),
+            rec.alias("rec"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__id", "rec"))),
+                    lambda s: s.getField("rec"),
+                ),
+                "",
+            ).alias("blob_str")
+        )
+        .select(
+            F.col("file_id").cast("bigint").alias("file_id"),
+            F.encode("blob_str", "utf-8").alias("content"),
+        )
+    )
+
+
+
 @register(
     "scan-warc",
     f"""
@@ -606,44 +662,7 @@ def q_scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_knowledge_etl_spark.sources import warc
 
     docs = _docs(spark, sf_dir)
-    crlf = F.lit("\r\n")
-    rec = F.concat(
-        F.when(F.expr("doc_id % 13 = 0"), F.lit("GARBAGE!")).otherwise(
-            F.lit("WARC/1.0")
-        ),
-        crlf,
-        F.lit("WARC-Type: response"),
-        crlf,
-        F.lit("WARC-Target-URI: "),
-        syn.url_col(),
-        crlf,
-        F.lit("Content-Length: "),
-        F.octet_length("text").cast("string"),
-        crlf,
-        crlf,
-        F.col("text"),
-        crlf,
-        crlf,
-    )
-    files = (
-        docs.select(
-            F.expr("doc_id % 125").alias("file_id"), "doc_id", rec.alias("rec")
-        )
-        .groupBy("file_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
-                    lambda s: s.getField("rec"),
-                ),
-                "",
-            ).alias("blob_str")
-        )
-        .select(
-            F.col("file_id").cast("bigint").alias("file_id"),
-            F.encode("blob_str", "utf-8").alias("content"),
-        )
-    )
+    files = warc_pack_files(docs, syn.url_col())
     return warc.scan_warc(files)
 
 

@@ -140,6 +140,33 @@ REPEAT_TEXT_EXPR = (
     " click here to win' ELSE '' END"
 )
 
+# pipeline-warc-corpus probe: the PARA paragraph structure plus a decisive
+# spam tail (own paragraph) on every 8th doc — 8 repeats of the 4-word
+# phrase push dup3_ratio well past GOPHER_DUP3_MAX so the repetition gate
+# has unambiguous true positives inside the composed pipeline.
+PWC_SPAM_PARA = " ".join(["click here to win"] * 8)
+PWC_TEXT_EXPR = (
+    PARA_TEXT_EXPR
+    + " || CASE WHEN doc_id % 8 = 0"
+    f"      THEN chr(10) || chr(10) || '{PWC_SPAM_PARA}'"
+    "      ELSE '' END"
+)
+
+# Near-duplicate clone for pipeline-warc-corpus (doc_id % 10 = 5 docs,
+# clone id = doc_id + 100000): every paragraph 'v2 '-prefixed, so the
+# clone SURVIVES paragraph dedup (md5s differ) yet shares most word
+# 3-gram shingles with its base — exactly the case MinHash-LSH must
+# catch after paragraph dedup has stripped exact boilerplate.
+PWC_CLONE_TEXT_EXPR = (
+    "'v2 ' || substring(text, 1, 120)"
+    " || chr(10) || chr(10) || 'v2 ' ||"
+    " CASE doc_id % 4"
+    "   WHEN 0 THEN 'subscribe to our newsletter for the latest updates'"
+    "   WHEN 1 THEN 'all rights reserved copyright example corp'"
+    "   ELSE substring(text, 121, 140) END"
+    " || chr(10) || chr(10) || 'v2 doc tail ' || CAST(doc_id AS STRING)"
+)
+
 # Markdown-shaped probe: injects a title heading, optional sections, and an
 # occasional fenced code block (structure/render/chunk operators need real
 # markdown; the fixture corpus is a flat word stream). chr(10) == newline in

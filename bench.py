@@ -94,6 +94,7 @@ HEAVY_FIRST = {
     "stream-late-data-watermark": 20,
     "pipeline-curate-corpus": 9,
     "pipeline-crawl-e2e": 9,
+    "pipeline-warc-corpus": 10,
     "scan-warc": 5,
     "dedup-cluster-cc": 13,
     "scan-custom-datasource": 12,

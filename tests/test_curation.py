@@ -137,3 +137,26 @@ def test_semantic_cluster_cap_excludes_mega_cluster(spark):
     assert capped.where("NOT kept").count() == 0  # mega-cluster skipped
     uncapped = CU.semantic_dedup(vecs, cents)
     assert uncapped.where("NOT kept").count() == n - 1  # sanity: dup-heavy
+
+
+def test_warc_corpus_pipeline_gates_and_dedup(spark, sf_dir):
+    """Behavioral checks on pipeline-warc-corpus the hash oracle can't
+    localize when they fail: corrupted records never surface, spam docs
+    never pass the repetition gate, and the clone wave is (mostly)
+    removed by LSH with the lower id surviving."""
+    from ai_knowledge_etl_spark.registry import REGISTRY
+
+    rows = REGISTRY["pipeline-warc-corpus"].spark(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    ids = {r["doc_id"] for r in rows}
+    for i in ids:
+        assert i % 13 != 0, "corrupted WARC record leaked through resync"
+        if i < 100000:
+            assert i % 8 != 0, "spam doc survived the Gopher gate"
+    # ~50 clones enter the corpus and ~40 pass the gates; banded LSH
+    # (4 bands of 2 at Jaccard ~0.7) deterministically catches the large
+    # majority (35 at sf0.001 — the oracle replays the exact set, so a
+    # few surviving clones are expected, not a bug). Assert bulk removal:
+    # far fewer clones in the top-100 than the gate survivors.
+    n_clones_out = sum(1 for i in ids if i >= 100000)
+    assert n_clones_out <= 15, f"{n_clones_out} clones survived LSH dedup"

@@ -186,6 +186,9 @@ def test_results_invariant_under_shuffle_partitioning(spark, sf_dir):
         "sample-temperature-mixture",
         "pipeline-curate-corpus",
         "pipeline-crawl-e2e",
+        # round-3: the Common-Crawl entry pipeline (WARC scan → gates →
+        # paragraph+LSH dedup → DSIR top-N)
+        "pipeline-warc-corpus",
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
