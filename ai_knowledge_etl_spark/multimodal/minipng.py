@@ -1,0 +1,114 @@
+"""Minimal pure-Python PNG codec (public PNG spec, RFC 2083): enough to
+run the real image-compression chain on real bytes in a container without
+an imaging library (VERDICT r2 #7).
+
+Scope is deliberately tiny: 8-bit RGB, non-interlaced; encode always uses
+filter type 0 (None) per scanline; decode supports filter types 0 (None),
+1 (Sub), and 2 (Up) — the types our own encoder and simple generators
+emit — and raises on the rest. A real deployment drops in
+PIL/pillow (multimodal.images.decode_image prefers it automatically);
+this module exists so the 800→640→480→400 tier-walk executes on genuine
+compressed pixel data, not a metadata size model.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """8-bit RGB pixels (row-major, 3*width*height bytes) → PNG bytes."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError("rgb buffer size mismatch")
+    stride = 3 * width
+    raw = b"".join(
+        b"\x00" + rgb[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 9))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytearray]:
+    """PNG bytes → (width, height, 8-bit RGB buffer). Supports the subset
+    documented in the module docstring; raises ValueError otherwise."""
+    if data[:8] != MAGIC:
+        raise ValueError("not a PNG")
+    pos, width, height, idat = 8, 0, 0, b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if bit_depth != 8 or color_type != 2 or interlace != 0:
+                raise ValueError(
+                    "minipng supports 8-bit non-interlaced RGB only"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = 3 * width
+    out = bytearray(stride * height)
+    prev_row_start = -1
+    rpos = 0
+    for y in range(height):
+        ftype = raw[rpos]
+        row = raw[rpos + 1 : rpos + 1 + stride]
+        rpos += 1 + stride
+        ostart = y * stride
+        if ftype == 0:  # None
+            out[ostart : ostart + stride] = row
+        elif ftype == 1:  # Sub: add pixel to the left (3 bytes back)
+            for i in range(stride):
+                left = out[ostart + i - 3] if i >= 3 else 0
+                out[ostart + i] = (row[i] + left) & 0xFF
+        elif ftype == 2:  # Up: add pixel above
+            for i in range(stride):
+                up = out[prev_row_start + i] if prev_row_start >= 0 else 0
+                out[ostart + i] = (row[i] + up) & 0xFF
+        else:
+            raise ValueError(f"minipng: unsupported filter type {ftype}")
+        prev_row_start = ostart
+    return width, height, out
+
+
+def resize_nearest(
+    width: int, height: int, rgb: bytes | bytearray, new_width: int
+) -> tuple[int, int, bytes]:
+    """Nearest-neighbor downscale preserving aspect ratio (the resize step
+    of the tier walk; PIL's resampling quality is a drop-in upgrade)."""
+    new_height = max(1, (height * new_width) // width)
+    stride = 3 * width
+    out = bytearray(3 * new_width * new_height)
+    for ny in range(new_height):
+        sy = min(height - 1, (ny * height) // new_height)
+        src_row = sy * stride
+        dst = ny * 3 * new_width
+        for nx in range(new_width):
+            sx = min(width - 1, (nx * width) // new_width)
+            s = src_row + 3 * sx
+            d = dst + 3 * nx
+            out[d : d + 3] = rgb[s : s + 3]
+    return new_width, new_height, bytes(out)

