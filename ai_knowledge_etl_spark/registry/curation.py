@@ -324,7 +324,7 @@ _WARC_CORPUS_ORACLE = f"""
 WITH corpus AS (
   SELECT doc_id, lang, source, {{PWC_TEXT}} AS text FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id, lang, source,
+  SELECT doc_id + 10000000 AS doc_id, lang, source,
          {{PWC_CLONE}} AS text
   FROM documents WHERE doc_id % 10 = 5
 ),
@@ -496,7 +496,7 @@ def q_pipeline_warc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", F.expr(syn.PWC_TEXT_EXPR).alias("text")
     )
     clones = docs.where("doc_id % 10 = 5").select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + 10000000).alias("doc_id"),
         "lang",
         "source",
         F.expr(syn.PWC_CLONE_TEXT_EXPR).alias("text"),

@@ -1,8 +1,8 @@
 """North-star LLM-data-pipeline operators: dedup, similarity search, text
 analysis (BASELINE.json north_star). Parity conventions per registry/crawl.py.
 
-The dedup corpus injects exact duplicates (+200000 ids) and near-duplicates
-(+100000 ids, mutated tail) so every dedup tier has true positives; the
+The dedup corpus injects exact duplicates (+20M ids) and near-duplicates
+(+10M-offset ids, mutated tail) so every dedup tier has true positives; the
 derivation is dialect-common SQL evaluated by both engines.
 """
 
@@ -21,11 +21,11 @@ DUP_CORPUS_CTE = """
 dup_corpus AS (
   SELECT doc_id, source, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id, source,
+  SELECT doc_id + 10000000 AS doc_id, source,
          text || ' near duplicate tail marker' AS text
   FROM documents WHERE doc_id % 10 = 0
   UNION ALL
-  SELECT doc_id + 200000 AS doc_id, source, text
+  SELECT doc_id + 20000000 AS doc_id, source, text
   FROM documents WHERE doc_id % 25 = 0
 )
 """.strip()
@@ -67,13 +67,13 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = (
         d.where("doc_id % 10 = 0")
         .select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
+            (F.col("doc_id") + 10000000).alias("doc_id"),
             "source",
             F.concat("text", F.lit(" near duplicate tail marker")).alias("text"),
         )
     )
     exact = d.where("doc_id % 25 = 0").select(
-        (F.col("doc_id") + 200000).alias("doc_id"), "source", "text"
+        (F.col("doc_id") + 20000000).alias("doc_id"), "source", "text"
     )
     return d.unionByName(near).unionByName(exact)
 
@@ -828,10 +828,18 @@ exact_edges AS (
     SELECT min(doc_id) OVER (PARTITION BY fp) AS a, doc_id AS b FROM fps
   ) WHERE a <> b
 ),
-counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shc GROUP BY doc_id),
+-- exact-first ordering (mirrors the Spark side): the Jaccard stage sees
+-- ONE representative per exact-fingerprint group, so d byte-identical
+-- copies never put d rows on the same shingle join key. Closure output
+-- is identical — replica edges are reachable via the exact star edges.
+reps AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+shr AS MATERIALIZED (
+  SELECT shc.doc_id, shc.source, shc.shingle FROM shc JOIN reps USING (doc_id)
+),
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shr GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
-  FROM shc a JOIN shc b
+  FROM shr a JOIN shr b
     ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
@@ -863,8 +871,20 @@ FROM labs
     "doc (min id) per cluster. Spark side is iterative min-label "
     "propagation (operators/clustering.py, two shuffles per round, rounds "
     "= cluster diameter); oracle is DuckDB WITH RECURSIVE transitive "
-    "closure. The injected corpus chains X ~ X+100000 (near) and "
-    "X ~ X+200000 (exact) so multi-edge merging is actually exercised.",
+    "closure. The injected corpus chains X ~ X+10000000 (near) and "
+    "X ~ X+20000000 (exact) so multi-edge merging is actually exercised. "
+    "Scale (round-3 100x sweep finding): the Jaccard stage runs on ONE "
+    "REPRESENTATIVE per exact-fingerprint group, not the full corpus — "
+    "a corpus with d byte-identical copies per doc otherwise puts d "
+    "copies of every shingle on the same join key (d at or under the "
+    "df cap slips past it: the 100x fixture replicates exactly 100x "
+    "against max_df=100, fanning the self-join to ~d^2 per key and "
+    "hanging the sweep). Exact-first ordering leaves the clusters "
+    "provably identical: replicas have identical shingle sets, so any "
+    "replica-level Jaccard edge is reachable through the exact star "
+    "edges plus the representative edge — the standard exact-then-fuzzy "
+    "sequencing of production dedup pipelines, and the oracle's closure "
+    "output is unchanged by construction.",
 )
 def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -878,8 +898,14 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a") != F.col("doc_id"))
         .select("a", F.col("doc_id").alias("b"))
     )
+    reps = (
+        fps.groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    sh_reps = _shingles_capped(spark, sf_dir).join(reps, "doc_id", "left_semi")
     jac_e = dedup.jaccard_pairs(
-        _shingles_capped(spark, sf_dir), "doc_id", "source", threshold=0.6
+        sh_reps, "doc_id", "source", threshold=0.6
     ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     return clustering.canonical_clusters(exact_e.unionByName(jac_e))
 

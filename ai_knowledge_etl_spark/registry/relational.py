@@ -3794,35 +3794,35 @@ t AS (
 ),
 cand AS (
   SELECT p.pid, t.event_type,
-         (p.pt - t.tt) * 100000 + t.tid AS k
+         ((p.pt - t.tt) // 1000000) * 1000000000 + t.tid AS k
   FROM p JOIN t
     ON p.user_id = t.user_id
    AND t.tt < p.pt AND t.tt >= p.pt - 86400000000000
 ),
 fl AS (
-  SELECT pid, max(k) AS firstk, min(k) AS lastk
+  SELECT pid, max_by(event_type, k) AS first_t, min_by(event_type, k) AS last_t
   FROM cand GROUP BY pid
 )
 SELECT model, touch_type, CAST(count(*) AS BIGINT) AS n_purchases
 FROM (
-  SELECT 'first' AS model, c.event_type AS touch_type
-  FROM cand c JOIN fl ON c.pid = fl.pid AND c.k = fl.firstk
+  SELECT 'first' AS model, first_t AS touch_type FROM fl
   UNION ALL
-  SELECT 'last', c.event_type
-  FROM cand c JOIN fl ON c.pid = fl.pid AND c.k = fl.lastk
+  SELECT 'last', last_t FROM fl
 )
 GROUP BY model, touch_type
 """.strip(),
     doc="Multi-touch attribution: every purchase credits the FIRST and "
     "the LAST view/click/signup touch in its trailing 24 h, counted per "
-    "(model, touch type). The arg-extremum is a single composite integer "
-    "key — age-in-ns scaled by 1e5 plus the event id (ids < 1e5 at every "
-    "fixture SF; restate the fold width for larger id spaces) — so ties "
-    "resolve identically everywhere and no struct/argmax semantics "
-    "differences between engines can bite. Scale: the touch join is "
-    "banded by user AND the 24 h window, so candidate fan-out is "
-    "per-user session volume, not |touches| x |purchases|; one shuffle "
-    "on user_id, then a hash agg on the purchase id.",
+    "(model, touch type). The arg-extremum is max_by/min_by over a "
+    "composite integer key — age truncated to MILLISECONDS scaled by "
+    "1e9 plus the event id (injective for id spaces to 1e9; same-ms "
+    "ties resolve to the higher id, identically in both engines — a "
+    "struct-comparison argmax would not be engine-portable). Scale: the "
+    "touch join is banded by user AND the 24 h window, so candidate "
+    "fan-out is per-user session volume, not |touches| x |purchases|; "
+    "one shuffle on user_id, then ONE hash agg on the purchase id — the "
+    "round-3 100x sweep caught the previous form re-evaluating the "
+    "candidate join three times through argmax join-backs.",
 )
 def q_agg_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -3849,27 +3849,26 @@ def q_agg_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "touch_type",
         # clamp BEFORE scaling: Catalyst may evaluate this projection in a
         # stage where not-yet-filtered pairs exist, and a multi-year age
-        # times 1e5 overflows int64 under ANSI mode; in-band rows are
-        # unaffected by the clamp
+        # scaled up overflows int64 under ANSI mode; in-band rows are
+        # unaffected by the clamp. Age truncates to ms so the 1e9 fold
+        # width (event-id space) keeps the product inside int64.
         (
-            F.greatest(
-                F.least(F.col("pt") - F.col("tt"), F.lit(86400000000000)),
-                F.lit(0),
+            F.expr(
+                "greatest(least(pt - tt, 86400000000000), 0) div 1000000"
             )
-            * 100000
+            * 1000000000
             + F.col("tid")
         ).alias("k"),
     )
-    fl = cand.groupBy(F.col("pid").alias("fp")).agg(
-        F.max("k").alias("firstk"), F.min("k").alias("lastk")
+    fl = cand.groupBy("pid").agg(
+        F.expr("max_by(touch_type, k)").alias("first_t"),
+        F.expr("min_by(touch_type, k)").alias("last_t"),
     )
-    first = (
-        cand.join(fl, (cand["pid"] == fl["fp"]) & (cand["k"] == fl["firstk"]))
-        .select(F.lit("first").alias("model"), "touch_type")
+    first = fl.select(
+        F.lit("first").alias("model"), F.col("first_t").alias("touch_type")
     )
-    last = (
-        cand.join(fl, (cand["pid"] == fl["fp"]) & (cand["k"] == fl["lastk"]))
-        .select(F.lit("last").alias("model"), "touch_type")
+    last = fl.select(
+        F.lit("last").alias("model"), F.col("last_t").alias("touch_type")
     )
     return (
         first.unionByName(last)

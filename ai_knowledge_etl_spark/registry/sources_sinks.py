@@ -757,7 +757,7 @@ emb_corpus AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
   FROM embeddings
   UNION ALL
-  SELECT vec_id + 100000 AS vec_id,
+  SELECT vec_id + 10000000 AS vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01) AS embedding
   FROM embeddings WHERE vec_id % 10 = 0
 )
@@ -783,7 +783,7 @@ def _emb_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     near = emb.where("vec_id % 10 = 0").select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + 10000000).alias("vec_id"),
         F.transform("embedding", lambda x: x.cast("double") * 1.01).alias(
             "embedding"
         ),

@@ -651,3 +651,148 @@ def q_udf_pandas_scalar_vowels(spark: SparkSession, sf_dir: str) -> DataFrame:
         vowels("text").alias("n_vowels"),
         F.length("text").cast("long").alias("n_chars2"),
     )
+
+
+# --- BPE vocabulary construction -------------------------------------------------
+
+# Symbol strings: each word becomes its space-separated characters, with
+# word frequency carried alongside so pair counts weight by occurrence.
+# Merges operate on the symbol string via global leftmost-non-overlapping
+# replace — identical semantics in Spark `replace` and DuckDB `replace`.
+_BPE_WORDS_CTE = """
+bwords AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  ) WHERE length(w) > 1 GROUP BY w
+),
+syms0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(list_transform(generate_series(1, length(w)),
+         i -> substring(w, i, 1)), ' ') || ' ' AS s, wc
+  FROM bwords
+)
+""".strip()
+
+
+def _bpe_pairs_sql(sym_cte: str) -> str:
+    """Pair counts over a symbol-string CTE: adjacent symbol bigrams of the
+    space-separated symbol list, weighted by word count."""
+    return f"""
+  SELECT p, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+    SELECT list_transform(generate_series(1, len(a) - 1),
+                          i -> a[i] || ':' || a[i+1]) AS ps, wc
+    FROM (SELECT string_split(trim(s), ' ') AS a, wc FROM {sym_cte})
+  ), unnest(ps) AS t(p)
+  GROUP BY p
+""".strip()
+
+
+_BPE_ORACLE = f"""
+WITH {_BPE_WORDS_CTE},
+pc1 AS MATERIALIZED ({_bpe_pairs_sql("syms0")}),
+top1 AS (SELECT p, cnt FROM pc1 ORDER BY cnt DESC, p ASC LIMIT 1),
+syms1 AS MATERIALIZED (
+  SELECT replace(s, ' ' || replace(t.p, ':', ' ') || ' ',
+                 ' ' || replace(t.p, ':', '') || ' ') AS s, wc
+  FROM syms0, top1 t
+),
+pc2 AS MATERIALIZED ({_bpe_pairs_sql("syms1")}),
+top2 AS (SELECT p, cnt FROM pc2 ORDER BY cnt DESC, p ASC LIMIT 1),
+syms2 AS MATERIALIZED (
+  SELECT replace(s, ' ' || replace(t.p, ':', ' ') || ' ',
+                 ' ' || replace(t.p, ':', '') || ' ') AS s, wc
+  FROM syms1, top2 t
+),
+pc3 AS MATERIALIZED ({_bpe_pairs_sql("syms2")}),
+top3 AS (SELECT p, cnt FROM pc3 ORDER BY cnt DESC, p ASC LIMIT 1)
+SELECT 1 AS round, p AS pair, cnt FROM top1
+UNION ALL SELECT 2, p, cnt FROM top2
+UNION ALL SELECT 3, p, cnt FROM top3
+""".strip()
+
+
+@register(
+    "agg-bpe-merges",
+    _BPE_ORACLE,
+    doc="BPE vocabulary construction (Sennrich et al. 2016, public) — the "
+    "first three merge rounds of byte-pair encoding over the corpus word "
+    "frequencies: words become space-separated symbol strings, adjacent "
+    "symbol pairs are counted weighted by word frequency, the argmax "
+    "pair (count desc, pair asc tiebreak) is merged via global "
+    "leftmost-non-overlapping replace, and the cycle repeats. Each "
+    "round is a hash aggregate over an exploded pair stream plus a "
+    "1-row broadcast of the chosen merge — the canonical tokenizer-"
+    "training loop expressed as chained lazy stages (rounds beyond 3 "
+    "continue the same pattern with a driver loop + localCheckpoint, "
+    "the connected-components discipline). Scale: the word-frequency "
+    "table is vocabulary-sized (not corpus-sized) after the first "
+    "aggregate, so every merge round runs on |vocab| rows regardless "
+    "of corpus size — this is why production BPE trainers count words "
+    "first, and this plan does the same.",
+)
+def q_agg_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+        )
+        .where(F.length("w") > 1)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("wc"))
+    )
+    syms = words.select(
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.expr(
+                    "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+                ),
+                " ",
+            ),
+            F.lit(" "),
+        ).alias("s"),
+        "wc",
+    )
+
+    def pair_counts(sym_df: DataFrame) -> DataFrame:
+        return (
+            sym_df.select(
+                F.expr(
+                    "transform(sequence(1, size(split(trim(s), ' ')) - 1),"
+                    " i -> element_at(split(trim(s), ' '), i) || ':' ||"
+                    " element_at(split(trim(s), ' '), i + 1))"
+                ).alias("ps"),
+                "wc",
+            )
+            .select(F.explode("ps").alias("p"), "wc")
+            .groupBy("p")
+            .agg(F.sum("wc").cast("long").alias("cnt"))
+        )
+
+    def top_pair(pc: DataFrame) -> DataFrame:
+        return pc.orderBy(F.desc("cnt"), F.asc("p")).limit(1)
+
+    def apply_merge(sym_df: DataFrame, top: DataFrame) -> DataFrame:
+        return sym_df.crossJoin(F.broadcast(top.select("p"))).select(
+            F.expr(
+                "replace(s, ' ' || replace(p, ':', ' ') || ' ',"
+                " ' ' || replace(p, ':', '') || ' ')"
+            ).alias("s"),
+            "wc",
+        )
+
+    rounds = []
+    cur = syms
+    for rnd in (1, 2, 3):
+        top = top_pair(pair_counts(cur))
+        rounds.append(
+            top.select(
+                F.lit(rnd).alias("round"), F.col("p").alias("pair"), "cnt"
+            )
+        )
+        if rnd < 3:
+            cur = apply_merge(cur, top)
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out

@@ -153,7 +153,7 @@ PWC_TEXT_EXPR = (
 )
 
 # Near-duplicate clone for pipeline-warc-corpus (doc_id % 10 = 5 docs,
-# clone id = doc_id + 100000): every paragraph 'v2 '-prefixed, so the
+# clone id = doc_id + 10000000, collision-free up to 10M base docs): every paragraph 'v2 '-prefixed, so the
 # clone SURVIVES paragraph dedup (md5s differ) yet shares most word
 # 3-gram shingles with its base — exactly the case MinHash-LSH must
 # catch after paragraph dedup has stripped exact boilerplate.

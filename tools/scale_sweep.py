@@ -77,6 +77,26 @@ SCALING_QUERIES = [
     "stream-dedup-watermark",
 ]
 
+# The 100× set (VERDICT r2 #6): the heavy family where remaining driver
+# loops / per-wave checkpoints / pair joins would first show
+# superlinearity. Run with: python tools/scale_sweep.py --mult 100 --heavy
+HEAVY_QUERIES = [
+    "dedup-paragraph",          # hot boilerplate df inflates ×mult
+    "dedup-exact",
+    "dedup-cluster-cc",         # iterative driver loop
+    "dedup-semantic",           # post-cap: every cluster exceeds the cap
+    "scan-warc",                # 100-records-per-... pack + parse
+    "pipeline-curate-corpus",
+    "pipeline-warc-corpus",     # full composed entry pipeline
+    "pipeline-crawl-e2e",       # 4 BFS waves with per-wave checkpoint
+    "sample-importance-reweight",
+    "agg-mad-outliers",         # histogram median must scale with values
+    "agg-pricing-summary",
+    "sql-revenue-by-region",
+    "window-page-id",
+    "agg-touch-attribution",
+]
+
 
 def generate(mult: int, out_dir: str) -> None:
     con = duckdb.connect()
@@ -141,6 +161,21 @@ def generate(mult: int, out_dir: str) -> None:
         ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)
         """
     )
+    # embeddings ×mult with offset vec_ids: replicas share the exact vector,
+    # so SemDeDup clusters inflate ×mult past the cluster cap and cosine
+    # pairs go clique-shaped — the stress the cap exists for. The clone
+    # conventions offset by 10M, far above any swept vec_id span.
+    vkey_span = con.execute(
+        f"SELECT max(vec_id) + 1 FROM '{BASE}/embeddings.parquet'"
+    ).fetchone()[0]
+    con.execute(
+        f"""
+        COPY (
+          SELECT vec_id + r.i * {vkey_span} AS vec_id, embedding
+          FROM '{BASE}/embeddings.parquet', (SELECT unnest([{reps}]) AS i) r
+        ) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
 
 
 def main() -> None:
@@ -150,6 +185,8 @@ def main() -> None:
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--no-diff", action="store_true",
                     help="linearity timing only, skip the differential")
+    ap.add_argument("--heavy", action="store_true",
+                    help="run the HEAVY_QUERIES 100x family")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -159,7 +196,8 @@ def main() -> None:
         print(f"# generated {args.mult}x fact tables in {time.time()-t0:.1f}s",
               file=sys.stderr)
 
-    names = args.names or [n for n in SCALING_QUERIES if n in REGISTRY]
+    default = HEAVY_QUERIES if args.heavy else SCALING_QUERIES
+    names = args.names or [n for n in default if n in REGISTRY]
     spark = get_spark()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
