@@ -75,6 +75,16 @@ def test_anti_join_stays_broadcast_at_fixture_scale(spark, sf_dir):
 # Every physical-plan smell we accept, with its justification. Anything NOT
 # listed here failing the audit means a refactor regressed a plan shape.
 PLAN_ALLOWLIST = {
+    # BPE merge rounds: each round's chosen pair is a 1-row broadcast
+    # (argmax of the pair counts) cross-joined onto the vocabulary-sized
+    # symbol table — the scalar-total pattern; the symbol table itself is
+    # |vocab| rows regardless of corpus size
+    "agg-bpe-merges": {"BroadcastNestedLoopJoin"},
+    # unigram-logprob stage inside the composed WARC pipeline: the corpus
+    # token total is a 1-row scalar agg (SinglePartition inherent)
+    # broadcast back onto the token stream (1-row BNLJ) — same shape as
+    # udf-unigram-logprob's own allowlisted plan
+    "pipeline-warc-corpus": {"SinglePartition", "BroadcastNestedLoopJoin"},
     # scalar (no-group) aggregates: partial agg per partition, then a
     # single-row final combine — inherent to a global total, and cheap
     "agg-batch-rollup": {"SinglePartition"},
