@@ -560,3 +560,51 @@ def q_udf_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm"),
         F.length(norm).cast("bigint").alias("n_norm_chars"),
     )
+
+
+# --- exact-substring duplication census ------------------------------------------
+
+
+@register(
+    "dedup-substring-span",
+    f"""
+WITH pdocs AS (SELECT doc_id, {syn.PARA_TEXT_EXPR} AS ptext FROM documents),
+toks AS (SELECT doc_id, string_split(ptext, ' ') AS ws FROM pdocs),
+wins AS MATERIALIZED (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(ws[i:i+4], ' ')) AS fp
+  FROM toks, unnest(generate_series(1, greatest(len(ws) - 4, 1))) t(i)
+),
+own AS (
+  SELECT fp, min(doc_id * 1000000 + pos) AS okey FROM wins GROUP BY fp
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN o.okey <> w.doc_id * 1000000 + w.pos
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       CAST(sum(CASE WHEN o.okey <> w.doc_id * 1000000 + w.pos
+                     THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS dup_permille
+FROM wins w JOIN own o USING (fp)
+GROUP BY w.doc_id
+""".strip(),
+    doc="Exact-substring duplication census (Lee et al. 2022, public — "
+    "the dedup tier between paragraph-exact and MinHash-fuzzy): every "
+    "5-token window is fingerprinted and owned by its first corpus "
+    "occurrence (min (doc_id, pos) as one composite integer); windows "
+    "whose owner is elsewhere are duplicate spans, reported per doc as "
+    "counts + an integer per-mille ratio. The paragraph probe's shared "
+    "boilerplate footers create genuine cross-document duplicate spans. "
+    "Fixed-k window fingerprints are the standard distributed "
+    "approximation of the paper's suffix-array construction: md5 keys "
+    "are constant-width, the ownership aggregate partial-combines hot "
+    "boilerplate fingerprints map-side (the paragraph-dedup argument), "
+    "and the join back is fp-keyed equi — no pairwise stage at any "
+    "scale. The 1e6 position fold assumes docs under 1M windows; "
+    "restate for book-length corpora.",
+)
+def q_dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(syn.PARA_TEXT_EXPR).alias("ptext")
+    )
+    return CU.duplicate_window_census(docs, "doc_id", "ptext", k=5)

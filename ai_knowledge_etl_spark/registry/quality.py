@@ -400,3 +400,114 @@ def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "sample-perplexity-buckets",
+    f"""
+WITH {TOKS_CTE},
+vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+tot AS (SELECT count(*) AS tot FROM toks),
+lp AS MATERIALIZED (
+  SELECT t.doc_id, d.lang,
+         round(avg(ln(CAST(v.cnt AS DOUBLE) / tot.tot)), 3) AS lp
+  FROM toks t JOIN vocab v USING (w), tot
+  JOIN documents d ON t.doc_id = d.doc_id
+  GROUP BY t.doc_id, d.lang
+),
+hist AS (
+  SELECT lang, lp, CAST(count(*) AS BIGINT) AS c FROM lp GROUP BY lang, lp
+),
+cum AS (
+  SELECT lang, lp, c,
+         CAST(sum(c) OVER (PARTITION BY lang ORDER BY lp DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cm
+  FROM hist
+),
+tot2 AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY lang),
+cuts AS (
+  SELECT h.lang,
+         min(CASE WHEN h.cm >= (t.n + 2) // 3 THEN h.lp END) AS t1,
+         min(CASE WHEN h.cm >= (2 * t.n + 2) // 3 THEN h.lp END) AS t2
+  FROM cum h JOIN tot2 t USING (lang) GROUP BY h.lang
+)
+SELECT l.lang,
+       CASE WHEN l.lp > c.t1 THEN 'head'
+            WHEN l.lp > c.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(l.lp) AS min_lp, max(l.lp) AS max_lp
+FROM lp l JOIN cuts c USING (lang)
+GROUP BY l.lang, CASE WHEN l.lp > c.t1 THEN 'head'
+                      WHEN l.lp > c.t2 THEN 'middle'
+                      ELSE 'tail' END
+""".strip(),
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020, public): "
+    "per language, docs split into head/middle/tail thirds by LM quality "
+    "score (here the self-trained unigram avg-logprob; a pretrained "
+    "KenLM table is the drop-in swap). The tertile cuts are EXACT but "
+    "computed from a VALUE HISTOGRAM of the 3-decimal-rounded scores "
+    "(bounded domain), not a per-lang ranking window over the corpus — "
+    "the agg-mad-outliers discipline: the ordered window runs over "
+    "O(distinct score values) histogram rows per language, and the cut "
+    "table (2 values per lang) broadcasts back onto the doc stream. "
+    "Ties at a cut value land in one bucket deterministically (strict "
+    "> on the cut) in both engines.",
+)
+def q_sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    tot = toks.agg(F.count("*").alias("tot"))
+    lp = (
+        toks.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("cnt").cast("double") / F.col("tot"))), 3
+            ).alias("lp")
+        )
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    hist = lp.groupBy("lang", "lp").agg(F.count("*").cast("long").alias("c"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("lp"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "lang", "lp", "c", F.sum("c").over(wcum).cast("long").alias("cm")
+    )
+    tot2 = hist.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    cuts = (
+        cum.join(F.broadcast(tot2), "lang")
+        .groupBy("lang")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cm") >= F.expr("(n + 2) div 3"), F.col("lp")
+                )
+            ).alias("t1"),
+            F.min(
+                F.when(
+                    F.col("cm") >= F.expr("(2 * n + 2) div 3"), F.col("lp")
+                )
+            ).alias("t2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("lp") > F.col("t1"), "head")
+        .when(F.col("lp") > F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        lp.join(F.broadcast(cuts), "lang")
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("lp").alias("min_lp"),
+            F.max("lp").alias("max_lp"),
+        )
+    )

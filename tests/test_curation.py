@@ -160,3 +160,24 @@ def test_warc_corpus_pipeline_gates_and_dedup(spark, sf_dir):
     # far fewer clones in the top-100 than the gate survivors.
     n_clones_out = sum(1 for i in ids if i >= 10000000)
     assert n_clones_out <= 15, f"{n_clones_out} clones survived LSH dedup"
+
+
+def test_substring_span_census_properties(spark, sf_dir):
+    """Properties the hash oracle can't localize: boilerplate-carrying
+    docs (doc_id%4 in (0,1)) must show duplicate spans except the corpus
+    owners; a doc's dup count never exceeds its window count; and the
+    first corpus doc of each boilerplate class owns its spans."""
+    from ai_knowledge_etl_spark.registry import REGISTRY
+
+    rows = {r["doc_id"]: r for r in
+            REGISTRY["dedup-substring-span"].spark(spark, sf_dir).collect()}
+    assert all(0 <= r["n_dup_windows"] <= r["n_windows"]
+               for r in rows.values())
+    # boilerplate footers are shared by ~125 docs each: every non-owner
+    # carrier has dup windows
+    carriers = [i for i in rows if i % 4 in (0, 1)]
+    dup_carriers = [i for i in carriers if rows[i]["n_dup_windows"] > 0]
+    assert len(dup_carriers) >= len(carriers) - 2  # owners may be clean
+    # docs with all-unique text (%4 in (2,3)) mostly clean
+    clean = [i for i in rows if i % 4 in (2, 3)]
+    assert sum(rows[i]["n_dup_windows"] == 0 for i in clean) > len(clean) // 2
