@@ -95,6 +95,9 @@ HEAVY_FIRST = {
     "pipeline-curate-corpus": 9,
     "pipeline-crawl-e2e": 9,
     "pipeline-warc-corpus": 10,
+    "sample-perplexity-buckets": 6,
+    "agg-bpe-merges": 6,
+    "dedup-substring-span": 3,
     "scan-warc": 5,
     "dedup-cluster-cc": 13,
     "scan-custom-datasource": 12,

@@ -85,6 +85,9 @@ PLAN_ALLOWLIST = {
     # broadcast back onto the token stream (1-row BNLJ) — same shape as
     # udf-unigram-logprob's own allowlisted plan
     "pipeline-warc-corpus": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    # CCNet bucketing: corpus token total is a 1-row scalar agg broadcast
+    # back onto the token stream — same shape as udf-unigram-logprob
+    "sample-perplexity-buckets": {"SinglePartition", "BroadcastNestedLoopJoin"},
     # scalar (no-group) aggregates: partial agg per partition, then a
     # single-row final combine — inherent to a global total, and cheap
     "agg-batch-rollup": {"SinglePartition"},
