@@ -93,15 +93,9 @@ _SEM_MAX_CLUSTER = 1000
 
 
 def _sem_assign_cached(spark: SparkSession, sf_dir: str, corpus, cents):
-    app_id = spark.sparkContext.applicationId
-    stale = [k for k in _SEM_ASSIGN_CACHE if k[0] != app_id]
-    for k in stale:
-        df = _SEM_ASSIGN_CACHE.pop(k)
-        try:
-            df.unpersist()
-        except Exception:  # context already stopped — nothing to release
-            pass
-    key = (app_id, sf_dir)
+    from ai_knowledge_etl_spark.sources.catalog import app_cache_sweep
+
+    key = (app_cache_sweep(_SEM_ASSIGN_CACHE, spark), sf_dir)
     if key not in _SEM_ASSIGN_CACHE:
         _SEM_ASSIGN_CACHE[key] = CU.nearest_centroid(corpus, cents).persist()
     return _SEM_ASSIGN_CACHE[key]

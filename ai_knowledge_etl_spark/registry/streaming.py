@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ai_knowledge_etl_spark.registry import register
 from ai_knowledge_etl_spark.sources import synthetic as syn
-from ai_knowledge_etl_spark.sources.catalog import load_table
+from ai_knowledge_etl_spark.sources.catalog import app_cache_sweep, load_table
 from ai_knowledge_etl_spark.streaming import events as EV
 from ai_knowledge_etl_spark.streaming import frontier, politeness
 
@@ -198,7 +198,7 @@ _BFS_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (app_cache_sweep(_BFS_CACHE, spark, unpersist=False), sf_dir)
     if key in _BFS_CACHE:
         return _BFS_CACHE[key]
     docs = _docs(spark, sf_dir)

@@ -14,9 +14,32 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 _ZIP_PATH: str | None = None
 _SHIP_LOCK = __import__("threading").Lock()
+
+
+def app_cache_sweep(cache, spark: SparkSession, unpersist: bool = True) -> str:
+    """applicationId for session-scoped caches, evicting other apps' entries.
+
+    Never key caches by id(spark): CPython reuses object ids after GC, so a
+    later SparkSession can alias an entry holding a DataFrame bound to a
+    stopped SparkContext (round-3 advisor). applicationId is unique per
+    context; sweeping on every touch keeps dead sessions from pinning
+    persisted frames forever."""
+    app_id = spark.sparkContext.applicationId
+    stale = [
+        k for k in cache
+        if (k[0] if isinstance(k, tuple) else k) != app_id
+    ]
+    for k in stale:
+        v = cache.pop(k) if isinstance(cache, dict) else (cache.discard(k) or None)
+        if unpersist and hasattr(v, "unpersist"):
+            try:
+                v.unpersist()
+            except Exception:  # context already stopped
+                pass
+    return app_id
 
 
 def ensure_package_on_workers(spark: SparkSession) -> None:
@@ -31,7 +54,7 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     and added per session. Lock-guarded: bench submits queries from
     concurrent threads."""
     global _ZIP_PATH
-    sid = id(spark)
+    sid = app_cache_sweep(_SHIPPED, spark, unpersist=False)
     if sid in _SHIPPED:
         return
     with _SHIP_LOCK:
