@@ -83,8 +83,19 @@ def upsert_parquet(
         "__bucket"
     )
     upd = updates.withColumn("__bucket", bucket)
+    current = None
     if table_exists(spark, path):
-        current = spark.read.parquet(path)
+        try:
+            current = spark.read.parquet(path)
+        except Exception as e:
+            # ONE narrowly-defined exemption: a prior zero-row write leaves
+            # a directory with _SUCCESS but no part files, which fails
+            # schema inference — that is an empty table, not a damaged
+            # one, so bootstrap continues. Everything else (corrupt
+            # footers, transient FS errors) still propagates.
+            if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+                raise
+    if current is not None:
         touched = [r["__bucket"] for r in upd.select("__bucket").distinct().collect()]
         base = current.where(F.col("__bucket").isin(touched))
         # localCheckpoint: the write below overwrites files this plan reads;

@@ -444,3 +444,74 @@ def q_agg_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(20)
     )
+
+
+# --- streaming WARC ingestion ----------------------------------------------------
+
+_WARC_INGEST_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _run_warc_ingest(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the packed WARC blobs in two waves — the second wave
+    RE-DELIVERS half of wave one under new filenames (the at-least-once
+    case file-checkpointing cannot dedup) — and run two availableNow
+    passes of streaming/ingest.warc_ingest_availablenow against one
+    checkpoint. Returns the corpus-table path."""
+    import os
+    import tempfile
+
+    from ai_knowledge_etl_spark.registry.sources_sinks import warc_pack_files
+    from ai_knowledge_etl_spark.streaming import ingest
+
+    workdir = tempfile.mkdtemp(prefix="etl_warc_ingest_")
+    staging = os.path.join(workdir, "staging")
+    table = os.path.join(workdir, "corpus")
+    ckpt = os.path.join(workdir, "ckpt")
+
+    docs = _docs(spark, sf_dir)
+    files = warc_pack_files(docs, syn.url_col()).localCheckpoint()
+
+    files.where("file_id % 2 = 0").write.mode("append").parquet(staging)
+    ingest.warc_ingest_availablenow(spark, staging, table, ckpt)
+    # wave 2: the odd files plus a replay of half of wave 1's blobs
+    files.where("file_id % 2 = 1").unionByName(
+        files.where("file_id % 4 = 0")
+    ).write.mode("append").parquet(staging)
+    ingest.warc_ingest_availablenow(spark, staging, table, ckpt)
+    return table
+
+
+@register(
+    "stream-warc-ingest",
+    f"""
+SELECT {syn.URL_EXPR} AS uri,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS fp
+FROM documents WHERE doc_id % 13 <> 0
+""".strip(),
+    doc="Streaming WARC ingestion end-to-end (streaming/ingest.py): "
+    "staged WARC blobs arrive in two waves as a parquet file stream; "
+    "each availableNow micro-batch parses records (Arrow-batched "
+    "scan_warc_text, forward-resync past the every-13th corrupted "
+    "record) and MERGEs them into a uri-keyed corpus table via the "
+    "bucket-pruned incremental upsert. Wave two re-delivers half of "
+    "wave one's blobs under NEW filenames — the at-least-once case the "
+    "file checkpoint cannot dedup — and the content-level MERGE "
+    "converges anyway. The oracle is the batch truth: exactly one row "
+    "per surviving record, regenerated arithmetically; any dropped "
+    "record, duplicate row, or corruption leak breaks the hash.",
+)
+def q_stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (app_cache_sweep(_WARC_INGEST_CACHE, spark, unpersist=False), sf_dir)
+    if key not in _WARC_INGEST_CACHE:
+        _WARC_INGEST_CACHE[key] = _run_warc_ingest(spark, sf_dir)
+    # explicit schema: an empty corpus leaves a table dir with no part
+    # files, which schema inference rejects (empty-input census)
+    table = spark.read.schema(
+        "uri string, text string, rev long, __bucket int"
+    ).parquet(_WARC_INGEST_CACHE[key])
+    return table.select(
+        "uri",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("fp"),
+    )

@@ -96,6 +96,7 @@ HEAVY_FIRST = {
     "pipeline-crawl-e2e": 9,
     "pipeline-warc-corpus": 10,
     "sample-perplexity-buckets": 6,
+    "stream-warc-ingest": 10,
     "agg-bpe-merges": 6,
     "dedup-substring-span": 3,
     "scan-warc": 5,
