@@ -796,3 +796,147 @@ def q_agg_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rounds[1:]:
         out = out.unionByName(r)
     return out
+
+
+_BPE_TOKENIZE_ORACLE = f"""
+WITH bwords AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  ) WHERE length(w) > 1 GROUP BY w
+),
+s0 AS MATERIALIZED (
+  SELECT w, ' ' || array_to_string(list_transform(generate_series(1, length(w)),
+         i -> substring(w, i, 1)), ' ') || ' ' AS s, wc
+  FROM bwords
+),
+pc1 AS MATERIALIZED ({_bpe_pairs_sql("s0")}),
+top1 AS (SELECT p FROM pc1 ORDER BY cnt DESC, p ASC LIMIT 1),
+s1 AS MATERIALIZED (
+  SELECT w, replace(s, ' ' || replace(t.p, ':', ' ') || ' ',
+                 ' ' || replace(t.p, ':', '') || ' ') AS s, wc
+  FROM s0, top1 t
+),
+pc2 AS MATERIALIZED ({_bpe_pairs_sql("s1")}),
+top2 AS (SELECT p FROM pc2 ORDER BY cnt DESC, p ASC LIMIT 1),
+s2 AS MATERIALIZED (
+  SELECT w, replace(s, ' ' || replace(t.p, ':', ' ') || ' ',
+                 ' ' || replace(t.p, ':', '') || ' ') AS s, wc
+  FROM s1, top2 t
+),
+pc3 AS MATERIALIZED ({_bpe_pairs_sql("s2")}),
+top3 AS (SELECT p FROM pc3 ORDER BY cnt DESC, p ASC LIMIT 1),
+s3 AS MATERIALIZED (
+  SELECT w, replace(s, ' ' || replace(t.p, ':', ' ') || ' ',
+                 ' ' || replace(t.p, ':', '') || ' ') AS s, wc
+  FROM s2, top3 t
+),
+vocab AS MATERIALIZED (
+  SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym FROM s3
+)
+SELECT d.doc_id,
+       CAST(sum(v.n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(count(*) AS BIGINT) AS n_words,
+       md5(string_agg(CAST(v.n_sym AS STRING), ',' ORDER BY d.pos)) AS seq_fp
+FROM (
+  SELECT doc_id, i AS pos, ws[i] AS w FROM (
+    SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS ws
+    FROM documents
+  ), unnest(generate_series(1, len(ws))) t(i)
+  WHERE length(ws[i]) > 1
+) d JOIN vocab v USING (w)
+GROUP BY d.doc_id
+""".strip()
+
+
+@register(
+    "udf-bpe-tokenize",
+    _BPE_TOKENIZE_ORACLE,
+    doc="BPE tokenizer APPLICATION (the consumer of agg-bpe-merges): the "
+    "three learned merges are applied to the word vocabulary, giving a "
+    "word -> symbol-count table; each document then reports its total "
+    "BPE token count, word count, and an md5 fingerprint of the "
+    "per-position symbol-count sequence — so the oracle verifies the "
+    "tokenization of EVERY word occurrence in order, not just totals. "
+    "Scale: merges train and apply on the VOCABULARY (|vocab| rows, "
+    "corpus-size-independent — the reason production BPE trainers count "
+    "words first); the corpus-sized work is one explode + one broadcast "
+    "join of the vocab table + one ordered-collect per doc.",
+)
+def q_udf_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+        )
+        .where(F.length("w") > 1)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("wc"))
+    )
+    syms = words.select(
+        "w",
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.expr(
+                    "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+                ),
+                " ",
+            ),
+            F.lit(" "),
+        ).alias("s"),
+        "wc",
+    )
+
+    def pair_counts(sym_df: DataFrame) -> DataFrame:
+        return (
+            sym_df.select(
+                F.expr(
+                    "transform(sequence(1, size(split(trim(s), ' ')) - 1),"
+                    " i -> element_at(split(trim(s), ' '), i) || ':' ||"
+                    " element_at(split(trim(s), ' '), i + 1))"
+                ).alias("ps"),
+                "wc",
+            )
+            .select(F.explode("ps").alias("p"), "wc")
+            .groupBy("p")
+            .agg(F.sum("wc").cast("long").alias("cnt"))
+        )
+
+    cur = syms
+    for _ in range(3):
+        top = pair_counts(cur).orderBy(F.desc("cnt"), F.asc("p")).limit(1)
+        cur = cur.crossJoin(F.broadcast(top.select("p"))).select(
+            "w",
+            F.expr(
+                "replace(s, ' ' || replace(p, ':', ' ') || ' ',"
+                " ' ' || replace(p, ':', '') || ' ')"
+            ).alias("s"),
+            "wc",
+        )
+    vocab = cur.select(
+        "w", F.size(F.split(F.trim("s"), " ")).cast("long").alias("n_sym")
+    )
+    stream = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), "[^a-z]+")).alias("pos0", "w"),
+    ).where(F.length("w") > 1)
+    return (
+        stream.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+            F.count("*").cast("long").alias("n_words"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos0", "n_sym"))
+                        ),
+                        lambda x: x.getField("n_sym").cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("seq_fp"),
+        )
+    )

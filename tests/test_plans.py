@@ -80,6 +80,7 @@ PLAN_ALLOWLIST = {
     # symbol table — the scalar-total pattern; the symbol table itself is
     # |vocab| rows regardless of corpus size
     "agg-bpe-merges": {"BroadcastNestedLoopJoin"},
+    "udf-bpe-tokenize": {"BroadcastNestedLoopJoin"},
     # unigram-logprob stage inside the composed WARC pipeline: the corpus
     # token total is a 1-row scalar agg (SinglePartition inherent)
     # broadcast back onto the token stream (1-row BNLJ) — same shape as
