@@ -183,19 +183,28 @@ def prepare_training_set(
     min_chars: int = 80,
     jaccard_threshold: float = 0.6,
     context_budget: int = 512,
+    use_hashed_shingles: bool = True,
 ) -> DataFrame:
     """User-facing training-data pipeline over an extracted corpus — the
     downstream half the reference leaves to its consumers, as ONE lazy
     DataFrame graph:
 
       quarantine → PII redaction → transitive near-dup clustering
-      (keep canonical docs only) → deterministic train/val/test split
+      (exact-first: fingerprint groups collapse to a representative
+      before any shingling; df-capped Jaccard edges between
+      representatives + exact star edges → connected components; keep
+      cluster canonicals only) → deterministic train/val/test split
       → concat-and-chunk context-window packing
 
     Returns one row per SURVIVING document with `split`, `first_window`/
     `last_window`/`n_windows` (per split-stream packing), and the
     redacted text. Every stage is the registry-tested operator; this
     function is just the composition.
+
+    `use_hashed_shingles` (default) collapses shingles to xxhash64 int64
+    keys — the production shuffle-width optimization; the registered
+    differential twin passes False to stay on the md5-string path the
+    oracle can replay (a hash collision would break exact parity).
     """
     from ai_knowledge_etl_spark.operators import (
         clustering,
@@ -210,15 +219,39 @@ def prepare_training_set(
     # 2. redact PII before anything persists derived text
     clean = clean.withColumn(text_col, TX.redact_pii(text_col))
 
-    # 3. transitive near-dup clustering; keep cluster canonicals + uniques
-    sh = dedup.shingles(clean, id_col, text_col, n=3, keep=(group_col,))
+    # 3. transitive near-dup clustering. Exact-first sequencing (the
+    # round-3 100x sweep lesson): byte-identical copies would put their
+    # whole group on every shingle key — at or under the df cap that
+    # fans the blocked self-join out to |group|^2 — so the Jaccard stage
+    # sees ONE representative per exact-fingerprint group and the exact
+    # star edges carry the rest; clusters are identical by closure.
+    fps = clean.select(id_col, dedup.fingerprint(text_col).alias("fp"))
+    wfp = Window.partitionBy("fp")
+    exact_e = (
+        fps.withColumn("a", F.min(id_col).over(wfp))
+        .where(F.col("a") != F.col(id_col))
+        .select("a", F.col(id_col).alias("b"))
+    )
+    reps = fps.groupBy("fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    sh = dedup.shingles(
+        clean.join(reps, id_col, "left_semi"),
+        id_col,
+        text_col,
+        n=3,
+        keep=(group_col,),
+    )
+    sh = dedup.cap_shingle_df(
+        sh, id_col, config.DEDUP_SHINGLE_MAX_DF, group_col
+    )
+    if use_hashed_shingles:
+        sh = dedup.hash_shingles(sh, group_col=group_col)
     jac = dedup.jaccard_pairs(
-        dedup.hash_shingles(sh, group_col=group_col),
+        sh,
         id_col,
         group_col,
         threshold=jaccard_threshold,
     ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    clusters = clustering.canonical_clusters(jac)
+    clusters = clustering.canonical_clusters(exact_e.unionByName(jac))
     drop = clusters.where(~F.col("is_canonical")).select(
         F.col("doc_id").alias(id_col)
     )
@@ -227,18 +260,25 @@ def prepare_training_set(
     # 4. deterministic split, stable under appends/reruns
     split = sampling.train_val_test(kept, id_col)
 
-    # 5. pack each split's per-group stream into context windows
+    # 5. pack each (split, group) stream into context windows. The stream
+    # key deliberately includes the group column: packing per split alone
+    # would put ~1/3 of the corpus into ONE unsplittable window sort (the
+    # agg-mad-outliers lesson — window partitions on a 3-value key don't
+    # scale), while (split, source) streams stay narrow and independent —
+    # each is a training shard.
     with_tok = split.withColumn(
         "n_tok", F.size(F.split(text_col, " ")).cast("long")
+    ).withColumn(
+        "stream", F.concat_ws("/", "split", group_col)
     )
     packed = packing.concat_chunk_pack(
         with_tok,
         order_col=id_col,
         tok_col="n_tok",
         budget=context_budget,
-        partition_col="split",
+        partition_col="stream",
     )
-    return packed
+    return packed.drop("stream")
 
 
 def curate_corpus(

@@ -732,6 +732,10 @@ UNION ALL SELECT 3, p, cnt FROM top3
 )
 def q_agg_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # localCheckpoint: each merge round's argmax is a separate subtree of
+    # one lazy plan, so without the cut every round re-runs the
+    # corpus-sized tokenize explode (measured 595 s at the 100x sweep).
+    # The checkpointed frame is VOCABULARY-sized — tiny at any corpus.
     words = (
         docs.select(
             F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
@@ -739,6 +743,7 @@ def q_agg_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("w") > 1)
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("wc"))
+        .localCheckpoint()
     )
     syms = words.select(
         F.concat(
@@ -865,6 +870,7 @@ GROUP BY d.doc_id
 )
 def q_udf_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # vocabulary-sized checkpoint — see q_agg_bpe_merges
     words = (
         docs.select(
             F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
@@ -872,6 +878,7 @@ def q_udf_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("w") > 1)
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("wc"))
+        .localCheckpoint()
     )
     syms = words.select(
         "w",
@@ -939,4 +946,179 @@ def q_udf_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("seq_fp"),
         )
+    )
+
+
+# --- end-to-end training-set pipeline -------------------------------------------
+
+# PII tail synth shared with udf-redact-pii (doc_id-parameterized so clone
+# rows get distinct tails); dialect-common.
+_PII_TAIL_SQL = (
+    "' Contact user' || CAST(doc_id AS STRING)"
+    " || '@mail.example.com or call +1 555-01'"
+    " || CAST(doc_id % 90 + 10 AS STRING)"
+    " || CASE WHEN doc_id % 5 = 0"
+    "      THEN ' today. Card 4111111111111111.' ELSE ' today.' END"
+)
+
+_REDACT_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(text,"
+    " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+    " '\\b[0-9]{13,16}\\b', '<CARD>', 'g'),"
+    " '\\+?[0-9][0-9 ()\\-]{6,}[0-9]', '<PHONE>', 'g')"
+)
+
+_TRAINING_SET_ORACLE = f"""
+WITH RECURSIVE
+corpus0 AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, source,
+         text || ' near duplicate tail marker' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, source, text
+  FROM documents WHERE doc_id % 25 = 0
+),
+corpus AS (
+  SELECT doc_id, source, text || {_PII_TAIL_SQL} AS text FROM corpus0
+),
+clean AS MATERIALIZED (
+  SELECT doc_id, source, {_REDACT_SQL} AS text
+  FROM corpus WHERE text IS NOT NULL AND length(text) >= 120
+),
+fps AS MATERIALIZED (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM clean
+),
+exact_edges AS (
+  SELECT a, b FROM (
+    SELECT min(doc_id) OVER (PARTITION BY fp) AS a, doc_id AS b FROM fps
+  ) WHERE a <> b
+),
+reps AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+shr AS MATERIALIZED (
+  SELECT DISTINCT c.doc_id, c.source,
+         array_to_string(words[i:i+2], ' ') AS shingle
+  FROM (
+    SELECT cl.doc_id, cl.source, string_split(cl.text, ' ') AS words,
+           unnest(generate_series(1,
+             greatest(len(string_split(cl.text, ' ')) - 2, 1))) AS i
+    FROM clean cl JOIN reps USING (doc_id)
+  ) c
+),
+shc AS MATERIALIZED (
+  SELECT shr.doc_id, shr.source, shr.shingle FROM shr
+  JOIN (
+    SELECT source, shingle FROM shr GROUP BY source, shingle
+    HAVING count(*) <= 100
+  ) ok USING (source, shingle)
+),
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+           FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM shc a JOIN shc b
+    ON a.shingle = b.shingle AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac_edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM inter
+  JOIN counts ca ON doc_a = ca.doc_id
+  JOIN counts cb ON doc_b = cb.doc_id
+  WHERE inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE) >= 0.6
+),
+edges0 AS (SELECT a, b FROM exact_edges UNION SELECT a, b FROM jac_edges),
+edges AS (SELECT a, b FROM edges0 UNION SELECT b AS a, a AS b FROM edges0),
+reach(node, lab) AS (
+  SELECT a AS node, a AS lab FROM edges
+  UNION
+  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node
+),
+labs AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+),
+dropn AS (SELECT doc_id FROM labs WHERE doc_id <> cluster_id),
+kept AS MATERIALIZED (
+  SELECT c.* FROM clean c LEFT JOIN dropn d USING (doc_id)
+  WHERE d.doc_id IS NULL
+),
+split AS (
+  SELECT doc_id, source, text,
+         CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < 'cc'
+                THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < 'e6'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept
+),
+toks AS (
+  SELECT doc_id, source, split,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         md5(text) AS red_fp
+  FROM split
+),
+packed AS (
+  SELECT doc_id, source, split, n_tok, red_fp,
+         CAST(coalesce(sum(n_tok) OVER (
+           PARTITION BY split, source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM toks
+)
+SELECT doc_id, source, split, n_tok, cum_prev,
+       CAST(cum_prev // 512 AS BIGINT) AS first_window,
+       CAST((cum_prev + n_tok - 1) // 512 AS BIGINT) AS last_window,
+       CAST((cum_prev + n_tok - 1) // 512 - cum_prev // 512 + 1 AS BIGINT)
+         AS n_windows,
+       red_fp
+FROM packed
+""".strip()
+
+
+@register(
+    "pipeline-training-set",
+    _TRAINING_SET_ORACLE,
+    doc="The downstream training-set pipeline END-TO-END as one lazy plan "
+    "(pipeline.prepare_training_set): quarantine (length gate) → PII "
+    "redaction (email/card/phone placeholder chain, fingerprinted in the "
+    "output so every redacted byte is verified) → exact-first transitive "
+    "near-dup clustering (fingerprint star edges + df-capped Jaccard "
+    "edges between exact-group representatives → connected components, "
+    "keep canonicals) → deterministic md5 train/val/test split → "
+    "per-(split,source)-stream concat-and-chunk packing into 512-token "
+    "windows (streams keyed by split alone would sort 1/3 of the corpus "
+    "in one window partition — the mad-outliers lesson). The "
+    "oracle composes each stage's proven CTE, with the iterative CC "
+    "loop replayed by WITH RECURSIVE closure. The dup-injected corpus "
+    "(+10M near / +20M exact clones) plus per-row PII tails give every "
+    "stage true positives. Registered on the md5-string shingle path; "
+    "production keeps the xxhash64 shingle keys "
+    "(use_hashed_shingles=True, identical absent 1e-8 collisions).",
+)
+def q_pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark import pipeline as P
+    from ai_knowledge_etl_spark.registry.northstar import _dup_corpus
+
+    corpus = _dup_corpus(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.expr(f"text || {_PII_TAIL_SQL}").alias("text"),
+    )
+    out = P.prepare_training_set(
+        corpus, min_chars=120, use_hashed_shingles=False
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "split",
+        "n_tok",
+        "cum_prev",
+        "first_window",
+        "last_window",
+        "n_windows",
+        F.md5("text").alias("red_fp"),
     )

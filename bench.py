@@ -97,6 +97,8 @@ HEAVY_FIRST = {
     "pipeline-warc-corpus": 10,
     "sample-perplexity-buckets": 6,
     "stream-warc-ingest": 10,
+    "pipeline-training-set": 10,
+    "udf-bpe-tokenize": 6,
     "agg-bpe-merges": 6,
     "dedup-substring-span": 3,
     "scan-warc": 5,

@@ -189,6 +189,8 @@ def test_results_invariant_under_shuffle_partitioning(spark, sf_dir):
         # round-3: the Common-Crawl entry pipeline (WARC scan → gates →
         # paragraph+LSH dedup → DSIR top-N)
         "pipeline-warc-corpus",
+        "pipeline-training-set",
+        "dedup-substring-span",
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:

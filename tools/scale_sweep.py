@@ -95,6 +95,13 @@ HEAVY_QUERIES = [
     "sql-revenue-by-region",
     "window-page-id",
     "agg-touch-attribution",
+    # round-3 additions
+    "pipeline-training-set",    # exact-first CC + packing streams
+    "dedup-substring-span",     # window-fingerprint ownership aggregate
+    "sample-perplexity-buckets",
+    "agg-bpe-merges",
+    "udf-bpe-tokenize",
+    "stream-warc-ingest",       # real streaming ingest at 100x
 ]
 
 
