@@ -1144,3 +1144,178 @@ def q_filter_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# --- product quantization (IVF-PQ tier) ------------------------------------------
+
+_L2_SV_SQL = """
+list_sum(list_transform(generate_series(1, len(s.sv)),
+    i -> (CAST(s.sv[i] AS DOUBLE) - CAST(c.sv[i] AS DOUBLE))
+       * (CAST(s.sv[i] AS DOUBLE) - CAST(c.sv[i] AS DOUBLE))))
+""".strip()
+
+
+@register(
+    "similarity-ivf-pq",
+    f"""
+WITH subs AS MATERIALIZED (
+  SELECT vec_id, m, embedding[m * 8 + 1 : m * 8 + 8] AS sv
+  FROM embeddings, unnest(generate_series(0, 7)) t(m)
+),
+c0 AS (SELECT m, vec_id AS cent, sv FROM subs WHERE vec_id < 4),
+d1 AS (
+  SELECT s.vec_id, s.m, s.sv, c.cent,
+         row_number() OVER (PARTITION BY s.vec_id, s.m
+                            ORDER BY {_L2_SV_SQL} ASC, c.cent ASC) AS rn
+  FROM subs s JOIN c0 c ON s.m = c.m
+),
+a1 AS (SELECT vec_id, m, sv, cent FROM d1 WHERE rn = 1),
+flat AS (
+  SELECT m, cent, unnest(sv) AS val, generate_subscripts(sv, 1) AS pos
+  FROM a1
+),
+cb AS MATERIALIZED (
+  SELECT m, cent, array_agg(mu ORDER BY pos) AS sv FROM (
+    SELECT m, cent, pos, round(avg(CAST(val AS DOUBLE)), 6) AS mu
+    FROM flat GROUP BY m, cent, pos
+  ) GROUP BY m, cent
+),
+enc AS MATERIALIZED (
+  SELECT vec_id, m, cent AS code FROM (
+    SELECT s.vec_id, s.m, c.cent,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_L2_SV_SQL} ASC, c.cent ASC) AS rn
+    FROM subs s JOIN cb c ON s.m = c.m
+  ) WHERE rn = 1
+),
+qt AS (
+  SELECT c.m, c.cent,
+         CAST(round({_L2_SV_SQL} * 10000) AS BIGINT) AS qd_e4
+  FROM (SELECT m, sv FROM subs WHERE vec_id = 0) s
+  JOIN cb c ON s.m = c.m
+),
+adist AS (
+  SELECT e.vec_id,
+         CAST(sum(q.qd_e4) AS BIGINT) AS adist_e4,
+         md5(string_agg(CAST(e.code AS STRING), ',' ORDER BY e.m)) AS codes_fp
+  FROM enc e JOIN qt q ON e.m = q.m AND e.code = q.cent
+  GROUP BY e.vec_id
+)
+SELECT vec_id, adist_e4, codes_fp
+FROM adist ORDER BY adist_e4 ASC, vec_id ASC LIMIT 10
+""".strip(),
+    doc="Product quantization with asymmetric distance (Jegou et al. "
+    "2011, public — the compression tier of IVF-PQ, the index family "
+    "100 TB vector search actually runs): 64-dim embeddings split into "
+    "8 sub-vectors of 8 dims; each sub-space trains a 4-centroid "
+    "codebook (one Lloyd round, components rounded to 6dp for "
+    "engine-identical codebooks); vectors encode to 8 one-byte codes "
+    "(32x compression); a query scores the whole corpus by summing "
+    "per-sub-space lookup-table distances — integer ten-thousandths so "
+    "the 8-term sum is associative — and takes the top-10 with the "
+    "codes fingerprinted, so the oracle verifies every vector's full "
+    "code assignment. Scale: codebooks are k*M rows (broadcast), "
+    "encoding is one corpus x (M*K) broadcast join, the ADC scan "
+    "touches 8 BIGINTs per vector instead of 64 floats — at 100 TB "
+    "this plus the IVF cell routing (similarity-ivf) is the whole "
+    "billion-scale ANN serving recipe.",
+)
+def q_similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    subs = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("m"),
+    ).select(
+        "vec_id",
+        "m",
+        F.expr("slice(embedding, m * 8 + 1, 8)").alias("sv"),
+    )
+
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    c0 = subs.where("vec_id < 4").select(
+        "m", F.col("vec_id").alias("cent"), F.col("sv").alias("csv")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.asc("d"), F.asc("cent")
+    )
+    a1 = (
+        subs.join(F.broadcast(c0), "m")
+        .withColumn("d", l2(F.col("sv"), F.col("csv")))
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("vec_id", "m", "sv", "cent")
+    )
+    cb = (
+        a1.select(
+            "m", "cent", F.posexplode("sv").alias("pos", "val")
+        )
+        .groupBy("m", "cent", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mu"))
+        .groupBy("m", "cent")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mu"))
+            ).alias("pm")
+        )
+        .select(
+            "m",
+            "cent",
+            F.expr("transform(pm, x -> x.mu)").alias("csv"),
+        )
+    )
+    enc = (
+        subs.join(F.broadcast(cb), "m")
+        .withColumn("d", l2(F.col("sv"), F.col("csv")))
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("vec_id", "m", F.col("cent").alias("code"))
+    )
+    qt = (
+        subs.where("vec_id = 0")
+        .select("m", "sv")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "m",
+            "cent",
+            F.round(l2(F.col("sv"), F.col("csv")) * 10000)
+            .cast("long")
+            .alias("qd_e4"),
+        )
+    )
+    return (
+        enc.join(
+            F.broadcast(qt),
+            (enc["m"] == qt["m"]) & (enc["code"] == qt["cent"]),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.sum("qd_e4").cast("long").alias("adist_e4"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(enc["m"], "code"))
+                        ),
+                        lambda x: x.getField("code").cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("codes_fp"),
+        )
+        .orderBy(F.asc("adist_e4"), F.asc("vec_id"))
+        .limit(10)
+    )
