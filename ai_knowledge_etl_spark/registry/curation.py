@@ -93,12 +93,12 @@ _SEM_MAX_CLUSTER = 1000
 
 
 def _sem_assign_cached(spark: SparkSession, sf_dir: str, corpus, cents):
-    from ai_knowledge_etl_spark.sources.catalog import app_cache_sweep
+    from ai_knowledge_etl_spark.sources.catalog import cache_get_or_fill
 
-    key = (app_cache_sweep(_SEM_ASSIGN_CACHE, spark), sf_dir)
-    if key not in _SEM_ASSIGN_CACHE:
-        _SEM_ASSIGN_CACHE[key] = CU.nearest_centroid(corpus, cents).persist()
-    return _SEM_ASSIGN_CACHE[key]
+    return cache_get_or_fill(
+        _SEM_ASSIGN_CACHE, spark, sf_dir,
+        lambda: CU.nearest_centroid(corpus, cents).persist(),
+    )
 
 _L2_SQL = """
 list_sum(list_transform(generate_series(1, len(e.embedding)),

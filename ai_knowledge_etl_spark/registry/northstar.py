@@ -15,7 +15,7 @@ from ai_knowledge_etl_spark import config
 from ai_knowledge_etl_spark.functions import text as TX
 from ai_knowledge_etl_spark.operators import dedup, similarity
 from ai_knowledge_etl_spark.registry import register
-from ai_knowledge_etl_spark.sources.catalog import app_cache_sweep, load_table
+from ai_knowledge_etl_spark.sources.catalog import cache_get_or_fill, load_table
 
 DUP_CORPUS_CTE = """
 dup_corpus AS (
@@ -85,12 +85,12 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared + persisted across the dedup queries (jaccard/minhash/simhash
     all start from the same shingle explode — computing it once per session
     is what a real pipeline would do)."""
-    key = (app_cache_sweep(_SHINGLE_CACHE, spark), sf_dir)
-    if key not in _SHINGLE_CACHE:
-        _SHINGLE_CACHE[key] = dedup.shingles(
+    return cache_get_or_fill(
+        _SHINGLE_CACHE, spark, sf_dir,
+        lambda: dedup.shingles(
             _dup_corpus(spark, sf_dir), "doc_id", "text", n=3, keep=("source",)
-        ).persist()
-    return _SHINGLE_CACHE[key]
+        ).persist(),
+    )
 
 
 _CAPPED_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -99,15 +99,15 @@ _CAPPED_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _shingles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingles minus boilerplate (df cap, CAPPED_SHINGLES_CTE twin) — the
     input to every pairwise dedup stage."""
-    key = (app_cache_sweep(_CAPPED_CACHE, spark), sf_dir)
-    if key not in _CAPPED_CACHE:
-        _CAPPED_CACHE[key] = dedup.cap_shingle_df(
+    return cache_get_or_fill(
+        _CAPPED_CACHE, spark, sf_dir,
+        lambda: dedup.cap_shingle_df(
             _shingles(spark, sf_dir),
             "doc_id",
             config.DEDUP_SHINGLE_MAX_DF,
             group_col="source",
-        ).persist()
-    return _CAPPED_CACHE[key]
+        ).persist(),
+    )
 
 
 # --- dedup family ---------------------------------------------------------------

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ai_knowledge_etl_spark.registry import register
 from ai_knowledge_etl_spark.sources import synthetic as syn
-from ai_knowledge_etl_spark.sources.catalog import app_cache_sweep, load_table
+from ai_knowledge_etl_spark.sources.catalog import cache_get_or_fill, load_table
 from ai_knowledge_etl_spark.streaming import events as EV
 from ai_knowledge_etl_spark.streaming import frontier, politeness
 
@@ -194,28 +194,27 @@ FROM bfs GROUP BY doc_id
 """.strip()
 
 
-_BFS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_BFS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (app_cache_sweep(_BFS_CACHE, spark, unpersist=False), sf_dir)
-    if key in _BFS_CACHE:
-        return _BFS_CACHE[key]
-    docs = _docs(spark, sf_dir)
-    n = docs.count()  # corpus size — same scalar the oracle's subquery computes
-    edges = docs.select(
-        F.expr("doc_id % 50").alias("src"), F.col("doc_id").alias("dst")
-    ).unionByName(
-        docs.select(
-            F.col("doc_id").alias("src"),
-            F.expr(f"(doc_id * 7 + 13) % {n}").alias("dst"),
+    def fill() -> DataFrame:
+        docs = _docs(spark, sf_dir)
+        n = docs.count()  # corpus size — same scalar the oracle's subquery computes
+        edges = docs.select(
+            F.expr("doc_id % 50").alias("src"), F.col("doc_id").alias("dst")
+        ).unionByName(
+            docs.select(
+                F.col("doc_id").alias("src"),
+                F.expr(f"(doc_id * 7 + 13) % {n}").alias("dst"),
+            )
         )
-    )
-    seeds = docs.where("doc_id < 3").select("doc_id")
-    # three queries view the same crawl (frontier/stop/visited-state); the
-    # loop's waves are already localCheckpointed, so memoize the result
-    _BFS_CACHE[key] = frontier.bfs_frontier(edges, seeds, max_depth=3)
-    return _BFS_CACHE[key]
+        seeds = docs.where("doc_id < 3").select("doc_id")
+        # three queries view the same crawl (frontier/stop/visited-state); the
+        # loop's waves are already localCheckpointed, so memoize the result
+        return frontier.bfs_frontier(edges, seeds, max_depth=3)
+
+    return cache_get_or_fill(_BFS_CACHE, spark, sf_dir, fill, unpersist=False)
 
 
 @register(
@@ -502,14 +501,15 @@ FROM documents WHERE doc_id % 13 <> 0
     "record, duplicate row, or corruption leak breaks the hash.",
 )
 def q_stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (app_cache_sweep(_WARC_INGEST_CACHE, spark, unpersist=False), sf_dir)
-    if key not in _WARC_INGEST_CACHE:
-        _WARC_INGEST_CACHE[key] = _run_warc_ingest(spark, sf_dir)
+    table_path = cache_get_or_fill(
+        _WARC_INGEST_CACHE, spark, sf_dir,
+        lambda: _run_warc_ingest(spark, sf_dir), unpersist=False,
+    )
     # explicit schema: an empty corpus leaves a table dir with no part
     # files, which schema inference rejects (empty-input census)
     table = spark.read.schema(
         "uri string, text string, rev long, __bucket int"
-    ).parquet(_WARC_INGEST_CACHE[key])
+    ).parquet(table_path)
     return table.select(
         "uri",
         F.length("text").cast("long").alias("n_chars"),

@@ -11,25 +11,32 @@ from __future__ import annotations
 
 import os
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _SHIPPED: set[str] = set()
 _ZIP_PATH: str | None = None
-_SHIP_LOCK = __import__("threading").Lock()
+
+# One lock per cache object (keyed by id — the caches are module-level and
+# never collected). bench.py submits queries from concurrent threads, so an
+# unlocked sweep can race a concurrent insert ("dict changed size during
+# iteration") and an unlocked check-then-insert can double-fill an expensive
+# persist (round-3 advisor). All sweep/check/insert paths go through these.
+_CACHE_LOCKS: dict[int, threading.Lock] = {}
+_CACHE_LOCKS_GUARD = threading.Lock()
 
 
-def app_cache_sweep(cache, spark: SparkSession, unpersist: bool = True) -> str:
-    """applicationId for session-scoped caches, evicting other apps' entries.
+def _lock_for(cache) -> threading.Lock:
+    with _CACHE_LOCKS_GUARD:
+        return _CACHE_LOCKS.setdefault(id(cache), threading.Lock())
 
-    Never key caches by id(spark): CPython reuses object ids after GC, so a
-    later SparkSession can alias an entry holding a DataFrame bound to a
-    stopped SparkContext (round-3 advisor). applicationId is unique per
-    context; sweeping on every touch keeps dead sessions from pinning
-    persisted frames forever."""
+
+def _sweep_locked(cache, spark: SparkSession, unpersist: bool) -> str:
     app_id = spark.sparkContext.applicationId
     stale = [
-        k for k in cache
+        k for k in list(cache)
         if (k[0] if isinstance(k, tuple) else k) != app_id
     ]
     for k in stale:
@@ -40,6 +47,35 @@ def app_cache_sweep(cache, spark: SparkSession, unpersist: bool = True) -> str:
             except Exception:  # context already stopped
                 pass
     return app_id
+
+
+def app_cache_sweep(cache, spark: SparkSession, unpersist: bool = True) -> str:
+    """applicationId for session-scoped caches, evicting other apps' entries.
+
+    Never key caches by id(spark): CPython reuses object ids after GC, so a
+    later SparkSession can alias an entry holding a DataFrame bound to a
+    stopped SparkContext (round-3 advisor). applicationId is unique per
+    context; sweeping on every touch keeps dead sessions from pinning
+    persisted frames forever. Thread-safe: sweeps run under the per-cache
+    lock."""
+    with _lock_for(cache):
+        return _sweep_locked(cache, spark, unpersist)
+
+
+def cache_get_or_fill(cache: dict, spark: SparkSession, subkey, fill,
+                      unpersist: bool = True):
+    """Sweep + membership-check + populate atomically under the per-cache lock.
+
+    `fill()` runs while the lock is held, so two concurrent first-touch
+    threads cannot double-persist the same expensive frame; distinct caches
+    use distinct locks, so unrelated fills still overlap. A fill may touch a
+    DIFFERENT cache (e.g. capped-shingles fills from the shingle cache) —
+    lock ordering is acyclic because dependencies only point one way."""
+    with _lock_for(cache):
+        key = (_sweep_locked(cache, spark, unpersist), subkey)
+        if key not in cache:
+            cache[key] = fill()
+        return cache[key]
 
 
 def ensure_package_on_workers(spark: SparkSession) -> None:
@@ -54,10 +90,8 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     and added per session. Lock-guarded: bench submits queries from
     concurrent threads."""
     global _ZIP_PATH
-    sid = app_cache_sweep(_SHIPPED, spark, unpersist=False)
-    if sid in _SHIPPED:
-        return
-    with _SHIP_LOCK:
+    with _lock_for(_SHIPPED):
+        sid = _sweep_locked(_SHIPPED, spark, unpersist=False)
         if sid in _SHIPPED:
             return
         if _ZIP_PATH is None:

@@ -43,12 +43,22 @@ def warc_ingest_availablenow(
     )
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
+        # Real monotonic revision (round-3 advisor): the streaming epoch_id
+        # is the arrival clock, so a shorter NEWER text re-delivered in a
+        # later wave beats an older longer one — "merge_latest keeps max
+        # rev" now actually means recency. octet_length stays as the
+        # within-epoch tiebreaker (a uri seen twice in one micro-batch
+        # resolves deterministically), packed into the low 40 bits.
         records = warc.scan_warc_text(batch).select(
             "uri",
             "text",
-            # deterministic revision: replayed identical records merge to
-            # the same winner (merge_latest keeps max rev, ties → update)
-            F.octet_length("text").cast("long").alias("rev"),
+            (
+                F.lit(int(epoch_id)).cast("long") * F.lit(1 << 40).cast("long")
+                + F.least(
+                    F.octet_length("text").cast("long"),
+                    F.lit((1 << 40) - 1).cast("long"),
+                )
+            ).alias("rev"),
         )
         incremental.upsert_parquet(
             batch.sparkSession,
