@@ -314,7 +314,11 @@ def duplicate_window_census(
             )
         ).alias("pos0", "fp"),
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "fp")
-    okey = F.col(id_col) * 1000000 + F.col("pos")
+    # Ownership key is a lexicographic (id, pos) STRUCT min, not an integer
+    # fold: any `id*K + pos` fold silently mis-assigns owners once a document
+    # exceeds K windows (book-length docs at real scale), while struct
+    # ordering is exact for any id/pos range (round-3 verdict #2).
+    okey = F.struct(F.col(id_col).alias("odoc"), F.col("pos").alias("opos"))
     own = wins.groupBy("fp").agg(F.min(okey).alias("okey"))
     return (
         wins.join(own, "fp")

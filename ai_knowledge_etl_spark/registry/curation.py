@@ -570,13 +570,13 @@ wins AS MATERIALIZED (
   FROM toks, unnest(generate_series(1, greatest(len(ws) - 4, 1))) t(i)
 ),
 own AS (
-  SELECT fp, min(doc_id * 1000000 + pos) AS okey FROM wins GROUP BY fp
+  SELECT fp, min({{'odoc': doc_id, 'opos': pos}}) AS okey FROM wins GROUP BY fp
 )
 SELECT w.doc_id,
        CAST(count(*) AS BIGINT) AS n_windows,
-       CAST(sum(CASE WHEN o.okey <> w.doc_id * 1000000 + w.pos
+       CAST(sum(CASE WHEN o.okey <> {{'odoc': w.doc_id, 'opos': w.pos}}
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
-       CAST(sum(CASE WHEN o.okey <> w.doc_id * 1000000 + w.pos
+       CAST(sum(CASE WHEN o.okey <> {{'odoc': w.doc_id, 'opos': w.pos}}
                      THEN 1 ELSE 0 END) * 1000
             // count(*) AS BIGINT) AS dup_permille
 FROM wins w JOIN own o USING (fp)
@@ -585,7 +585,8 @@ GROUP BY w.doc_id
     doc="Exact-substring duplication census (Lee et al. 2022, public — "
     "the dedup tier between paragraph-exact and MinHash-fuzzy): every "
     "5-token window is fingerprinted and owned by its first corpus "
-    "occurrence (min (doc_id, pos) as one composite integer); windows "
+    "occurrence (lexicographic min over a (doc_id, pos) struct — exact "
+    "for any document length, unlike an integer fold); windows "
     "whose owner is elsewhere are duplicate spans, reported per doc as "
     "counts + an integer per-mille ratio. The paragraph probe's shared "
     "boilerplate footers create genuine cross-document duplicate spans. "
@@ -594,8 +595,7 @@ GROUP BY w.doc_id
     "are constant-width, the ownership aggregate partial-combines hot "
     "boilerplate fingerprints map-side (the paragraph-dedup argument), "
     "and the join back is fp-keyed equi — no pairwise stage at any "
-    "scale. The 1e6 position fold assumes docs under 1M windows; "
-    "restate for book-length corpora.",
+    "scale.",
 )
 def q_dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(

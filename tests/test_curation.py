@@ -181,3 +181,30 @@ def test_substring_span_census_properties(spark, sf_dir):
     # docs with all-unique text (%4 in (2,3)) mostly clean
     clean = [i for i in rows if i % 4 in (2, 3)]
     assert sum(rows[i]["n_dup_windows"] == 0 for i in clean) > len(clean) // 2
+
+
+def test_substring_span_ownership_beyond_1m_windows(spark):
+    """Long-doc ownership regression (round-3 verdict #2): with an integer
+    `doc_id*1e6 + pos` fold, a window at pos > 1M in a low-id doc computes a
+    LARGER ownership key than the same window at pos 1 in the next doc, so
+    the true first-occurrence owner loses. The struct-min key must assign
+    ownership to (doc_id=1, pos≈1.2M) over (doc_id=2, pos=1)."""
+    marker = "zq zr zs zt zu"  # 5 distinct tokens → one shared 5-gram
+    n_fill = 1_200_000
+    filler = " ".join(f"w{i}" for i in range(n_fill))
+    long_doc = filler + " " + marker
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, marker + " tail1 tail2 tail3 tail4")],
+        "doc_id long, ptext string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in CU.duplicate_window_census(
+            docs, "doc_id", "ptext", k=5
+        ).collect()
+    }
+    # doc 1 owns the marker window (first corpus occurrence by (id, pos)):
+    # none of its windows are duplicates; doc 2's copy is the duplicate.
+    assert rows[1]["n_dup_windows"] == 0
+    assert rows[2]["n_dup_windows"] == 1
+    assert rows[1]["n_windows"] == n_fill + 1
