@@ -528,18 +528,22 @@ def q_pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "udf-normalize-text",
-    """
+    f"""
+WITH {syn.UNI_DOCS_CTE}
 SELECT doc_id,
        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
                            ' +', ' ', 'g')) AS norm,
        CAST(length(trim(regexp_replace(regexp_replace(lower(text),
             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_norm_chars
-FROM documents
+FROM udocs
 """.strip(),
     doc="Text normalization kernel (lowercase → punctuation strip → "
     "whitespace collapse) — the canonical pre-dedup normalizer "
     "(dedup.normalize_text applies the same chain before fingerprinting). "
-    "Pure JVM regexp chain, whole-stage codegen, zero shuffle.",
+    "Runs over the unicode probe corpus (syn.uni_docs): the +30M clones "
+    "carry CJK / non-BMP emoji / combining marks, so codepoint-vs-byte "
+    "(and UTF-16-surrogate) confusions in the strip/collapse chain break "
+    "the hash. Pure JVM regexp chain, whole-stage codegen, zero shuffle.",
 )
 def q_udf_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.trim(
@@ -549,7 +553,7 @@ def q_udf_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         )
     )
-    return _docs(spark, sf_dir).select(
+    return syn.uni_docs(_docs(spark, sf_dir)).select(
         "doc_id",
         norm.alias("norm"),
         F.length(norm).cast("bigint").alias("n_norm_chars"),
@@ -562,7 +566,8 @@ def q_udf_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup-substring-span",
     f"""
-WITH pdocs AS (SELECT doc_id, {syn.PARA_TEXT_EXPR} AS ptext FROM documents),
+WITH {syn.UNI_DOCS_CTE},
+pdocs AS (SELECT doc_id, {syn.PARA_TEXT_EXPR} AS ptext FROM udocs),
 toks AS (SELECT doc_id, string_split(ptext, ' ') AS ws FROM pdocs),
 wins AS MATERIALIZED (
   SELECT doc_id, i AS pos,
@@ -598,7 +603,7 @@ GROUP BY w.doc_id
     "scale.",
 )
 def q_dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select(
+    docs = syn.uni_docs(_docs(spark, sf_dir)).select(
         "doc_id", F.expr(syn.PARA_TEXT_EXPR).alias("ptext")
     )
     return CU.duplicate_window_census(docs, "doc_id", "ptext", k=5)

@@ -627,14 +627,15 @@ def warc_pack_files(
 @register(
     "scan-warc",
     f"""
-WITH recs AS (
+WITH {syn.UNI_DOCS_CTE},
+recs AS (
   SELECT doc_id, doc_id % 125 AS file_id,
          ({syn.URL_EXPR}) AS uri,
          CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
          octet_length(encode({_WARC_REC_DUCK})) AS rec_len,
          doc_id % 13 = 0 AS corrupt,
          substring(text, 1, 40) AS head
-  FROM documents
+  FROM udocs
 ),
 offs AS (
   SELECT *, CAST(coalesce(sum(rec_len) OVER (
@@ -656,12 +657,16 @@ FROM offs WHERE NOT corrupt
     "The oracle regenerates every surviving record's (uri, n_bytes, "
     "head, byte offset) arithmetically — offsets via an exclusive "
     "running sum of record lengths — so the parser is differentially "
-    "proven including the resync path.",
+    "proven including the resync path. Packs the unicode probe corpus "
+    "(syn.uni_docs): multibyte payloads make Content-Length a true "
+    "byte count distinct from the char count, and the %3==1 clones put "
+    "emoji at chars 39-41 so the 40-char head decode must cut on a "
+    "codepoint boundary (sources/warc.py bounded 164-byte decode).",
 )
 def q_scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_knowledge_etl_spark.sources import warc
 
-    docs = _docs(spark, sf_dir)
+    docs = syn.uni_docs(_docs(spark, sf_dir))
     files = warc_pack_files(docs, syn.url_col())
     return warc.scan_warc(files)
 

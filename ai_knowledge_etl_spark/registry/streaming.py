@@ -467,7 +467,7 @@ def _run_warc_ingest(spark: SparkSession, sf_dir: str) -> str:
     table = os.path.join(workdir, "corpus")
     ckpt = os.path.join(workdir, "ckpt")
 
-    docs = _docs(spark, sf_dir)
+    docs = syn.uni_docs(_docs(spark, sf_dir))
     files = warc_pack_files(docs, syn.url_col()).localCheckpoint()
 
     files.where("file_id % 2 = 0").write.mode("append").parquet(staging)
@@ -483,10 +483,11 @@ def _run_warc_ingest(spark: SparkSession, sf_dir: str) -> str:
 @register(
     "stream-warc-ingest",
     f"""
+WITH {syn.UNI_DOCS_CTE}
 SELECT {syn.URL_EXPR} AS uri,
        CAST(length(text) AS BIGINT) AS n_chars,
        md5(text) AS fp
-FROM documents WHERE doc_id % 13 <> 0
+FROM udocs WHERE doc_id % 13 <> 0
 """.strip(),
     doc="Streaming WARC ingestion end-to-end (streaming/ingest.py): "
     "staged WARC blobs arrive in two waves as a parquet file stream; "

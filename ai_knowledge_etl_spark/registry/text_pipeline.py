@@ -29,8 +29,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "udtf-chunk-text",
-    """
-WITH long_docs AS (SELECT doc_id, repeat(text, 5) AS text FROM documents),
+    f"""
+WITH {syn.UNI_DOCS_CTE},
+long_docs AS (SELECT doc_id, repeat(text, 5) AS text FROM udocs),
 exploded AS (
   SELECT doc_id, text,
          unnest(generate_series(0, greatest(CAST(floor((length(text)-1)/1000.0) AS INT), 0))) AS i
@@ -45,7 +46,7 @@ FROM exploded
     "Spark: sequence+posexplode, zero Python.",
 )
 def q_udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    long_docs = _docs(spark, sf_dir).select(
+    long_docs = syn.uni_docs(_docs(spark, sf_dir)).select(
         "doc_id", F.expr("repeat(text, 5)").alias("text")
     )
     return chunking.fixed_chunks(long_docs, "doc_id", "text", 1000)
@@ -53,8 +54,9 @@ def q_udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "udtf-chunk-rag",
-    """
-WITH long_docs AS (SELECT doc_id, repeat(text, 5) AS text FROM documents),
+    f"""
+WITH {syn.UNI_DOCS_CTE},
+long_docs AS (SELECT doc_id, repeat(text, 5) AS text FROM udocs),
 exploded AS (
   SELECT doc_id, text,
          unnest(generate_series(0, least(greatest(CAST(ceil((length(text)-100)/900.0) AS INT), 1), 50) - 1)) AS i
@@ -69,7 +71,7 @@ FROM exploded
     "config/limits.yaml:166-170).",
 )
 def q_udtf_chunk_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    long_docs = _docs(spark, sf_dir).select(
+    long_docs = syn.uni_docs(_docs(spark, sf_dir)).select(
         "doc_id", F.expr("repeat(text, 5)").alias("text")
     )
     return chunking.rag_chunks_fixed(long_docs, "doc_id", "text", 1000, 100, 50)
@@ -77,11 +79,12 @@ def q_udtf_chunk_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "udtf-chunk-rag-smart",
-    """
-WITH base AS (
+    f"""
+WITH {syn.UNI_DOCS_CTE},
+base AS (
   SELECT doc_id, '# Title ' || CAST(doc_id AS STRING) || chr(10)
          || substring(text, 1, 300) AS head
-  FROM documents
+  FROM udocs
 )
 SELECT doc_id, 0 AS chunk_idx,
   CASE WHEN doc_id % 9 = 0 THEN
@@ -119,7 +122,7 @@ FROM base WHERE doc_id % 3 = 2
     "tests/test_chunking.py properties and the SQL invariants twin.",
 )
 def q_udtf_chunk_rag_smart(spark: SparkSession, sf_dir: str) -> DataFrame:
-    probed = _docs(spark, sf_dir).select(
+    probed = syn.uni_docs(_docs(spark, sf_dir)).select(
         "doc_id", F.expr(syn.MD_CHUNK_TEXT_EXPR).alias("text")
     )
     return chunking.rag_chunks_smart(probed, "doc_id", "text")
@@ -127,10 +130,11 @@ def q_udtf_chunk_rag_smart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "udtf-chunk-rag-smart-invariants",
-    """
+    f"""
+WITH {syn.UNI_DOCS_CTE}
 SELECT doc_id, TRUE AS idx_contiguous, TRUE AS chunks_nonempty,
        TRUE AS overlap_ok
-FROM documents ORDER BY doc_id
+FROM udocs ORDER BY doc_id
 """.strip(),
     doc="SQL oracle for the smart RAG chunker (VERDICT r1 #5): the chunker "
     "itself is order-dependent mapInPandas (rows-only), but its contract IS "

@@ -26,7 +26,10 @@ TOPIC_RE = "(spark|shuffle|join)"
 
 # --- URL from (source, doc_id) ------------------------------------------------
 # Mix of path classes and extensions so skip-filters, normalization, routing
-# and domain extraction all have positive + negative cases.
+# and domain extraction all have positive + negative cases. Every 17th-ish
+# doc (doc_id % 17 = 12) carries a multibyte CJK+emoji path segment — real
+# crawls see IRI paths, and the slug/normalize/anchor ops must treat them
+# as characters, not bytes (round-3 verdict #1).
 URL_EXPR = """
 'https://' || source || '.example.com' ||
 CASE doc_id % 10
@@ -34,6 +37,7 @@ CASE doc_id % 10
   WHEN 3 THEN '/cart' WHEN 4 THEN '/static/css' WHEN 5 THEN '/spark-tuning'
   WHEN 6 THEN '/join-guide' WHEN 7 THEN '/about' WHEN 8 THEN '/search'
   ELSE '/products' END ||
+CASE WHEN doc_id % 17 = 12 THEN '/文档ページ🚀' ELSE '' END ||
 '/item' || CAST(doc_id AS STRING) ||
 CASE doc_id % 7
   WHEN 0 THEN '.html' WHEN 1 THEN '.pdf' WHEN 2 THEN '.zip'
@@ -114,6 +118,49 @@ OBSTACLE_TEXT_EXPR = (
 
 # depth surrogate for crawl operators (reference queue items carry depth 0-3)
 DEPTH_EXPR = "doc_id % 4"
+
+# --- multibyte / unicode probe corpus -----------------------------------------
+# The fixture corpus is pure ASCII, which makes every byte-vs-character
+# confusion invisible to the differential oracle (round-3 verdict #1). These
+# decorations weave CJK (3-byte UTF-8), non-BMP emoji (4-byte, a surrogate
+# PAIR in Java/UTF-16), and combining marks (é as e + U+0301) into derived
+# clone documents. The multibyte chars are UTF-8 literals shared verbatim by
+# both dialects — `chr(cp)` is NOT dialect-common above 255 (Spark's chr is
+# byte-only, DuckDB's is codepoint). Branch %3==1 places chars 39-41 of the
+# text as emoji/CJK so any 40-character head cut (WARC head, ANCHOR_EXPR)
+# lands ON a multibyte boundary. Verified parity primitives (same result in
+# Spark and DuckDB on this text): length/substring (codepoints), md5 (UTF-8
+# bytes), upper/lower, replace, regexp_replace (Java regex is
+# supplementary-codepoint-aware), split, lpad, trim. NOT parity-safe (avoid
+# in oracled paths): reverse (DuckDB reverses graphemes, Spark codepoints),
+# lower('İ') (Spark keeps the combining dot), octet_length (DuckDB needs a
+# blob).
+UNI_TEXT_EXPR = (
+    "CASE doc_id % 3"
+    " WHEN 0 THEN '漢字テスト🚀 日本語の文書です ' || text"
+    " WHEN 1 THEN substring(text, 1, 38) || '🚀🌍字 émoji café́ '"
+    "   || substring(text, 39, length(text))"
+    " ELSE 'naïve cœur größe 🎄🧪 ' || text END"
+)
+
+# Clone id offset: +10M (near-dup clones) and +20M (exact clones) are taken
+# by the dedup fixtures; unicode clones live at +30M. 30M ≡ 0 (mod 3) keeps
+# the %3 branch alignment of derived probes identical for base and clone.
+UNI_CLONE_OFFSET = 30000000
+
+# doc_id % 10 < 3 → 30% of the corpus gets a multibyte clone.
+UNI_CLONE_PRED = "doc_id % 10 < 3"
+
+UNI_DOCS_CTE = f"""
+udocs AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + {UNI_CLONE_OFFSET} AS doc_id, ut AS text, lang, source,
+         CAST(length(ut) AS BIGINT) AS n_chars
+  FROM (SELECT doc_id, ({UNI_TEXT_EXPR}) AS ut, lang, source
+        FROM documents WHERE {UNI_CLONE_PRED})
+)
+""".strip()
 
 # Paragraph-shaped probe for paragraph-level dedup: 3 paragraphs per doc,
 # the middle one drawn from a tiny boilerplate pool on half the corpus
@@ -210,6 +257,22 @@ LINKED_TEXT_EXPR = (
 # quantifier must not pass through an f-string)
 HEADING_RE = r"(?m)^(#{1,6} .*)$"
 MD_LINK_RE = r"\[([^\]]*)\]\(([^)]*)\)"
+
+
+def uni_docs(documents: DataFrame) -> DataFrame:
+    """Spark twin of UNI_DOCS_CTE: the fixture corpus plus multibyte clone
+    documents (+30M ids) whose text carries CJK / non-BMP emoji / combining
+    marks at string-boundary positions. Schema-compatible with `documents`
+    (n_chars recomputed for the decorated text)."""
+    base = documents.select("doc_id", "text", "lang", "source", "n_chars")
+    dec = documents.where(UNI_CLONE_PRED).select(
+        (F.col("doc_id") + UNI_CLONE_OFFSET).alias("doc_id"),
+        F.expr(UNI_TEXT_EXPR).alias("text"),
+        "lang",
+        "source",
+    )
+    dec = dec.withColumn("n_chars", F.length("text").cast("long"))
+    return base.unionByName(dec)
 
 
 def with_links_columns(documents: DataFrame) -> DataFrame:

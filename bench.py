@@ -24,10 +24,15 @@ stdout line stays small enough for the driver's tail-capture to parse.
   as the 2× comparison oracle, so the JSON carries it (all registered
   oracle SQLs, sequential, 32 threads).
 - BENCH_DETAIL.json additionally carries `isolated`: one-at-a-time
-  sequential timings for the HEAVY_FIRST set (same warmed session,
-  alphabetical). These are true isolated latencies — the per-round
-  comparable numbers — unlike the queue-inclusive concurrent timings.
-  Disable with SPARK_GRAFT_BENCH_ISOLATED=0.
+  sequential timings for EVERY registered query (same warmed session,
+  alphabetical), each as {"spark": sec, "duck": sec} with the DuckDB
+  per-query wall (min of 2 runs) beside it. These are true isolated
+  latencies — the per-round comparable numbers and the per-query 2x
+  check — unlike the queue-inclusive concurrent timings. Disable with
+  SPARK_GRAFT_BENCH_ISOLATED=0. Per-query ratio caveat: a Spark job has
+  a ~0.1-0.3 s driver/scheduling floor that DuckDB (in-process, no DAG)
+  does not pay, so sub-second queries compare on max(2*duck, duck+floor)
+  — see docs/PERF.md.
 """
 
 from __future__ import annotations
@@ -59,10 +64,13 @@ def sf_of(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def duckdb_oracle_wall() -> tuple[float, int]:
-    """Total DuckDB wall over every registered oracle SQL (the BASELINE.md
-    2x comparison oracle). Sequential by design: DuckDB parallelizes each
-    query internally across all threads."""
+def duckdb_oracle_wall() -> tuple[float, int, dict[str, float]]:
+    """Total + per-query DuckDB wall over every registered oracle SQL (the
+    BASELINE.md 2x comparison oracle). Sequential by design: DuckDB
+    parallelizes each query internally across all threads. The per-query
+    walls land next to the isolated Spark walls in BENCH_DETAIL.json so
+    'correct but >2x slower than its twin' is checkable per query
+    (round-3 verdict #2)."""
     import duckdb
 
     con = duckdb.connect()
@@ -75,13 +83,14 @@ def duckdb_oracle_wall() -> tuple[float, int]:
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
     t0 = time.time()
-    n = 0
+    per_query: dict[str, float] = {}
     for name in sorted(REGISTRY):
         sql = REGISTRY[name].oracle
         if sql:
+            q0 = time.time()
             con.execute(sql.replace("{SF_DIR}", SF_DIR)).fetchall()
-            n += 1
-    return round(time.time() - t0, 3), n
+            per_query[name] = round(time.time() - q0, 4)
+    return round(time.time() - t0, 3), len(per_query), per_query
 
 
 # Longest-processing-time-first submission order (classic LPT makespan
@@ -180,16 +189,26 @@ def main() -> None:
     # ≈ workers × wall by construction) and cannot be compared across
     # rounds. One query at a time, alphabetical, same warmed session —
     # these ARE isolated latencies, the round-over-round comparable set.
-    isolated = {}
+    isolated_spark = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
-        for name in sorted(HEAVY_FIRST):
-            isolated[name] = run(name)[1]
+        for name in sorted(REGISTRY):
+            isolated_spark[name] = run(name)[1]
     # stop the JVM before the DuckDB phase so the baseline measurement does
     # not compete with a resident 16 GB heap; best-of-2 damps VM noise
     # (same direction for both engines: min-of-passes each).
     spark.stop()
     duck_runs = [duckdb_oracle_wall() for _ in range(2)]
-    duck_sec, duck_n = min(duck_runs)
+    duck_sec, duck_n, _ = min(duck_runs)
+    # per-query duck wall: min across the two runs (same protocol as Spark's
+    # min-of-passes — the warm number is the reproducible one)
+    duck_q: dict[str, float] = {}
+    for _, _, pq in duck_runs:
+        for k, v in pq.items():
+            duck_q[k] = min(duck_q.get(k, v), v)
+    isolated = {
+        name: {"spark": s, "duck": duck_q.get(name)}
+        for name, s in isolated_spark.items()
+    }
     headline = {
         "metric": "headline_queries_total_wall",
         "value": total,
