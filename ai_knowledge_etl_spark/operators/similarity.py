@@ -117,3 +117,152 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .drop("__exact")
     )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid cell assignment (the IVF coarse quantizer).
+    `cents` is (cent_id, ce) and must be broadcast-small. Returns
+    (id, vec, cent_id) — the inverted-file lists as a DataFrame; at scale
+    this is the partitioning key that turns ANN scans into equi-joins."""
+    ccos = cosine(F.col("ce"), F.col(vec_col))
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cent_id"))
+    return (
+        corpus.crossJoin(F.broadcast(cents))
+        .select(id_col, vec_col, "cent_id", ccos.alias("ccos"))
+        .withColumn("crn", F.row_number().over(w))
+        .where(F.col("crn") == 1)
+        .select(id_col, vec_col, "cent_id")
+    )
+
+
+def ivf_topk(
+    cells: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """IVF-Flat probe: `queries` is (query_id, __qvec, cent_id) — each query
+    scans only its own cell (nprobe=1) via a broadcast equi-join on cell id,
+    then exact cosine + per-query ranking."""
+    cos = cosine(F.col("__qvec"), F.col(vec_col))
+    scored = cells.join(F.broadcast(queries), "cent_id").select(
+        query_id_col,
+        id_col,
+        F.round(cos, 4).alias("cos_sim"),
+        cos.alias("__exact"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__exact"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .drop("__exact")
+    )
+
+
+def _l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    query_vec_id: int,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_cents: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (billion-scale serving recipe): split each
+    vector into `n_sub` sub-vectors of `sub_dim` dims; per sub-space, learn a
+    `n_cents`-entry codebook (one Lloyd refinement from the first n_cents
+    vectors as seeds); encode every vector as n_sub small codes; score the
+    query by ASYMMETRIC distance — a per-(sub-space, code) lookup table of
+    exact query-to-codebook-entry L2 distances, summed over sub-spaces in
+    integer e-4 space. Returns (vec_id, adist_e4, codes_fp) top-k."""
+    subs = corpus.select(
+        id_col,
+        vec_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+    ).select(
+        id_col,
+        "m",
+        F.expr(f"slice({vec_col}, m * {sub_dim} + 1, {sub_dim})").alias("sv"),
+    )
+    c0 = subs.where(f"{id_col} < {n_cents}").select(
+        "m", F.col(id_col).alias("cent"), F.col("sv").alias("csv")
+    )
+    w = Window.partitionBy(id_col, "m").orderBy(F.asc("d"), F.asc("cent"))
+    a1 = (
+        subs.join(F.broadcast(c0), "m")
+        .withColumn("d", _l2(F.col("sv"), F.col("csv")))
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(id_col, "m", "sv", "cent")
+    )
+    cb = (
+        a1.select("m", "cent", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("m", "cent", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mu"))
+        .groupBy("m", "cent")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
+        .select("m", "cent", F.expr("transform(pm, x -> x.mu)").alias("csv"))
+    )
+    enc = (
+        subs.join(F.broadcast(cb), "m")
+        .withColumn("d", _l2(F.col("sv"), F.col("csv")))
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(id_col, "m", F.col("cent").alias("code"))
+    )
+    qt = (
+        subs.where(f"{id_col} = {query_vec_id}")
+        .select("m", "sv")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "m",
+            "cent",
+            F.round(_l2(F.col("sv"), F.col("csv")) * 10000)
+            .cast("long")
+            .alias("qd_e4"),
+        )
+    )
+    return (
+        enc.join(
+            F.broadcast(qt),
+            (enc["m"] == qt["m"]) & (enc["code"] == qt["cent"]),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("qd_e4").cast("long").alias("adist_e4"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(enc["m"], "code"))),
+                        lambda x: x.getField("code").cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("codes_fp"),
+        )
+        .orderBy(F.asc("adist_e4"), F.asc(id_col))
+        .limit(k)
+    )

@@ -438,36 +438,17 @@ FROM ranked WHERE rnk <= 5
     "IVF-Flat; the plan shape is identical (north-star ANN scale tier 2).",
 )
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = emb.where(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
     )
-    ccos = similarity.cosine(F.col("ce"), F.col("embedding"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
-    cells = (
-        emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cent_id", ccos.alias("ccos"))
-        .withColumn("crn", F.row_number().over(w))
-        .where(F.col("crn") == 1)
-        .select("vec_id", "embedding", "cent_id")
-    )
+    cells = similarity.ivf_assign(emb, cents)
     q = cells.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qvec"),
         "cent_id",
     )
-    cos = similarity.cosine(F.col("__qvec"), F.col("embedding"))
-    scored = cells.join(F.broadcast(q), "cent_id").select(
-        "query_id", "vec_id", F.round(cos, 4).alias("cos_sim"), cos.alias("__exact")
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("__exact"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w2).cast("int"))
-        .where(F.col("rank") <= 5)
-        .drop("__exact")
-    )
+    return similarity.ivf_topk(cells, q, k=5)
 
 
 @register(
@@ -1221,101 +1202,7 @@ FROM adist ORDER BY adist_e4 ASC, vec_id ASC LIMIT 10
     "billion-scale ANN serving recipe.",
 )
 def q_similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    subs = emb.select(
-        "vec_id",
-        "embedding",
-        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("m"),
-    ).select(
-        "vec_id",
-        "m",
-        F.expr("slice(embedding, m * 8 + 1, 8)").alias("sv"),
-    )
-
-    def l2(a, b):
-        return F.aggregate(
-            F.zip_with(
-                a,
-                b,
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    c0 = subs.where("vec_id < 4").select(
-        "m", F.col("vec_id").alias("cent"), F.col("sv").alias("csv")
-    )
-    w = Window.partitionBy("vec_id", "m").orderBy(
-        F.asc("d"), F.asc("cent")
-    )
-    a1 = (
-        subs.join(F.broadcast(c0), "m")
-        .withColumn("d", l2(F.col("sv"), F.col("csv")))
-        .withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select("vec_id", "m", "sv", "cent")
-    )
-    cb = (
-        a1.select(
-            "m", "cent", F.posexplode("sv").alias("pos", "val")
-        )
-        .groupBy("m", "cent", "pos")
-        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mu"))
-        .groupBy("m", "cent")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "mu"))
-            ).alias("pm")
-        )
-        .select(
-            "m",
-            "cent",
-            F.expr("transform(pm, x -> x.mu)").alias("csv"),
-        )
-    )
-    enc = (
-        subs.join(F.broadcast(cb), "m")
-        .withColumn("d", l2(F.col("sv"), F.col("csv")))
-        .withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select("vec_id", "m", F.col("cent").alias("code"))
-    )
-    qt = (
-        subs.where("vec_id = 0")
-        .select("m", "sv")
-        .join(F.broadcast(cb), "m")
-        .select(
-            "m",
-            "cent",
-            F.round(l2(F.col("sv"), F.col("csv")) * 10000)
-            .cast("long")
-            .alias("qd_e4"),
-        )
-    )
-    return (
-        enc.join(
-            F.broadcast(qt),
-            (enc["m"] == qt["m"]) & (enc["code"] == qt["cent"]),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.sum("qd_e4").cast("long").alias("adist_e4"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(enc["m"], "code"))
-                        ),
-                        lambda x: x.getField("code").cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("codes_fp"),
-        )
-        .orderBy(F.asc("adist_e4"), F.asc("vec_id"))
-        .limit(10)
+    return similarity.pq_topk(
+        emb, query_vec_id=0, n_sub=8, sub_dim=8, n_cents=4, k=10
     )

@@ -22,7 +22,14 @@ from pyspark.sql import DataFrame
 
 try:  # Spark >= 4.0, and protobuf present (the TWS state protocol needs
     # google.protobuf in every python worker; without it the driver-side
-    # pre-init worker crashes with STREAMING_PYTHON_RUNNER_INITIALIZATION)
+    # pre-init worker crashes with STREAMING_PYTHON_RUNNER_INITIALIZATION).
+    # Version floor: Spark 4.1's StateMessage_pb2 gencode imports
+    # google.protobuf.runtime_version, added in protobuf 5.27 — an older
+    # 4.x runtime gets past this import but fails inside the streaming
+    # runner (verified in-sandbox against a vendored 4.23: the RocksDB
+    # provider and runner wiring all work; only the protobuf import line
+    # fails). On a real cluster: `--py-files` the package and ship
+    # protobuf>=5.27 in the environment; no code changes needed.
     import google.protobuf  # noqa: F401
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

@@ -50,3 +50,104 @@ def test_ivf_assigns_every_vector_once(spark, sf_dir):
     n_emb = load_table(spark, sf_dir, "embeddings").count()
     assert n_total == n_emb  # partition of the corpus, nothing dropped
     assert all(r["avg_dist"] >= 0 for r in rows)
+
+
+def _recall(approx: dict, exact: dict) -> float:
+    hits = sum(len(approx.get(q, set()) & exact[q]) for q in exact)
+    return hits / sum(len(v) for v in exact.values())
+
+
+def _planted(spark, n_clusters, per_cluster, noise, seed=7):
+    """Clustered corpus (the data regime ANN indexes actually serve): the
+    first n_clusters ids are the exact centers, followed by noisy members."""
+    import numpy as np
+
+    from ai_knowledge_etl_spark.operators import similarity
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 1, (n_clusters, 64))
+    pts = [centers[i] for i in range(n_clusters)]
+    for c in range(n_clusters):
+        for _ in range(per_cluster - 1):
+            pts.append(centers[c] + noise * rng.normal(0, 1, 64))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(pts)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in centers[i]]) for i in range(n_clusters)],
+        "cent_id long, ce array<double>",
+    )
+    return emb, cents, rows, similarity
+
+
+def test_ivf_recall_gate_planted(spark):
+    """Recall@10 >= 0.8 on clustered data (round-3 verdict #5): parity
+    proves determinism; this proves the index FINDS the neighbors. On
+    clustered data the true neighbors share the query's cell, so nprobe=1
+    IVF must recover essentially all of them. (The fixture embeddings are
+    uniform random — there recall is structurally low for ANY cell-probing
+    index; see test_ivf_recall_floor_fixture.)"""
+    from pyspark.sql import functions as F
+
+    emb, cents, _, similarity = _planted(spark, 16, 20, 0.15)
+    cells = similarity.ivf_assign(emb, cents)
+    qids = [5, 45, 85, 125, 165]
+    q = cells.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qvec"),
+        "cent_id",
+    )
+    approx = _topk_sets(similarity.ivf_topk(cells, q, k=10))
+    exact = _topk_sets(
+        similarity.cosine_topk(
+            emb,
+            emb.where(F.col("vec_id").isin(qids)).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            k=10,
+        )
+    )
+    rec = _recall(approx, exact)
+    assert rec >= 0.8, f"IVF recall@10 on clustered data: {rec:.2f}"
+
+
+def test_pq_candidate_recall_gate_planted(spark):
+    """PQ is a candidate generator (codes within a cluster collapse, so
+    within-cell ranking is exact-rerank's job): the exact top-10 must sit
+    inside the PQ top-60 candidate set with recall >= 0.8."""
+    import numpy as np
+
+    emb, _, rows, similarity = _planted(spark, 4, 50, 0.1)
+    V = {i: np.array(v) for i, v in rows}
+    q0 = V[0]
+    exact10 = {
+        vid
+        for _, vid in sorted(
+            (float(np.sum((v - q0) ** 2)), vid) for vid, v in V.items()
+        )[:10]
+    }
+    cand = similarity.pq_topk(
+        emb, query_vec_id=0, n_sub=8, sub_dim=8, n_cents=4, k=60
+    )
+    cset = {r["vec_id"] for r in cand.collect()}
+    rec = len(cset & exact10) / 10
+    assert rec >= 0.8, f"PQ candidate recall on clustered data: {rec:.2f}"
+
+
+def test_ivf_recall_floor_fixture(spark, sf_dir):
+    """Fixture embeddings are uniform random: exact neighbors barely
+    correlate with cells, so the honest gate is 'far above random', not
+    0.8. Random recall@5 here is 5/corpus (~0.01); measured ~0.36.
+    Guards against routing regressions (e.g. probing the wrong cell)."""
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_etl_spark.operators import similarity
+    from ai_knowledge_etl_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = emb.where("vec_id >= 100 and vec_id < 105").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = _topk_sets(similarity.cosine_topk(emb, qs, k=5))
+    approx = _topk_sets(REGISTRY["similarity-ivf"].spark(spark, sf_dir))
+    rec = _recall(approx, exact)
+    assert rec >= 0.15, f"IVF fixture recall collapsed: {rec:.2f}"
