@@ -692,15 +692,17 @@ WITH {_BPE_WORDS_CTE},
 pc1 AS MATERIALIZED ({_bpe_pairs_sql("syms0")}),
 top1 AS (SELECT p, cnt FROM pc1 ORDER BY cnt DESC, p ASC LIMIT 1),
 syms1 AS MATERIALIZED (
-  SELECT replace(s, ' ' || replace(t.p, ':', ' ') || ' ',
-                 ' ' || replace(t.p, ':', '') || ' ') AS s, wc
+  SELECT replace(replace(replace(s, ' ', '  '),
+                 ' ' || replace(t.p, ':', '  ') || ' ',
+                 ' ' || replace(t.p, ':', '') || ' '), '  ', ' ') AS s, wc
   FROM syms0, top1 t
 ),
 pc2 AS MATERIALIZED ({_bpe_pairs_sql("syms1")}),
 top2 AS (SELECT p, cnt FROM pc2 ORDER BY cnt DESC, p ASC LIMIT 1),
 syms2 AS MATERIALIZED (
-  SELECT replace(s, ' ' || replace(t.p, ':', ' ') || ' ',
-                 ' ' || replace(t.p, ':', '') || ' ') AS s, wc
+  SELECT replace(replace(replace(s, ' ', '  '),
+                 ' ' || replace(t.p, ':', '  ') || ' ',
+                 ' ' || replace(t.p, ':', '') || ' '), '  ', ' ') AS s, wc
   FROM syms1, top2 t
 ),
 pc3 AS MATERIALIZED ({_bpe_pairs_sql("syms2")}),
@@ -763,9 +765,13 @@ def q_agg_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             sym_df.select(
                 F.expr(
-                    "transform(sequence(1, size(split(trim(s), ' ')) - 1),"
+                    # single-symbol guard: Spark sequence(1,0) is the
+                    # DESCENDING [1,0], which would index past a fully
+                    # merged 1-symbol word (operators/bpe.pair_counts)
+                    "CASE WHEN size(split(trim(s), ' ')) < 2 THEN array()"
+                    " ELSE transform(sequence(1, size(split(trim(s), ' ')) - 1),"
                     " i -> element_at(split(trim(s), ' '), i) || ':' ||"
-                    " element_at(split(trim(s), ' '), i + 1))"
+                    " element_at(split(trim(s), ' '), i + 1)) END"
                 ).alias("ps"),
                 "wc",
             )
@@ -780,8 +786,13 @@ def q_agg_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     def apply_merge(sym_df: DataFrame, top: DataFrame) -> DataFrame:
         return sym_df.crossJoin(F.broadcast(top.select("p"))).select(
             F.expr(
-                "replace(s, ' ' || replace(p, ':', ' ') || ' ',"
-                " ' ' || replace(p, ':', '') || ' ')"
+                # expand-replace-collapse: doubling the delimiters lets two
+                # ADJACENT pair occurrences (shared space) both merge in
+                # one pass — classic BPE run-merge semantics, identical
+                # replace scan in both engines (operators/bpe.py)
+                "replace(replace(replace(s, ' ', '  '),"
+                " ' ' || replace(p, ':', '  ') || ' ',"
+                " ' ' || replace(p, ':', '') || ' '), '  ', ' ')"
             ).alias("s"),
             "wc",
         )
@@ -818,22 +829,25 @@ s0 AS MATERIALIZED (
 pc1 AS MATERIALIZED ({_bpe_pairs_sql("s0")}),
 top1 AS (SELECT p FROM pc1 ORDER BY cnt DESC, p ASC LIMIT 1),
 s1 AS MATERIALIZED (
-  SELECT w, replace(s, ' ' || replace(t.p, ':', ' ') || ' ',
-                 ' ' || replace(t.p, ':', '') || ' ') AS s, wc
+  SELECT w, replace(replace(replace(s, ' ', '  '),
+                 ' ' || replace(t.p, ':', '  ') || ' ',
+                 ' ' || replace(t.p, ':', '') || ' '), '  ', ' ') AS s, wc
   FROM s0, top1 t
 ),
 pc2 AS MATERIALIZED ({_bpe_pairs_sql("s1")}),
 top2 AS (SELECT p FROM pc2 ORDER BY cnt DESC, p ASC LIMIT 1),
 s2 AS MATERIALIZED (
-  SELECT w, replace(s, ' ' || replace(t.p, ':', ' ') || ' ',
-                 ' ' || replace(t.p, ':', '') || ' ') AS s, wc
+  SELECT w, replace(replace(replace(s, ' ', '  '),
+                 ' ' || replace(t.p, ':', '  ') || ' ',
+                 ' ' || replace(t.p, ':', '') || ' '), '  ', ' ') AS s, wc
   FROM s1, top2 t
 ),
 pc3 AS MATERIALIZED ({_bpe_pairs_sql("s2")}),
 top3 AS (SELECT p FROM pc3 ORDER BY cnt DESC, p ASC LIMIT 1),
 s3 AS MATERIALIZED (
-  SELECT w, replace(s, ' ' || replace(t.p, ':', ' ') || ' ',
-                 ' ' || replace(t.p, ':', '') || ' ') AS s, wc
+  SELECT w, replace(replace(replace(s, ' ', '  '),
+                 ' ' || replace(t.p, ':', '  ') || ' ',
+                 ' ' || replace(t.p, ':', '') || ' '), '  ', ' ') AS s, wc
   FROM s2, top3 t
 ),
 vocab AS MATERIALIZED (
@@ -899,9 +913,13 @@ def q_udf_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             sym_df.select(
                 F.expr(
-                    "transform(sequence(1, size(split(trim(s), ' ')) - 1),"
+                    # single-symbol guard: Spark sequence(1,0) is the
+                    # DESCENDING [1,0], which would index past a fully
+                    # merged 1-symbol word (operators/bpe.pair_counts)
+                    "CASE WHEN size(split(trim(s), ' ')) < 2 THEN array()"
+                    " ELSE transform(sequence(1, size(split(trim(s), ' ')) - 1),"
                     " i -> element_at(split(trim(s), ' '), i) || ':' ||"
-                    " element_at(split(trim(s), ' '), i + 1))"
+                    " element_at(split(trim(s), ' '), i + 1)) END"
                 ).alias("ps"),
                 "wc",
             )
@@ -916,8 +934,13 @@ def q_udf_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = cur.crossJoin(F.broadcast(top.select("p"))).select(
             "w",
             F.expr(
-                "replace(s, ' ' || replace(p, ':', ' ') || ' ',"
-                " ' ' || replace(p, ':', '') || ' ')"
+                # expand-replace-collapse: doubling the delimiters lets two
+                # ADJACENT pair occurrences (shared space) both merge in
+                # one pass — classic BPE run-merge semantics, identical
+                # replace scan in both engines (operators/bpe.py)
+                "replace(replace(replace(s, ' ', '  '),"
+                " ' ' || replace(p, ':', '  ') || ' ',"
+                " ' ' || replace(p, ':', '') || ' '), '  ', ' ')"
             ).alias("s"),
             "wc",
         )
@@ -1121,4 +1144,148 @@ def q_pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_window",
         "n_windows",
         F.md5("text").alias("red_fp"),
+    )
+
+
+# --- N-round BPE training + tokenize + pack (round-3 verdict #4) ----------------
+
+_BPE_N_ROUNDS = 8
+
+
+def _bpe_chain_sql(n_rounds: int) -> str:
+    """Chained-CTE replay of the N-round driver loop: tp{r} pair counts,
+    tt{r} argmax merge, t{r} merged symbols — AS MATERIALIZED at every
+    stage seam (DuckDB CTE inlining is exponential in reference count)."""
+    parts = [
+        """tw AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  ) WHERE length(w) > 1 GROUP BY w
+),
+t0 AS MATERIALIZED (
+  SELECT w, ' ' || array_to_string(list_transform(generate_series(1, length(w)),
+         i -> substring(w, i, 1)), ' ') || ' ' AS s, wc
+  FROM tw
+)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""tp{r} AS MATERIALIZED ({_bpe_pairs_sql(f"t{r - 1}")}),
+tt{r} AS (SELECT p, cnt FROM tp{r} ORDER BY cnt DESC, p ASC LIMIT 1),
+t{r} AS MATERIALIZED (
+  SELECT w, replace(replace(replace(s, ' ', '  '),
+                 ' ' || replace(t.p, ':', '  ') || ' ',
+                 ' ' || replace(t.p, ':', '') || ' '), '  ', ' ') AS s, wc
+  FROM t{r - 1}, tt{r} t
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_BPE_MERGES_N_ORACLE = (
+    f"WITH {_bpe_chain_sql(_BPE_N_ROUNDS)}\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, p AS pair, cnt FROM tt{r}"
+        for r in range(1, _BPE_N_ROUNDS + 1)
+    )
+)
+
+
+@register(
+    "agg-bpe-merges-n",
+    _BPE_MERGES_N_ORACLE,
+    doc=f"BPE vocabulary construction generalized to {_BPE_N_ROUNDS} merge "
+    "rounds via the driver-loop discipline (operators/bpe.train_merges): "
+    "per round, pair counts on the vocabulary-sized word table, a 1-row "
+    "bounded argmax collect (loop control, the CC-iteration exception to "
+    "the no-driver-collect rule), and a LITERAL leftmost replace — no "
+    "join once the pair is known. localCheckpoint every 4 rounds stops "
+    "the lazy plan growing an N-projection tail. The DuckDB twin replays "
+    "all rounds as chained MATERIALIZED CTEs, so every round's argmax is "
+    "differentially pinned, not just the final vocabulary.",
+)
+def q_agg_bpe_merges_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe.train_merges(
+        bpe.to_symbols(bpe.word_counts(docs)), _BPE_N_ROUNDS
+    )
+    return spark.createDataFrame(
+        merges, "round int, pair string, cnt long"
+    )
+
+
+_TOKENIZE_PACK_ORACLE = f"""
+WITH {_bpe_chain_sql(_BPE_N_ROUNDS)},
+tv AS MATERIALIZED (
+  SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym
+  FROM t{_BPE_N_ROUNDS}
+),
+tok AS MATERIALIZED (
+  SELECT d.doc_id, d.source,
+         CAST(sum(v.n_sym) AS BIGINT) AS n_bpe_tokens,
+         CAST(count(*) AS BIGINT) AS n_words
+  FROM (
+    SELECT doc_id, source,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  ) d JOIN tv v USING (w)
+  GROUP BY d.doc_id, d.source
+)
+SELECT doc_id, source, n_bpe_tokens, n_words, cum_prev,
+       CAST(cum_prev // 512 AS BIGINT) AS first_window,
+       CAST((cum_prev + n_bpe_tokens - 1) // 512 AS BIGINT) AS last_window,
+       CAST((cum_prev + n_bpe_tokens - 1) // 512 - cum_prev // 512 + 1
+            AS BIGINT) AS n_windows
+FROM (
+  SELECT doc_id, source, n_bpe_tokens, n_words,
+         CAST(coalesce(sum(n_bpe_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM tok
+)
+""".strip()
+
+
+@register(
+    "pipeline-tokenize-pack",
+    _TOKENIZE_PACK_ORACLE,
+    doc="Tokenizer-to-training-windows pipeline — the last seam in the "
+    f"training-data path: train a {_BPE_N_ROUNDS}-merge BPE vocabulary "
+    "(operators/bpe driver loop, vocabulary-sized rounds), APPLY it to "
+    "every word occurrence (one corpus explode + one broadcast join of "
+    "the learned vocab), then PACK the per-doc BPE token counts into "
+    "512-token context windows per source stream (exclusive cumsum, "
+    "operators/packing). One composed oracle replays train+tokenize+pack "
+    "end-to-end, so a drift anywhere in the chain — a wrong merge, a "
+    "miscounted token, a shifted window boundary — breaks the hash. "
+    "Scale: merge rounds are corpus-size-independent; the pack cumsum is "
+    "per-(source) stream, no global ordering.",
+)
+def q_pipeline_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = bpe.word_counts(docs)
+    _, final = bpe.train_merges(bpe.to_symbols(words), _BPE_N_ROUNDS)
+    vocab = bpe.vocab_symbol_counts(final)
+    tok = bpe.tokenize_counts(docs, vocab, keep=("source",))
+    return packing.concat_chunk_pack(
+        tok,
+        order_col="doc_id",
+        tok_col="n_bpe_tokens",
+        budget=512,
+        partition_col="source",
+    ).select(
+        "doc_id",
+        "source",
+        "n_bpe_tokens",
+        "n_words",
+        "cum_prev",
+        "first_window",
+        "last_window",
+        "n_windows",
     )

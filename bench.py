@@ -109,6 +109,8 @@ HEAVY_FIRST = {
     "pipeline-training-set": 10,
     "udf-bpe-tokenize": 6,
     "agg-bpe-merges": 6,
+    "agg-bpe-merges-n": 8,
+    "pipeline-tokenize-pack": 7,
     "dedup-substring-span": 3,
     "scan-warc": 5,
     "dedup-cluster-cc": 13,

@@ -410,3 +410,60 @@ def test_mad_outliers_windows_run_over_histograms(spark, sf_dir):
                 f"Window over raw rows: {w.nodeName()} reaches a scan "
                 "without an intervening aggregate"
             )
+
+
+def test_aqe_skew_join_split_fires_on_unsalted_hot_key(spark, sf_dir):
+    """The complement of join-salted-hot-key (round-3 verdict #7): when the
+    hot key is NOT salted, AQE's OptimizeSkewedJoin must split the skewed
+    shuffle partition at runtime. Thresholds are lowered in proportion to
+    fixture size (prod defaults 256MB/5x median -> here KB-scale) — the
+    trigger path is byte-size-based and identical at 100 TB; what this
+    pins is that our join stays in a shape AQE CAN rescue (sort-merge,
+    no pre-aggregation hiding the skew) and that the session's AQE confs
+    actually enable the rescue."""
+    from ai_knowledge_etl_spark.sources.catalog import load_table
+
+    overrides = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        # repartition first: AQE splits a skewed REDUCE partition into
+        # ranges of MAP outputs, so a single-mapper input (one tiny
+        # parquet file) has nothing to split — at 100 TB the scan always
+        # has thousands of mappers; 8 here emulates that.
+        ev = load_table(spark, sf_dir, "events").repartition(8, "event_id")
+        fact = ev.select(
+            F.when(F.col("event_id") % 10 < 9, F.lit(0).cast("long"))
+            .otherwise((F.col("event_id") % 97).cast("long"))
+            .alias("k"),
+            F.col("value"),
+        )
+        dim = spark.range(0, 97).select(
+            F.col("id").cast("long").alias("k"),
+            (F.col("id") * 3 + 1).cast("long").alias("w"),
+        )
+        joined = fact.hint("merge").join(dim.hint("merge"), "k")
+        # materialize THIS frame (not a derived count) — AQE rewrites the
+        # plan at runtime, so the skew marker only appears on the executed
+        # plan of the collected DataFrame
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "AQE did not split the hot-key partition:\n" + plan[:2000]
+        )
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

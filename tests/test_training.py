@@ -246,3 +246,23 @@ def test_temperature_mixture_saturated_rate_keeps_all(spark, tmp_path):
             for k, v in got.items()} == {
         k: (r[1], r[2], r[3]) for k, r in oracle.items()
     }
+
+
+def test_bpe_train_merges_known_sequence(spark):
+    """Hand-checkable BPE: vocabulary {abab x10, ab x5}. Round 1 pairs:
+    a:b = 2*10 + 5 = 25, b:a = 10 -> merge a:b, and BOTH adjacent
+    occurrences in 'a b a b' must merge in this single round (the
+    expand-replace-collapse run-merge). Round 2: ab:ab = 10 -> merge.
+    Round 3: no adjacent pairs remain -> loop stops early."""
+    from ai_knowledge_etl_spark.operators import bpe
+
+    words = spark.createDataFrame(
+        [("abab", 10), ("ab", 5)], "w string, wc long"
+    )
+    merges, final = bpe.train_merges(bpe.to_symbols(words), n_rounds=5)
+    assert merges == [(1, "a:b", 25), (2, "ab:ab", 10)]
+    vocab = {
+        r["w"]: r["n_sym"]
+        for r in bpe.vocab_symbol_counts(final).collect()
+    }
+    assert vocab == {"abab": 1, "ab": 1}

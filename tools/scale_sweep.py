@@ -102,6 +102,9 @@ HEAVY_QUERIES = [
     "agg-bpe-merges",
     "udf-bpe-tokenize",
     "stream-warc-ingest",       # real streaming ingest at 100x
+    # round-4 additions
+    "agg-bpe-merges-n",         # 8-round driver loop, vocab-sized rounds
+    "pipeline-tokenize-pack",   # train + tokenize + pack composed
 ]
 
 
