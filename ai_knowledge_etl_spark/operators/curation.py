@@ -314,20 +314,30 @@ def duplicate_window_census(
             )
         ).alias("pos0", "fp"),
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "fp")
-    # Ownership key is a lexicographic (id, pos) STRUCT min, not an integer
-    # fold: any `id*K + pos` fold silently mis-assigns owners once a document
-    # exceeds K windows (book-length docs at real scale), while struct
-    # ordering is exact for any id/pos range (round-3 verdict #2).
-    okey = F.struct(F.col(id_col).alias("odoc"), F.col("pos").alias("opos"))
-    own = wins.groupBy("fp").agg(F.min(okey).alias("okey"))
-    return (
-        wins.join(own, "fp")
+    # Ownership semantics: the owner of a fingerprint is its lowest-(id,
+    # pos) occurrence. A window is a duplicate iff it is not the owner
+    # occurrence, so per doc: n_dup = n_windows − #fps OWNED by the doc
+    # (the owner doc's extra same-fp occurrences correctly count as dups;
+    # pos never needs to be materialized into the ownership key at all).
+    # This identity replaces the round-3 `id*1e6 + pos` fold (which
+    # mis-assigned owners past 1M windows/doc) AND avoids joining the
+    # corpus-sized window table back against the ownership table: the
+    # whole census is two hash aggregates plus one per-doc-sized join.
+    counts = wins.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_windows")
+    )
+    n_own = (
+        wins.groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
         .groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("n_windows"),
-            F.sum(
-                F.when(F.col("okey") != okey, 1).otherwise(0)
-            )
+        .agg(F.count("*").cast("long").alias("__n_own"))
+    )
+    return (
+        counts.join(n_own, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            (F.col("n_windows") - F.coalesce(F.col("__n_own"), F.lit(0)))
             .cast("long")
             .alias("n_dup_windows"),
         )

@@ -574,24 +574,28 @@ wins AS MATERIALIZED (
          md5(array_to_string(ws[i:i+4], ' ')) AS fp
   FROM toks, unnest(generate_series(1, greatest(len(ws) - 4, 1))) t(i)
 ),
-own AS (
-  SELECT fp, min({{'odoc': doc_id, 'opos': pos}}) AS okey FROM wins GROUP BY fp
+counts AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+  FROM wins GROUP BY doc_id
+),
+n_own AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_own FROM (
+    SELECT min(doc_id) AS doc_id FROM wins GROUP BY fp
+  ) GROUP BY doc_id
 )
-SELECT w.doc_id,
-       CAST(count(*) AS BIGINT) AS n_windows,
-       CAST(sum(CASE WHEN o.okey <> {{'odoc': w.doc_id, 'opos': w.pos}}
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
-       CAST(sum(CASE WHEN o.okey <> {{'odoc': w.doc_id, 'opos': w.pos}}
-                     THEN 1 ELSE 0 END) * 1000
-            // count(*) AS BIGINT) AS dup_permille
-FROM wins w JOIN own o USING (fp)
-GROUP BY w.doc_id
+SELECT c.doc_id, c.n_windows,
+       CAST(c.n_windows - coalesce(o.n_own, 0) AS BIGINT) AS n_dup_windows,
+       CAST((c.n_windows - coalesce(o.n_own, 0)) * 1000
+            // c.n_windows AS BIGINT) AS dup_permille
+FROM counts c LEFT JOIN n_own o USING (doc_id)
 """.strip(),
     doc="Exact-substring duplication census (Lee et al. 2022, public — "
     "the dedup tier between paragraph-exact and MinHash-fuzzy): every "
     "5-token window is fingerprinted and owned by its first corpus "
-    "occurrence (lexicographic min over a (doc_id, pos) struct — exact "
-    "for any document length, unlike an integer fold); windows "
+    "occurrence (min doc_id per fingerprint — exact for any document "
+    "length, unlike an integer (id,pos) fold, and per doc n_dup = "
+    "n_windows − #fps owned, so the corpus-sized window table is never "
+    "joined back); windows "
     "whose owner is elsewhere are duplicate spans, reported per doc as "
     "counts + an integer per-mille ratio. The paragraph probe's shared "
     "boilerplate footers create genuine cross-document duplicate spans. "

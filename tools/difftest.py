@@ -106,6 +106,12 @@ def main() -> int:
     args = ap.parse_args()
 
     con = duckdb.connect()
+    # cap DuckDB: its default memory_limit is 80 percent of RAM with no
+    # temp dir, which at the 100x sweep OOM-killed the whole process
+    # (kernel SIGKILL at ~113 GB). Capped + spillable, heavy oracles
+    # spill to /tmp instead of dying.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"

@@ -110,6 +110,12 @@ HEAVY_QUERIES = [
 
 def generate(mult: int, out_dir: str) -> None:
     con = duckdb.connect()
+    # cap DuckDB: its default memory_limit is 80 percent of RAM with no
+    # temp dir, which at the 100x sweep OOM-killed the whole process
+    # (kernel SIGKILL at ~113 GB). Capped + spillable, heavy oracles
+    # spill to /tmp instead of dying.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     os.makedirs(out_dir, exist_ok=True)
     # fixed tables: verbatim copy (cheap, keeps load_table paths uniform)
     for t in TABLES:
@@ -214,6 +220,12 @@ def main() -> None:
     from difftest import run_one  # same comparator as the pre-commit gate
 
     con = duckdb.connect()
+    # cap DuckDB: its default memory_limit is 80 percent of RAM with no
+    # temp dir, which at the 100x sweep OOM-killed the whole process
+    # (kernel SIGKILL at ~113 GB). Capped + spillable, heavy oracles
+    # spill to /tmp instead of dying.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         src = os.path.join(args.out, f"{t}.parquet")
         if os.path.exists(src):
