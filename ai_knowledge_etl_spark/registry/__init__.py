@@ -61,6 +61,7 @@ def _load_all() -> None:
         planning,
         quality,
         relational,
+        sketches,
         sources_sinks,
         streaming,
         text_pipeline,

