@@ -191,6 +191,11 @@ def test_results_invariant_under_shuffle_partitioning(spark, sf_dir):
         "pipeline-warc-corpus",
         "pipeline-training-set",
         "dedup-substring-span",
+        # round-4 sketches: KMV's ranking window + cutoff and the CMS
+        # min-over-rows must not depend on how hashes land in partitions
+        "agg-countmin-heavyhitters",
+        "agg-kmv-distinct-setops",
+        "dedup-bloom-gate",
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
