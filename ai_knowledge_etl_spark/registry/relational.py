@@ -2836,7 +2836,17 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("grp"),
         F.col("l_extendedprice").cast("decimal(12,2)").alias("v"),
     )
-    hist = x.groupBy("grp", "v").agg(F.count("*").cast("long").alias("c"))
+    # checkpoint the histogram: 5 downstream consumers (tot, cum, dev,
+    # dhist, final census) would each replay the corpus scan + hash agg —
+    # the executed plan shows 10 lineitem FileScans and 0 ReusedExchange
+    # without the cut (measured: cold 9.9 s -> 5.8 s at sf0.1). The
+    # materialized frame is O(distinct prices), the bounded-domain state
+    # this formulation is built around.
+    hist = (
+        x.groupBy("grp", "v")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()
+    )
     tot = hist.groupBy("grp").agg(F.sum("c").cast("long").alias("cnt"))
     wv = (
         Window.partitionBy("grp")

@@ -516,3 +516,85 @@ def q_stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars"),
         F.md5("text").alias("fp"),
     )
+
+
+# --- streaming count-min accumulation --------------------------------------------
+
+_CMS_STREAM_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _run_cms_stream(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events in three waves (event_id mod 3) and run one
+    availableNow pass of streaming/ingest.cms_grid_availablenow after
+    each wave against a single checkpoint — three epochs, three
+    epoch-keyed grid directories. Returns the grid root."""
+    import os
+    import tempfile
+
+    from ai_knowledge_etl_spark.streaming import ingest
+
+    workdir = tempfile.mkdtemp(prefix="etl_cms_stream_")
+    staging = os.path.join(workdir, "staging")
+    grids = os.path.join(workdir, "grids")
+    ckpt = os.path.join(workdir, "ckpt")
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+    for wave in range(3):
+        ev.where(f"event_id % 3 = {wave}").write.mode("append").parquet(
+            staging
+        )
+        ingest.cms_grid_availablenow(spark, staging, grids, ckpt)
+    return grids
+
+
+def _cms_stream_oracle() -> str:
+    from ai_knowledge_etl_spark.operators import sketches as SK
+
+    probes = "\nUNION ALL\n".join(
+        f"SELECT CAST({d} AS INTEGER) AS d, "
+        f"CAST({SK.duck_cms_bucket('key', d, 1024)} AS BIGINT) AS bucket, "
+        "cnt FROM keyed"
+        for d in range(4)
+    )
+    return f"""
+WITH keyed AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+probes AS ({probes})
+SELECT d, bucket, CAST(sum(cnt) AS BIGINT) AS total
+FROM probes GROUP BY d, bucket
+ORDER BY d, bucket
+""".strip()
+
+
+@register(
+    "stream-cms-merge",
+    _cms_stream_oracle(),
+    doc="Streaming count-min accumulation: events arrive in three waves "
+    "as a parquet file stream; each availableNow micro-batch builds its "
+    "own 4x1024 grid (two hash aggregates) and publishes it under an "
+    "epoch-keyed directory — overwrite-by-epoch, because ADDITIVE "
+    "sketches double-count under at-least-once replay, so the epoch "
+    "grid is the idempotence unit (streaming/ingest.py). The query "
+    "sums the published epoch grids cell-wise; the oracle is the "
+    "one-shot batch grid over ALL events — streaming accumulation and "
+    "batch construction must agree cell-for-cell, which is exactly the "
+    "mergeability contract that lets day-grain grids answer any-window "
+    "frequency questions at 100 TB without rescanning raw events.",
+)
+def q_stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid_root = cache_get_or_fill(
+        _CMS_STREAM_CACHE, spark, sf_dir,
+        lambda: _run_cms_stream(spark, sf_dir), unpersist=False,
+    )
+    parts = (
+        spark.read.schema("d int, bucket long, total long")
+        .option("recursiveFileLookup", "true")
+        .parquet(grid_root)
+    )
+    return (
+        parts.groupBy("d", "bucket")
+        .agg(F.sum("total").cast("long").alias("total"))
+        .orderBy("d", "bucket")
+    )

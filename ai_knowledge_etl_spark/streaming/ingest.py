@@ -76,3 +76,51 @@ def warc_ingest_availablenow(
         .start()
     )
     q.awaitTermination()
+
+
+def cms_grid_availablenow(
+    spark: SparkSession,
+    staging_dir: str,
+    grid_dir: str,
+    ckpt_dir: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> None:
+    """One availableNow pass: build a count-min grid over every
+    not-yet-processed staged event file and publish it under the batch's
+    epoch directory.
+
+    Additive sketches are NOT idempotent under at-least-once delivery —
+    a replayed micro-batch would double-count — so the publish unit is
+    the per-epoch grid, written with mode=overwrite to an epoch-keyed
+    path: a retried epoch REPLACES its own grid instead of adding to it
+    (the same epoch-idempotence discipline as the MERGE sink above, for
+    a sink where upsert semantics don't apply). Day-grain production
+    layout is identical: one grid directory per day, summed cell-wise at
+    query time."""
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_etl_spark.operators import sketches as SK
+
+    stream = spark.readStream.schema("event_id long, user_id long").parquet(
+        staging_dir
+    )
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        keyed = (
+            batch.select(F.col("user_id").cast("string").alias("key"))
+            .groupBy("key")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        grid = SK.cms_table(keyed, "key", "cnt", depth=depth, width=width)
+        grid.write.mode("overwrite").parquet(
+            f"{grid_dir}/epoch_{int(epoch_id)}"
+        )
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

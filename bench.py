@@ -107,6 +107,7 @@ HEAVY_FIRST = {
     "pipeline-warc-corpus": 10,
     "sample-perplexity-buckets": 6,
     "stream-warc-ingest": 10,
+    "stream-cms-merge": 8,
     "pipeline-training-set": 10,
     "udf-bpe-tokenize": 6,
     "agg-bpe-merges": 6,

@@ -467,3 +467,59 @@ def test_aqe_skew_join_split_fires_on_unsalted_hot_key(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injected_on_selective_shuffle_join(
+    spark, sf_dir
+):
+    """Catalyst's runtime bloom-filter injection (the engine-level twin of
+    operators/sketches.bloom_candidates): a selective dim filtered AFTER
+    the fact scan can't prune via partitions or static predicates, so the
+    optimizer plants bloom_filter_agg over the dim's join keys and wraps
+    the fact side in might_contain — probe rows that can't match die
+    BEFORE the shuffle. The application-side threshold is lowered to
+    fixture scale (prod default 10 GB — the trigger is byte-size-based,
+    identical at 100 TB); what this pins is that our equi-join shapes
+    stay eligible (no expression wrapping the join key that would hide it
+    from the rule) and the session leaves the rule enabled."""
+    from ai_knowledge_etl_spark.sources.catalog import load_table
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        o = (
+            load_table(spark, sf_dir, "orders")
+            .where("o_orderpriority = '1-URGENT'")
+            .select("o_orderkey")
+        )
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, (
+            "runtime bloom filter not planted:\n" + plan[:2000]
+        )
+        assert "might_contain" in plan
+        # and the filtered join is still the exact join
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        want = li.join(o, li["l_orderkey"] == o["o_orderkey"]).count()
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        assert j.count() == want
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
