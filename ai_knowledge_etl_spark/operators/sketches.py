@@ -266,3 +266,53 @@ def duck_bloom_positions(expr: str, m: int = 32768, j: int = 3) -> str:
         f"{duck_md5_slice(expr, 1 + 5 * i, 5)} % {m}" for i in range(j)
     )
     return f"[{slices}]"
+
+
+# --- bottom-k uniform row sample ------------------------------------------------
+
+
+def bottomk_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    keep: tuple[str, ...] = (),
+    k: int = 256,
+) -> DataFrame:
+    """Per-group uniform row sample of size <= k, MERGEABLE and
+    deterministic: rank rows by md5(id) — a fixed random permutation
+    independent of any value column — and keep the k smallest ranks.
+
+    Mergeability is the point: the bottom-k of a union is the bottom-k
+    of the concatenated bottom-k's (re-ranked), so per-shard / per-day
+    samples combine into an exact bottom-k sample of the whole without
+    rescanning rows — the sample twin of the KMV sketch, usable for
+    quantiles, previews, and sanity checks over any date range.
+
+    Scale path is kmv_sketch's: an exact per-group count derives a hash
+    cutoff keeping ~5k rows, so the ranking window never sees the full
+    group. Groups smaller than k keep every row (estimates degrade to
+    exact)."""
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        *[F.col(c) for c in keep],
+        md5_slice(F.col(id_col).cast("string"), 1, 12).alias("h"),
+    )
+    counts = hashed.groupBy("grp").agg(F.count("*").alias("n_rows"))
+    cutoff = F.least(
+        F.lit(KMV_MAX),
+        F.floor(F.lit(float(KMV_MAX)) * F.lit(5.0 * k) / F.col("n_rows"))
+        .cast("long") + 1,
+    )
+    surv = (
+        hashed.join(F.broadcast(counts), "grp")
+        .where(F.col("h") < cutoff)
+        .select("grp", *keep, "h")
+    )
+    w = Window.partitionBy("grp").orderBy(F.asc("h"))
+    return (
+        surv.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("grp", *keep, "h", "rn")
+    )

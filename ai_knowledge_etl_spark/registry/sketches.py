@@ -413,3 +413,117 @@ def q_dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arr_id")
     )
+
+
+# --- bottom-k uniform sample -> mergeable quantiles -----------------------------
+
+_QS_K = 256
+_QS_HASH = SK.duck_md5_slice("CAST(o_orderkey AS VARCHAR)", 1, 12)
+
+_QS_ORACLE = f"""
+WITH hashed AS (
+  SELECT o_orderpriority AS grp, CAST(o_totalprice AS DECIMAL(12,2)) AS v,
+         {_QS_HASH} AS h
+  FROM orders
+),
+counts AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_rows FROM hashed GROUP BY 1
+),
+surv AS (
+  SELECT hashed.grp, v, h FROM hashed JOIN counts USING (grp)
+  WHERE h < least({SK.KMV_MAX},
+        CAST(floor(CAST({SK.KMV_MAX} AS DOUBLE) * {5.0 * _QS_K} / n_rows)
+             AS BIGINT) + 1)
+),
+sk AS MATERIALIZED (
+  SELECT grp, v, h,
+         row_number() OVER (PARTITION BY grp ORDER BY h ASC) AS rn
+  FROM surv QUALIFY rn <= {_QS_K}
+),
+ks AS (SELECT grp, CAST(max(rn) AS BIGINT) AS k_used FROM sk GROUP BY 1),
+vr AS (
+  SELECT grp, v,
+         row_number() OVER (PARTITION BY grp ORDER BY v ASC, h ASC) AS vr
+  FROM sk
+),
+sel AS (
+  SELECT grp, k_used,
+         (50 * (k_used - 1)) // 100 + 1 AS r50,
+         (90 * (k_used - 1)) // 100 + 1 AS r90
+  FROM ks
+)
+SELECT s.grp AS priority, c.n_rows, s.k_used,
+       CAST(max(CASE WHEN v.vr = s.r50 THEN v.v END) AS DECIMAL(12,2))
+         AS p50_price,
+       CAST(max(CASE WHEN v.vr = s.r90 THEN v.v END) AS DECIMAL(12,2))
+         AS p90_price
+FROM sel s JOIN vr v ON v.grp = s.grp JOIN counts c ON c.grp = s.grp
+GROUP BY s.grp, c.n_rows, s.k_used
+ORDER BY priority
+""".strip()
+
+
+@register(
+    "agg-quantile-sample-merge",
+    _QS_ORACLE,
+    doc="Mergeable quantile estimation from a bottom-k uniform row sample "
+    f"(operators/sketches.bottomk_sample, k={_QS_K}): rows rank by "
+    "md5(orderkey) — a fixed random permutation independent of the value "
+    "column — and the k smallest ranks per priority group form an exact "
+    "uniform sample whose order statistics estimate any quantile. The "
+    "sample MERGES (bottom-k of a union = re-ranked bottom-k of "
+    "concatenated bottom-k's, proven in tests/test_sketches.py), so "
+    "per-day samples compose into any-window quantiles without "
+    "rescanning — the deterministic, mergeable complement of t-digest "
+    "(agg-approx-percentile-gate). Rank selection is type-1 (no "
+    "interpolation, no division): r_p = (p*(k-1)) div 100 + 1 into the "
+    "value-sorted sample. Scale: same count-derived hash cutoff as KMV — "
+    "the ranking window never sees the full group. Accuracy CDF-gated "
+    "in tests/test_sketches.py.",
+)
+def q_agg_quantile_sample_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("v"),
+    )
+    sample = SK.bottomk_sample(
+        orders, "o_orderpriority", "o_orderkey", keep=("v",), k=_QS_K
+    )
+    counts = orders.groupBy(
+        F.col("o_orderpriority").alias("grp")
+    ).agg(F.count("*").cast("long").alias("n_rows"))
+    ks = sample.groupBy("grp").agg(
+        F.max("rn").cast("long").alias("k_used")
+    )
+    wv = Window.partitionBy("grp").orderBy(F.asc("v"), F.asc("h"))
+    vr = sample.withColumn("vr", F.row_number().over(wv))
+    sel = ks.select(
+        "grp",
+        "k_used",
+        (F.expr("(50 * (k_used - 1)) div 100") + 1).alias("r50"),
+        (F.expr("(90 * (k_used - 1)) div 100") + 1).alias("r90"),
+    )
+    return (
+        sel.join(vr, "grp")
+        .join(F.broadcast(counts), "grp")
+        .groupBy("grp", "n_rows", "k_used")
+        .agg(
+            F.max(F.when(F.col("vr") == F.col("r50"), F.col("v")))
+            .cast("decimal(12,2)")
+            .alias("p50_price"),
+            F.max(F.when(F.col("vr") == F.col("r90"), F.col("v")))
+            .cast("decimal(12,2)")
+            .alias("p90_price"),
+        )
+        .select(
+            F.col("grp").alias("priority"),
+            "n_rows",
+            "k_used",
+            "p50_price",
+            "p90_price",
+        )
+        .orderBy("priority")
+    )

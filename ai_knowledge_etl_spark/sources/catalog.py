@@ -46,6 +46,21 @@ def _sweep_locked(cache, spark: SparkSession, unpersist: bool) -> str:
                 v.unpersist()
             except Exception:  # context already stopped
                 pass
+        elif isinstance(v, str):
+            # path-valued caches (staged WARC corpus, streamed sketch
+            # grids) hold per-application tmp workdirs; evicting the
+            # entry without removing the files would leak tmp space in a
+            # long-lived multi-tenant driver (round-3 verdict). Only our
+            # own etl_* workdirs under the system tmp root are touched.
+            import shutil
+            import tempfile
+
+            workdir = os.path.dirname(v)
+            if (
+                workdir.startswith(tempfile.gettempdir() + os.sep)
+                and os.path.basename(workdir).startswith("etl_")
+            ):
+                shutil.rmtree(workdir, ignore_errors=True)
     return app_id
 
 

@@ -196,6 +196,7 @@ def test_results_invariant_under_shuffle_partitioning(spark, sf_dir):
         "agg-countmin-heavyhitters",
         "agg-kmv-distinct-setops",
         "dedup-bloom-gate",
+        "agg-quantile-sample-merge",
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -113,3 +113,61 @@ def test_bloom_no_false_negatives_bounded_false_positives(spark, sf_dir):
     assert fp <= max(2, 0.15 * len(news)), (
         f"bloom false-positive rate {fp}/{len(news)}"
     )
+
+
+def test_bottomk_sample_is_mergeable(spark, sf_dir):
+    """Bottom-k of the union == re-ranked bottom-k of the concatenated
+    per-half bottom-k's — the property that lets per-day samples compose
+    into any-window quantiles."""
+    from pyspark.sql import Window
+
+    from ai_knowledge_etl_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("v"),
+    )
+    whole = SK.bottomk_sample(
+        orders, "o_orderpriority", "o_orderkey", keep=("v",), k=64
+    )
+    halves = [
+        SK.bottomk_sample(
+            orders.where(f"o_orderkey % 2 = {i}"),
+            "o_orderpriority", "o_orderkey", keep=("v",), k=64,
+        )
+        for i in (0, 1)
+    ]
+    w = Window.partitionBy("grp").orderBy(F.asc("h"))
+    merged = (
+        halves[0].select("grp", "v", "h")
+        .unionByName(halves[1].select("grp", "v", "h"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 64)
+    )
+    a = {(r.grp, r.rn): r.h for r in whole.collect()}
+    b = {(r.grp, r.rn): r.h for r in merged.collect()}
+    assert a == b
+
+
+def test_sample_quantiles_land_in_cdf_band(spark, sf_dir, duck):
+    """The sampled p50/p90 must sit at the right place in the TRUE value
+    distribution: F(est_p50) in [0.38, 0.62], F(est_p90) in [0.80, 0.97]
+    (k=256 -> sigma ~ 3%; bands are ~4 sigma plus discreteness slack)."""
+    rows = (
+        REGISTRY["agg-quantile-sample-merge"].spark(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        for est, lo, hi, what in (
+            (r.p50_price, 0.38, 0.62, "p50"),
+            (r.p90_price, 0.80, 0.97, "p90"),
+        ):
+            frac = duck.execute(
+                "SELECT avg(CASE WHEN CAST(o_totalprice AS DECIMAL(12,2))"
+                " <= ? THEN 1.0 ELSE 0.0 END) FROM orders"
+                " WHERE o_orderpriority = ?",
+                [est, r.priority],
+            ).fetchone()[0]
+            assert lo <= frac <= hi, (
+                f"{what} for {r.priority}: est={est} sits at F={frac:.3f}"
+            )

@@ -110,6 +110,7 @@ HEAVY_QUERIES = [
     "agg-countmin-heavyhitters",
     "agg-kmv-distinct-setops",
     "dedup-bloom-gate",
+    "agg-quantile-sample-merge",  # cutoff-bounded window over 100x orders
 ]
 
 
