@@ -151,6 +151,54 @@ def jaccard_pairs(
     return out.where(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    sh: DataFrame,
+    id_col: str,
+    group_col: str | None,
+    threshold_ppm: int = 800000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: containment = |A∩B| / min(|A|,|B|) over the
+    shingle table — catches a document CONTAINED in a longer one (quotes,
+    excerpts, page-plus-boilerplate), which symmetric Jaccard misses
+    because the union is dominated by the longer side. Same blocked
+    equi-join + df-cap bounds as jaccard_pairs; the score is exact
+    integer division in ppm (no float comparison in the gate)."""
+    sh = sh.persist()
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    on = [F.col("a.shingle") == F.col("b.shingle")]
+    if group_col:
+        on.append(F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+    on.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    inter = (
+        a.join(b, on)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "cont_ppm",
+            F.expr("(1000000 * inter) div least(n_a, n_b)").cast("long"),
+        )
+    )
+    return out.where(F.col("cont_ppm") >= threshold_ppm).select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "cont_ppm",
+    )
+
+
 def minhash_signatures(
     sh: DataFrame, id_col: str, k: int = 8
 ) -> DataFrame:

@@ -1206,3 +1206,100 @@ def q_similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(
         emb, query_vec_id=0, n_sub=8, sub_dim=8, n_cents=4, k=10
     )
+
+
+# --- asymmetric containment dedup ------------------------------------------------
+
+_CONT_CORPUS_CTE = """
+cont_corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 50000000 AS doc_id, source,
+         array_to_string(
+           string_split(text, ' ')[1:(len(string_split(text, ' ')) // 2)],
+           ' ') || ' zzqcontainmentprobe' AS text
+  FROM documents
+  WHERE doc_id % 9 = 2 AND len(string_split(text, ' ')) >= 24
+)
+""".strip()
+
+_CONT_SHINGLES_CTE = """
+csh AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(words[i:i+2], ' ') AS shingle
+  FROM (
+    SELECT doc_id, source, string_split(text, ' ') AS words,
+           unnest(generate_series(1,
+                  greatest(len(string_split(text, ' ')) - 2, 1))) AS i
+    FROM cont_corpus
+  )
+)
+""".strip()
+
+_CONT_CAPPED_CTE = f"""
+cshc AS (
+  SELECT csh.doc_id, csh.source, csh.shingle FROM csh
+  JOIN (
+    SELECT source, shingle FROM csh GROUP BY source, shingle
+    HAVING count(*) <= {config.DEDUP_SHINGLE_MAX_DF}
+  ) ok USING (source, shingle)
+)
+""".strip()
+
+
+@register(
+    "dedup-containment",
+    f"""
+WITH {_CONT_CORPUS_CTE}, {_CONT_SHINGLES_CTE}, {_CONT_CAPPED_CTE},
+counts AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM cshc GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM cshc a JOIN cshc b
+    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
+       CAST((1000000 * inter) // least(ca.n_sh, cb.n_sh) AS BIGINT)
+         AS cont_ppm
+FROM inter
+JOIN counts ca ON doc_a = ca.doc_id
+JOIN counts cb ON doc_b = cb.doc_id
+WHERE (1000000 * inter) // least(ca.n_sh, cb.n_sh) >= 800000
+""".strip(),
+    doc="ASYMMETRIC containment dedup (operators/dedup.containment_pairs): "
+    "|A∩B| / min(|A|,|B|) over capped 3-gram shingles — catches a document "
+    "CONTAINED in a longer one (excerpts, quotes, page-plus-boilerplate), "
+    "the partial-copy class symmetric Jaccard misses because the union is "
+    "dominated by the longer side (Jaccard for a half-doc excerpt tops out "
+    "near 0.5 < the 0.6 gate). The probe corpus injects first-half "
+    "excerpts (+50M ids, docs >= 24 words so the crossing-shingle loss "
+    "stays under the 0.8 gate); same same-source blocking + hot-shingle "
+    "df cap as every pairwise stage, and the score is exact integer ppm "
+    "division — no float in the gate.",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    probes = (
+        docs.where(
+            "doc_id % 9 = 2 AND size(split(text, ' ')) >= 24"
+        )
+        .select(
+            (F.col("doc_id") + 50000000).alias("doc_id"),
+            "source",
+            F.expr(
+                "concat(concat_ws(' ', slice(split(text, ' '), 1, "
+                "size(split(text, ' ')) div 2)), ' zzqcontainmentprobe')"
+            ).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(probes)
+    sh = dedup.shingles(corpus, "doc_id", "text", n=3, keep=("source",))
+    shc = dedup.cap_shingle_df(
+        sh, "doc_id", config.DEDUP_SHINGLE_MAX_DF, "source"
+    )
+    return dedup.containment_pairs(
+        shc, "doc_id", "source", threshold_ppm=800000
+    )

@@ -511,3 +511,111 @@ def q_sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lp").alias("max_lp"),
         )
     )
+
+
+# --- PMI collocations ------------------------------------------------------------
+
+_PMI_MIN_SUPPORT = 3
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+bigr AS (
+  SELECT doc_id, unnest(
+    list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                   i -> ws[i] || ' ' || ws[i + 1])
+  ) AS pair
+  FROM toks
+),
+split_ AS (
+  SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+  FROM bigr
+),
+cab AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n_pair
+  FROM split_ GROUP BY a, b
+),
+ca AS (SELECT a, CAST(count(*) AS BIGINT) AS n_a FROM split_ GROUP BY a),
+cb AS (SELECT b, CAST(count(*) AS BIGINT) AS n_b FROM split_ GROUP BY b),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM split_)
+SELECT cab.a AS word_a, cab.b AS word_b, cab.n_pair,
+       ca.n_a AS n_a_first, cb.n_b AS n_b_second,
+       CAST(floor(1000000.0 * ((CAST(cab.n_pair AS DOUBLE) * tot.n) /
+            (CAST(ca.n_a AS DOUBLE) * cb.n_b))) AS BIGINT) AS pmi_ratio_ppm
+FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot
+WHERE cab.n_pair >= {_PMI_MIN_SUPPORT}
+ORDER BY pmi_ratio_ppm DESC, word_a ASC, word_b ASC
+LIMIT 50
+""".strip()
+
+
+@register(
+    "text-collocations-pmi",
+    _PMI_ORACLE,
+    doc="Bigram collocation mining by pointwise mutual information over "
+    "the document corpus (the classic collocation detector; vocabulary "
+    "construction's phrase-level sibling — agg-vocab-topk finds frequent "
+    "TOKENS, this finds word pairs that co-occur far above chance, the "
+    "standard pre-tokenizer step for multi-word vocabulary entries). "
+    "PMI is reported as the probability RATIO p(a,b)/(p(a)p(b)) in ppm "
+    "rather than its log: the ratio needs only IEEE double mul/div of "
+    "exact integer counts (bit-identical cross-engine) where ln() would "
+    "need the rounding convention; ordering by ratio == ordering by PMI "
+    "(ln is monotone). Marginals are bigram-stream marginals (first/"
+    "second position), min support {MS}. Plan: one explode into pair "
+    "strings, three hash aggregates, two broadcast-sized joins against "
+    "the aggregated marginals, TakeOrderedAndProject — the token "
+    "explode is the only corpus-sized stage, identical to the "
+    "vocabulary build's.".replace("{MS}", str(_PMI_MIN_SUPPORT)),
+)
+def q_text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '[^a-z]+'), w -> w <> '')"
+        ).alias("ws"),
+    )
+    bigr = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ws) - 1, 0)), "
+                "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("pair")
+    ).select(
+        F.expr("split_part(pair, ' ', 1)").alias("a"),
+        F.expr("split_part(pair, ' ', 2)").alias("b"),
+    )
+    cab = bigr.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("n_pair")
+    )
+    ca = bigr.groupBy("a").agg(F.count("*").cast("long").alias("n_a"))
+    cb = bigr.groupBy("b").agg(F.count("*").cast("long").alias("n_b"))
+    tot = bigr.agg(F.count("*").cast("long").alias("n"))
+    return (
+        cab.where(F.col("n_pair") >= _PMI_MIN_SUPPORT)
+        .join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a").alias("word_a"),
+            F.col("b").alias("word_b"),
+            "n_pair",
+            F.col("n_a").alias("n_a_first"),
+            F.col("n_b").alias("n_b_second"),
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("n_pair").cast("double") * F.col("n"))
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).cast("long").alias("pmi_ratio_ppm"),
+        )
+        .orderBy(
+            F.desc("pmi_ratio_ppm"), F.asc("word_a"), F.asc("word_b")
+        )
+        .limit(50)
+    )

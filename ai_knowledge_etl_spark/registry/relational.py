@@ -2836,17 +2836,14 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("grp"),
         F.col("l_extendedprice").cast("decimal(12,2)").alias("v"),
     )
-    # checkpoint the histogram: 5 downstream consumers (tot, cum, dev,
-    # dhist, final census) would each replay the corpus scan + hash agg —
-    # the executed plan shows 10 lineitem FileScans and 0 ReusedExchange
-    # without the cut (measured: cold 9.9 s -> 5.8 s at sf0.1). The
-    # materialized frame is O(distinct prices), the bounded-domain state
-    # this formulation is built around.
-    hist = (
-        x.groupBy("grp", "v")
-        .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint()
-    )
+    # NOT checkpointed, deliberately: 5 downstream consumers replay the
+    # corpus scan + histogram agg (10 FileScans in the executed plan),
+    # but the replays are page-cache-cheap (warm wall identical within
+    # 0.2 s measured) and a localCheckpoint here would turn the
+    # histogram into a LogicalRDD scan that blinds the
+    # windows-run-over-histograms plan audit — the structural guarantee
+    # is worth more than the cold-run seconds.
+    hist = x.groupBy("grp", "v").agg(F.count("*").cast("long").alias("c"))
     tot = hist.groupBy("grp").agg(F.sum("c").cast("long").alias("cnt"))
     wv = (
         Window.partitionBy("grp")

@@ -108,6 +108,9 @@ HEAVY_FIRST = {
     "sample-perplexity-buckets": 6,
     "stream-warc-ingest": 10,
     "stream-cms-merge": 8,
+    "agg-kmv-distinct-setops": 4,
+    "agg-quantile-sample-merge": 4,
+    "text-collocations-pmi": 3,
     "pipeline-training-set": 10,
     "udf-bpe-tokenize": 6,
     "agg-bpe-merges": 6,

@@ -58,3 +58,27 @@ def test_cap_drops_boilerplate_and_bounds_fanout(spark):
     # is <= 100 choose 2 — the boilerplate key's n²/2 pairs are gone
     pairs = dedup.jaccard_pairs(capped, "doc_id", "source", threshold=0.01)
     assert pairs.count() < n * (n - 1) / 2
+
+
+def test_containment_catches_excerpts_jaccard_misses(spark, sf_dir):
+    """The injected first-half excerpts (+50M ids) must be flagged by
+    containment; symmetric Jaccard at its 0.6 gate structurally cannot
+    see them (union dominated by the full doc -> score ~0.5)."""
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_etl_spark.registry import REGISTRY
+
+    rows = REGISTRY["dedup-containment"].spark(spark, sf_dir).collect()
+    probe_pairs = [
+        r for r in rows
+        if r.doc_b >= 50000000 and r.doc_a == r.doc_b - 50000000
+    ]
+    assert probe_pairs, "no injected excerpt pair was flagged"
+    for r in probe_pairs:
+        assert r.cont_ppm >= 800000
+        # the Jaccard of the same pair stays under the symmetric gate
+        jac = r.inter / (r.n_a + r.n_b - r.inter)
+        assert jac < 0.6, (
+            f"excerpt pair {r.doc_a}/{r.doc_b} visible to Jaccard "
+            f"({jac:.2f}) — probe no longer asymmetric"
+        )

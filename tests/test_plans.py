@@ -192,6 +192,14 @@ PLAN_ALLOWLIST = {
     # ratio-to-report: the global-total window runs over the 25-row
     # nation rollup — bounded by dim cardinality, never event volume
     "window-share-of-total": {"SinglePartition"},
+    # KMV set-op pairs: a types x types cross of the 5-row per-set count
+    # aggregate (bounded by set cardinality, never events); every
+    # event-sized stage upstream is equi-joined/hash-aggregated
+    "agg-kmv-distinct-setops": {"BroadcastNestedLoopJoin"},
+    # PMI normalizer: total-bigram count is a 1-row scalar agg (partial
+    # combine per partition) broadcast-crossed onto the >=min-support
+    # pair table — the DSIR weight-table shape
+    "text-collocations-pmi": {"SinglePartition", "BroadcastNestedLoopJoin"},
 }
 _SMELLS = (
     "CartesianProduct",
