@@ -636,3 +636,83 @@ def q_dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(syn.PARA_TEXT_EXPR).alias("ptext")
     )
     return CU.duplicate_window_census(docs, "doc_id", "ptext", k=5)
+
+
+# Explicitly DECOMPOSED sequences (combining acute/cedilla/ring after
+# their base letters): the uni_docs probes are already NFC-stable, so
+# these clones (+60M ids) are the normalizer's true positives — NFC
+# composes each pair into its precomposed character.
+_NFC_DECOMP = (
+    "e\u0301tude franc\u0327aise a\u030A la cafe\u0301 "
+)
+
+
+@register(
+    "udf-normalize-nfc",
+    f"""
+WITH {syn.UNI_DOCS_CTE},
+ndocs AS (
+  SELECT doc_id, text FROM udocs
+  UNION ALL
+  SELECT doc_id + 60000000 AS doc_id, '{_NFC_DECOMP}' || text AS text
+  FROM documents WHERE doc_id % 11 = 4
+)
+SELECT doc_id,
+       nfc_normalize(text) <> text AS changed,
+       CAST(length(text) AS BIGINT) AS n_raw,
+       CAST(length(nfc_normalize(text)) AS BIGINT) AS n_nfc,
+       md5(nfc_normalize(text)) AS fp_nfc
+FROM ndocs
+""".strip(),
+    doc="Unicode NFC normalization over the multibyte probe corpus — the "
+    "canonical pre-dedup step for real web text: visually identical "
+    "strings with composed vs decomposed accents (the probe's 'café́' "
+    "carries a combining acute) fingerprint differently until both sides "
+    "are NFC. Spark has no built-in normalizer, so this is an "
+    "Arrow-batched pandas UDF over stdlib unicodedata; the oracle is "
+    "DuckDB's NATIVE nfc_normalize — two independent Unicode "
+    "implementations (Python's unicodedata vs DuckDB's utf8proc) must "
+    "agree on every changed flag, char count, and normalized "
+    "fingerprint, which also pins the Unicode-version assumption. "
+    "Scale: stateless per-row Arrow batches, no shuffle.",
+)
+def q_udf_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no inline type hints: `from __future__ import annotations` turns
+    # them into strings, which pandas_udf cannot resolve (training.py
+    # precedent)
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t)
+            if t is not None
+            else None
+        )
+
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+
+    nfc = pandas_udf(_nfc, "string")
+    base = _docs(spark, sf_dir)
+    decomp = base.where("doc_id % 11 = 4").select(
+        (F.col("doc_id") + 60000000).alias("doc_id"),
+        F.concat(F.lit(_NFC_DECOMP), F.col("text")).alias("text"),
+    )
+    docs = (
+        syn.uni_docs(base)
+        .select("doc_id", "text")
+        .unionByName(decomp)
+    )
+    return docs.select(
+        "doc_id",
+        "text",
+        nfc(F.col("text")).alias("__nfc"),
+    ).select(
+        "doc_id",
+        (F.col("__nfc") != F.col("text")).alias("changed"),
+        F.length("text").cast("long").alias("n_raw"),
+        F.length("__nfc").cast("long").alias("n_nfc"),
+        F.md5("__nfc").alias("fp_nfc"),
+    )
