@@ -266,3 +266,72 @@ def pq_topk(
         .orderBy(F.asc("adist_e4"), F.asc(id_col))
         .limit(k)
     )
+
+
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Maximum-inner-product top-k via the norm-augmentation reduction
+    (Shrivastava & Li 2014; Bachrach et al. 2014 — public): append
+    sqrt(M^2 - ||x||^2) to every corpus vector (M = max corpus norm) and 0
+    to the query, and cosine over the augmented vectors orders exactly
+    like the raw inner product — every augmented corpus norm is the
+    constant M, the query norm is a per-query constant, so the cosine is
+    dot(q, x) / (const_q * M). This is what makes MIPS (recommendation /
+    rerank scoring) servable by ANY cosine-ANN index: bucket or quantize
+    the AUGMENTED vectors and the existing LSH/IVF/PQ machinery applies
+    unchanged. Candidate ordering uses the augmented cosine (the quantity
+    an index would see); the reported score is the raw inner product.
+    tests/test_similarity_quality.py proves rank-equivalence to direct
+    inner-product ordering corpus-wide."""
+    m2 = corpus.agg(
+        F.max(_sq_norm(F.col(vec_col))).alias("__m2")
+    )
+    aug = (
+        corpus.crossJoin(F.broadcast(m2))
+        .select(
+            id_col,
+            vec_col,
+            F.concat(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                F.array(
+                    F.sqrt(
+                        F.greatest(
+                            F.col("__m2") - _sq_norm(F.col(vec_col)),
+                            F.lit(0.0),  # max-norm row: clamp -0.0 noise
+                        )
+                    )
+                ),
+            ).alias("__aug"),
+        )
+    )
+    q = queries.select(
+        query_id_col,
+        F.col(vec_col).alias("__qvec"),
+        F.concat(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.array(F.lit(0.0)),
+        ).alias("__qaug"),
+    )
+    pairs = aug.crossJoin(F.broadcast(q))
+    scored = pairs.select(
+        query_id_col,
+        id_col,
+        F.round(_dot(F.col("__qvec"), F.col(vec_col)), 4).alias(
+            "inner_product"
+        ),
+        cosine(F.col("__qaug"), F.col("__aug")).alias("__aug_cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__aug_cos"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .drop("__aug_cos")
+    )

@@ -1303,3 +1303,45 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(
         shc, "doc_id", "source", threshold_ppm=800000
     )
+
+
+_IP_SQL = """
+list_sum(list_transform(generate_series(1, len(e.embedding)),
+         i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+""".strip()
+
+
+@register(
+    "similarity-mips",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_IP_SQL} AS ip
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, vec_id, ip,
+         row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, round(ip, 4) AS inner_product, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= 10
+""".strip(),
+    doc="Maximum-inner-product top-10 via the norm-augmentation reduction "
+    "(operators/similarity.mips_topk): corpus vectors gain a "
+    "sqrt(M^2-||x||^2) dimension, queries a 0, and cosine over the "
+    "augmented space orders exactly like the raw inner product — the "
+    "public trick that makes recommendation-style MIPS servable by any "
+    "cosine-ANN index (LSH/IVF/PQ) unchanged. The ORACLE ranks by the "
+    "raw inner product directly, so the differential test itself proves "
+    "the reduction is order-preserving on real data; Spark orders by "
+    "the augmented cosine (what an index would see) and reports the raw "
+    "dot. One scalar max-norm aggregate broadcast to the scan, queries "
+    "broadcast, JVM-side zip_with folds — no Python in the loop.",
+)
+def q_similarity_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.mips_topk(emb, queries, k=10)

@@ -619,3 +619,76 @@ def q_text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@register(
+    "text-bigram-perplexity",
+    """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pos AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM words
+),
+bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM pos),
+bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bgc GROUP BY w1),
+v AS (
+  SELECT count(DISTINCT w) AS vsize
+  FROM (SELECT unnest(ws) AS w FROM words)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln((CAST(c12 AS DOUBLE) + 1) / (c1 + vsize))), 3)
+         AS avg_nll
+FROM bg JOIN bgc USING (w1, w2) JOIN ctx USING (w1), v
+GROUP BY doc_id
+""".strip(),
+    doc="Bigram-LM perplexity scoring (the CCNet/KenLM quality signal one "
+    "order up from udf-unigram-logprob): the corpus's own bigram "
+    "distribution with add-1 smoothing scores every document by average "
+    "negative log-likelihood of its transitions — word salad scores "
+    "high, templated boilerplate near zero. Spark plan: bigrams come "
+    "from an ARRAY transform (ws[i-1], ws[i]) exploded per doc — no "
+    "window, no per-doc shuffle, the bigram stream is as parallel as "
+    "the scan; counts hash-aggregate; the bigram table and its w1 "
+    "context marginals broadcast back onto the stream (at 100 TB the "
+    "counts table IS the pretrained LM artifact you ship — swap the "
+    "self-trained table for KenLM's, identical plan). Context counts "
+    "derive from the bigram counts (one aggregate, not two corpus "
+    "passes).",
+)
+def q_text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    bg = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = bgc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    vsize = words.select(F.explode("ws").alias("w")).agg(
+        F.countDistinct("w").alias("vsize")
+    )
+    return (
+        bg.join(F.broadcast(bgc), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .crossJoin(F.broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("c12").cast("double") + 1)
+                        / (F.col("c1") + F.col("vsize"))
+                    )
+                ),
+                3,
+            ).alias("avg_nll"),
+        )
+    )

@@ -4730,3 +4730,98 @@ def q_join_full_outer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("orders_covered"),
     )
+
+
+@register(
+    "join-interval-overlap",
+    """
+WITH spans AS (
+  SELECT event_id, user_id,
+         epoch_ns(ts) // 1000000000 AS s0,
+         epoch_ns(ts) // 1000000000 + (event_id % 7 + 1) * 30 AS s1
+  FROM events WHERE event_type IN ('click', 'view')
+),
+incid AS (
+  SELECT event_id AS iid, user_id,
+         epoch_ns(ts) // 1000000000 AS i0,
+         epoch_ns(ts) // 1000000000 + 120 AS i1
+  FROM events WHERE event_type = 'error'
+),
+hits AS (
+  SELECT s.event_id,
+         count(*) AS n_overlaps,
+         sum(least(s.s1, i.i1) - greatest(s.s0, i.i0)) AS overlap_s
+  FROM spans s JOIN incid i
+    ON s.user_id = i.user_id AND s.s0 < i.i1 AND i.i0 < s.s1
+  GROUP BY s.event_id
+)
+SELECT s.event_id, s.user_id,
+       CAST(coalesce(h.n_overlaps, 0) AS BIGINT) AS n_overlaps,
+       CAST(coalesce(h.overlap_s, 0) AS BIGINT) AS overlap_s
+FROM spans s LEFT JOIN hits h ON s.event_id = h.event_id
+""".strip(),
+    doc="Interval-overlap join with VARIABLE-length intervals (activity "
+    "spans 30-210 s x 120 s incident windows, same user, overlap iff "
+    "a.start < b.end AND b.start < a.end) — the general range join "
+    "Catalyst has no physical strategy for; a naive user writes the "
+    "inequality condition and gets a per-user nested-loop cross "
+    "product. Spark plan: bin BOTH sides to fixed 256 s buckets (each "
+    "interval explodes into the <=2 buckets it covers — bounded by "
+    "max-interval-length/width, never data-dependent), equi-join on "
+    "(user, bucket), residual overlap filter, and keep a pair only in "
+    "the FIRST bucket the two intervals share "
+    "(bucket = greatest(floor(s0/W), floor(i0/W))) so each overlapping "
+    "pair matches exactly once with no distinct pass. At 100 TB the "
+    "equi-join shuffles hash-partitioned on (user, bucket) and "
+    "whole-stage-codegens; the complementary point-in-window form is "
+    "join-range-window. Reference analog: the crawl scheduler's "
+    "time-window conflict check (crawler-coordinator.md queue slots).",
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sec = F.expr("ts div 1000000000")
+    spans = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_id",
+        "user_id",
+        sec.alias("s0"),
+        (sec + (F.col("event_id") % 7 + 1) * 30).alias("s1"),
+    )
+    incid = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("iu"),
+        sec.alias("i0"),
+        (sec + 120).alias("i1"),
+    )
+    width = 256  # >= max interval length, so every interval spans <=2 bins
+    b = lambda c: F.floor(c / width)  # noqa: E731
+    spans_b = spans.withColumn(
+        "bin", F.explode(F.array_distinct(F.array(b(F.col("s0")), b(F.col("s1")))))
+    )
+    incid_b = incid.withColumn(
+        "bin", F.explode(F.array_distinct(F.array(b(F.col("i0")), b(F.col("i1")))))
+    )
+    hits = (
+        spans_b.join(
+            incid_b,
+            (spans_b.user_id == incid_b.iu)
+            & (spans_b.bin == incid_b.bin)
+            # overlap, open intervals on the right end
+            & (spans_b.s0 < incid_b.i1)
+            & (incid_b.i0 < spans_b.s1)
+            # first-common-bucket guard: count each overlapping pair once
+            & (spans_b.bin == F.greatest(b(spans_b.s0), b(incid_b.i0))),
+        )
+        .groupBy("event_id")
+        .agg(
+            F.count("*").alias("n_ov"),
+            F.sum(
+                F.least(F.col("s1"), F.col("i1"))
+                - F.greatest(F.col("s0"), F.col("i0"))
+            ).alias("ov_s"),
+        )
+    )
+    return spans.join(hits, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce("n_ov", F.lit(0)).cast("long").alias("n_overlaps"),
+        F.coalesce("ov_s", F.lit(0)).cast("long").alias("overlap_s"),
+    )

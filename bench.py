@@ -107,6 +107,7 @@ HEAVY_FIRST = {
     "pipeline-warc-corpus": 10,
     "sample-perplexity-buckets": 6,
     "stream-warc-ingest": 10,
+    "stream-stream-interval-join": 9,
     "stream-cms-merge": 8,
     "agg-kmv-distinct-setops": 4,
     "agg-quantile-sample-merge": 4,

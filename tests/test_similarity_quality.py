@@ -151,3 +151,43 @@ def test_ivf_recall_floor_fixture(spark, sf_dir):
     approx = _topk_sets(REGISTRY["similarity-ivf"].spark(spark, sf_dir))
     rec = _recall(approx, exact)
     assert rec >= 0.15, f"IVF fixture recall collapsed: {rec:.2f}"
+
+
+def test_mips_reduction_is_rank_equivalent(spark, sf_dir):
+    """The norm-augmentation reduction must order candidates EXACTLY like
+    the raw inner product — corpus-wide, every query, every rank (not
+    recall: the reduction is mathematically exact, so any disagreement is
+    an implementation bug, e.g. augmenting with the wrong norm)."""
+    from ai_knowledge_etl_spark.operators import similarity
+    from ai_knowledge_etl_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    via_reduction = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in similarity.mips_topk(emb, queries, k=20).collect()
+    }
+
+    # direct inner-product ranking, no augmentation
+    q = queries.select("query_id", F.col("embedding").alias("__qvec"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        similarity._dot(F.col("__qvec"), F.col("embedding")).alias("ip"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ip"), F.asc("vec_id")
+    )
+    direct = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in scored.withColumn(
+            "rank", F.row_number().over(w)
+        ).where(F.col("rank") <= 20).collect()
+    }
+    assert via_reduction == direct
