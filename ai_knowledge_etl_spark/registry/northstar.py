@@ -1345,3 +1345,184 @@ def q_similarity_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.mips_topk(emb, queries, k=10)
+
+
+# --- end-to-end RAG indexing pipeline --------------------------------------------
+
+_RAG_DIMS = 8
+
+
+def _rag_emb_sql() -> str:
+    dims = ", ".join(
+        f"(ascii(substring(chunk, {i * 3 + 1}, 1)) % 32) / 32.0"
+        f" + {i}.0 / {_RAG_DIMS}"
+        for i in range(_RAG_DIMS)
+    )
+    return f"[{dims}]"
+
+
+def _qcos_sql(l: str, r: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {_RAG_DIMS}),"
+        f" i -> CAST({l}[i] * {r}[i] AS DOUBLE)))"
+        f" / (sqrt(CAST(list_sum(list_transform({l}, x -> x * x)) AS DOUBLE))"
+        f" * sqrt(CAST(list_sum(list_transform({r}, x -> x * x)) AS DOUBLE)))"
+    )
+
+
+_RAG_ORACLE = f"""
+WITH exploded AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, least(greatest(CAST(ceil((length(text)-100)/900.0) AS INT), 1), 50) - 1)) AS i
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, doc_id * 100 + i AS chunk_key,
+         substring(text, CAST(i*900+1 AS INT), 1000) AS chunk
+  FROM exploded
+),
+emb AS (SELECT doc_id, chunk_key, {_rag_emb_sql()} AS e FROM chunks),
+sc AS (SELECT doc_id, chunk_key, e, list_max(e) AS s FROM emb),
+codes AS (
+  SELECT doc_id, chunk_key,
+         list_transform(e, x -> CAST(round(127 * x / s) AS BIGINT)) AS c
+  FROM sc
+),
+cents AS (
+  SELECT doc_id AS cent_id, c AS cc FROM codes
+  WHERE doc_id < 16 AND chunk_key % 100 = 0
+),
+assign AS (
+  SELECT k.chunk_key, k.c, ct.cent_id,
+         row_number() OVER (PARTITION BY k.chunk_key
+                            ORDER BY {_qcos_sql("k.c", "ct.cc")} DESC,
+                                     ct.cent_id ASC) AS rn
+  FROM codes k, cents ct
+),
+cells AS (SELECT chunk_key, c, cent_id FROM assign WHERE rn = 1),
+q AS (
+  SELECT chunk_key AS query_id, c AS qc, cent_id FROM cells
+  WHERE (chunk_key // 100) % 97 = 3 AND chunk_key % 100 = 0
+),
+scored AS (
+  SELECT q.query_id, e.chunk_key, {_qcos_sql("q.qc", "e.c")} AS cos
+  FROM cells e JOIN q USING (cent_id)
+),
+ranked AS (
+  SELECT query_id, chunk_key, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, chunk_key ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, chunk_key, round(cos, 4) AS cos_sim, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= 5
+""".strip()
+
+
+def _int_cos(a, b):
+    """Cosine over two integer code arrays: integer products cast to double
+    before the fold — every intermediate is exact (|code| <= 127, dot <=
+    129032), so the resulting double is BIT-IDENTICAL across engines and
+    summation orders; only the final sqrt/divide are (IEEE-exact) float."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(v, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (n(a) * n(b))
+
+
+@register(
+    "pipeline-rag-index",
+    _RAG_ORACLE,
+    doc="RAG indexing END-TO-END (the north-star serving pipeline "
+    "composed): documents -> overlapping 1000/100 RAG chunks "
+    "(operators/chunking.rag_chunks_fixed, pure sequence+explode) -> "
+    "per-chunk embedding (deterministic stub behind the model seam; an "
+    "API embedder slots into the same array<double> contract) -> "
+    "PER-VECTOR int8 quantization (code = round(127*x/max(x)) — 16x "
+    "smaller index; the per-vector scale CANCELS in cosine, so candidate "
+    "scoring runs on pure integer codes and every cosine is "
+    "bit-identical across engines) -> IVF coarse assignment (16 "
+    "centroid chunks, nearest-centroid equi-cells) -> queries probe "
+    "only their own cell, exact quantized-cosine top-5. One composed "
+    "oracle replays chunking, embedding, quantization, assignment, and "
+    "routing in closed form. Scale: chunk+embed+quantize are narrow "
+    "maps; assignment is a broadcast of 16 centroids; the candidate "
+    "join is equi-key on cell id — the IVF-Flat serving plan at any "
+    "corpus size.",
+)
+def q_pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.operators import chunking
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    chunks = chunking.rag_chunks_fixed(docs, "doc_id", "text", 1000, 100, 50)
+    chunks = chunks.select(
+        "doc_id",
+        (F.col("doc_id") * 100 + F.col("chunk_idx")).alias("chunk_key"),
+        "chunk",
+    )
+    emb = chunks.select(
+        "doc_id",
+        "chunk_key",
+        F.array(
+            *[
+                (F.ascii(F.substring("chunk", i * 3 + 1, 1)) % 32) / 32.0
+                + i / _RAG_DIMS
+                for i in range(_RAG_DIMS)
+            ]
+        ).alias("e"),
+    )
+    codes = emb.withColumn("s", F.array_max("e")).select(
+        "doc_id",
+        "chunk_key",
+        F.transform(
+            "e", lambda x: F.round(F.lit(127) * x / F.col("s")).cast("long")
+        ).alias("c"),
+    )
+    cents = codes.where(
+        (F.col("doc_id") < 16) & (F.col("chunk_key") % 100 == 0)
+    ).select(F.col("doc_id").alias("cent_id"), F.col("c").alias("cc"))
+    from pyspark.sql import Window
+
+    assign = codes.crossJoin(F.broadcast(cents)).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("chunk_key").orderBy(
+                F.desc(_int_cos(F.col("c"), F.col("cc"))), F.asc("cent_id")
+            )
+        ),
+    )
+    cells = assign.where(F.col("rn") == 1).select("chunk_key", "c", "cent_id")
+    q = cells.where(
+        (F.expr("chunk_key div 100") % 97 == 3) & (F.col("chunk_key") % 100 == 0)
+    ).select(
+        F.col("chunk_key").alias("query_id"),
+        F.col("c").alias("qc"),
+        "cent_id",
+    )
+    scored = cells.join(F.broadcast(q), "cent_id").select(
+        "query_id",
+        "chunk_key",
+        _int_cos(F.col("qc"), F.col("c")).alias("cos"),
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("cos"), F.asc("chunk_key")
+            )
+        )
+        .cast("int"),
+    )
+    return ranked.where(F.col("rank") <= 5).select(
+        "query_id", "chunk_key", F.round("cos", 4).alias("cos_sim"), "rank"
+    )

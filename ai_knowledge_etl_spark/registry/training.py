@@ -1289,3 +1289,94 @@ def q_pipeline_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_window",
         "n_windows",
     )
+
+
+@register(
+    "sample-mixture-epochs",
+    """
+WITH eps AS (
+  SELECT doc_id, source,
+         CASE CAST(substring(source, 4) AS INTEGER) % 5
+           WHEN 0 THEN 3000000 WHEN 1 THEN 1500000 WHEN 2 THEN 1000000
+           WHEN 3 THEN 400000 ELSE 250000 END AS ep_ppm
+  FROM documents
+),
+cop AS (
+  SELECT doc_id, source, ep_ppm,
+         ep_ppm // 1000000
+         + CASE WHEN lpad(substring(md5('em:' || CAST(doc_id AS STRING)), 1, 5), 6, '0')
+                     < printf('%06x', (CAST(1048576 AS BIGINT) * (ep_ppm % 1000000)) // 1000000)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM eps
+),
+reps AS (
+  SELECT doc_id, source, ep_ppm,
+         unnest(generate_series(1, CAST(n_copies AS INTEGER))) AS copy
+  FROM cop WHERE n_copies >= 1
+)
+SELECT source,
+       CAST(max(ep_ppm) AS BIGINT) AS ep_ppm,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(copy * doc_id) AS BIGINT) AS copy_fp
+FROM reps GROUP BY source
+""".strip(),
+    doc="Multi-epoch data-recipe materialization (the published "
+    "LLaMA/GPT-3-style mixture table: curated sources repeat >1 epoch, "
+    "bulk web <1): per-source epoch targets in integer ppm (3.0x, 1.5x, "
+    "1.0x, 0.4x, 0.25x by source class) expand to floor(ep) full copies "
+    "of every doc via an explode over sequence(1, n) — an empty array "
+    "for the 0-copy case, never sequence(1,0), which Spark would "
+    "auto-step DOWNWARD into [1,0] — plus one extra copy for docs whose "
+    "md5 tag clears the fractional remainder converted to a 2^20-scaled "
+    "hex threshold in pure integer arithmetic (the "
+    "sample-temperature-mixture discipline; both engines and any two "
+    "cluster runs materialize the identical multiset). Unlike the "
+    "reweighting ops, which only compute KEEP RATES, this emits the "
+    "actual training multiset with a copy index — the input "
+    "pack-sequences consumes; copy_fp pins the exact (doc, copy) "
+    "assignment. Scale: narrow map + explode, fan-out bounded by "
+    "max-epochs, no shuffle before the final stats aggregate.",
+)
+def q_sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    ep = (
+        F.when(F.substring("source", 4, 10).cast("int") % 5 == 0, 3000000)
+        .when(F.substring("source", 4, 10).cast("int") % 5 == 1, 1500000)
+        .when(F.substring("source", 4, 10).cast("int") % 5 == 2, 1000000)
+        .when(F.substring("source", 4, 10).cast("int") % 5 == 3, 400000)
+        .otherwise(250000)
+    )
+    thr = F.format_string(
+        "%06x",
+        F.expr(
+            "(CAST(1048576 AS BIGINT) * (ep_ppm % 1000000)) div 1000000"
+        ).cast("long"),
+    )
+    tag = F.lpad(
+        F.substring(F.md5(F.concat(F.lit("em:"), F.col("doc_id").cast("string"))), 1, 5),
+        6,
+        "0",
+    )
+    cop = docs.withColumn("ep_ppm", ep).withColumn(
+        "n_copies",
+        F.expr("ep_ppm div 1000000").cast("long")
+        + F.when(tag < thr, 1).otherwise(0),
+    )
+    reps = cop.select(
+        "doc_id",
+        "source",
+        "ep_ppm",
+        F.explode(
+            F.when(
+                F.col("n_copies") >= 1,
+                F.sequence(F.lit(1), F.col("n_copies").cast("int")),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("copy"),
+    )
+    return reps.groupBy("source").agg(
+        F.max("ep_ppm").cast("long").alias("ep_ppm"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("copy") * F.col("doc_id")).cast("long").alias("copy_fp"),
+    )

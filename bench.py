@@ -117,6 +117,7 @@ HEAVY_FIRST = {
     "agg-bpe-merges": 6,
     "agg-bpe-merges-n": 8,
     "pipeline-tokenize-pack": 7,
+    "pipeline-rag-index": 5,
     "dedup-substring-span": 3,
     "scan-warc": 5,
     "dedup-cluster-cc": 13,
