@@ -692,3 +692,92 @@ def q_text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+@register(
+    "agg-eval-metrics",
+    f"""
+WITH probe AS (
+  SELECT doc_id, {syn.REPEAT_TEXT_EXPR} AS text FROM documents
+),
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM probe),
+tri AS (
+  SELECT doc_id,
+         greatest(len(ws) - 2, 1) AS t3,
+         len(list_distinct(list_transform(
+             generate_series(1, greatest(len(ws) - 2, 1)),
+             i -> array_to_string(ws[i:i+2], ' ')))) AS d3
+  FROM words
+),
+tw AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS w FROM words) GROUP BY doc_id, w
+),
+top AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS n_tokens
+        FROM tw GROUP BY doc_id),
+judged AS (
+  SELECT tri.doc_id,
+         NOT (1.0 - CAST(d3 AS DOUBLE) / t3 <= {config.GOPHER_DUP3_MAX}
+              AND CAST(mx AS DOUBLE) / n_tokens <= {config.GOPHER_TOPWORD_MAX})
+           AS pred_spam,
+         (tri.doc_id % 8 = 0) AS is_spam
+  FROM tri JOIN top USING (doc_id)
+),
+cm AS (
+  SELECT CAST(sum(CASE WHEN pred_spam AND is_spam THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN pred_spam AND NOT is_spam THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN NOT pred_spam AND is_spam THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN NOT pred_spam AND NOT is_spam THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM judged
+)
+SELECT tp, fp, fn, tn,
+       CAST(CASE WHEN tp + fp = 0 THEN 0
+                 ELSE (1000000 * tp) // (tp + fp) END AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN tp + fn = 0 THEN 0
+                 ELSE (1000000 * tp) // (tp + fn) END AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN (2 * tp + fp + fn) = 0 THEN 0
+                 ELSE (2000000 * tp) // (2 * tp + fp + fn) END AS BIGINT) AS f1_ppm
+FROM cm
+""".strip(),
+    doc="Filter-evaluation metrics: confusion matrix + precision/recall/F1 "
+    "of the Gopher repetition gate against the spam-injection ground "
+    "truth (synthetic.REPEAT_TEXT_EXPR plants the positives, so labels "
+    "are exact) — the report every production quality filter ships "
+    "with before it is allowed to delete corpus mass. All ratios in "
+    "integer ppm via the direct F1 identity 2tp/(2tp+fp+fn) — no float "
+    "division, no ulp edge. One corpus pass (the gate) + one global "
+    "aggregate; associative and partitioning-invariant at any scale.",
+)
+def q_agg_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gate = q_repetition_gopher(spark, sf_dir)
+    judged = gate.select(
+        "doc_id",
+        (~F.col("keep")).alias("pred_spam"),
+        (F.col("doc_id") % 8 == 0).alias("is_spam"),
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    cm = judged.agg(
+        cnt(F.col("pred_spam") & F.col("is_spam")).alias("tp"),
+        cnt(F.col("pred_spam") & ~F.col("is_spam")).alias("fp"),
+        cnt(~F.col("pred_spam") & F.col("is_spam")).alias("fn"),
+        cnt(~F.col("pred_spam") & ~F.col("is_spam")).alias("tn"),
+    )
+    ratio = lambda num, den: F.when(den == 0, F.lit(0)).otherwise(  # noqa: E731
+        F.expr(num)
+    ).cast("long")
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        ratio("(1000000 * tp) div (tp + fp)", F.col("tp") + F.col("fp")).alias(
+            "precision_ppm"
+        ),
+        ratio("(1000000 * tp) div (tp + fn)", F.col("tp") + F.col("fn")).alias(
+            "recall_ppm"
+        ),
+        ratio(
+            "(2000000 * tp) div (2 * tp + fp + fn)",
+            2 * F.col("tp") + F.col("fp") + F.col("fn"),
+        ).alias("f1_ppm"),
+    )

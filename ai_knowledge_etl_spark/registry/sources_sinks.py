@@ -1387,3 +1387,51 @@ def q_scan_web_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("error").isNull().alias("ok"),
         "obstacle",
     )
+
+
+@register(
+    "udf-detect-encoding",
+    """
+SELECT doc_id,
+       CASE doc_id % 7
+         WHEN 1 THEN 'utf-8-bom' WHEN 2 THEN 'utf-16le'
+         WHEN 3 THEN 'latin-1' WHEN 4 THEN 'empty'
+         WHEN 5 THEN 'utf-8' ELSE 'ascii' END AS detected,
+       CAST(CASE doc_id % 7
+         WHEN 1 THEN octet_length(encode(text)) + 3
+         WHEN 2 THEN 2 * length(text) + 2
+         WHEN 3 THEN octet_length(encode(text)) + 1
+         WHEN 4 THEN 0
+         WHEN 5 THEN octet_length(encode(text)) + 6
+         ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes
+FROM documents
+""".strip(),
+    doc="Charset sniffing over raw fetched bytes "
+    "(functions/encoding.py): BOM check (UTF-8/UTF-16LE/UTF-16BE), "
+    "strict UTF-8 trial decode (pure-ASCII reports 'ascii'), latin-1 "
+    "terminal fallback — the ingest-hygiene step WARC/web pipelines run "
+    "before any text op, since a wrong decode corrupts every downstream "
+    "fingerprint. Six byte classes are INJECTED deterministically "
+    "(BOM'd UTF-8, BOM'd UTF-16LE of the same text, a 0xE9 latin-1 "
+    "byte that no UTF-8 parse survives, empty, genuine multibyte "
+    "UTF-8 via a CJK prefix, plain ASCII), so the oracle replays "
+    "label + byte count arithmetically. Kernel is Arrow-batched "
+    "mapInPandas over the binary column — partition-local, no shuffle; "
+    "a chardet-style statistical model drops into the same seam.",
+)
+def q_udf_detect_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.functions import encoding as ENC
+
+    d = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 7
+    content = (
+        F.when(m == 1, F.concat(F.unhex(F.lit("EFBBBF")), F.encode("text", "UTF-8")))
+        .when(m == 2, F.concat(F.unhex(F.lit("FFFE")), F.encode("text", "UTF-16LE")))
+        .when(m == 3, F.concat(F.unhex(F.lit("E9")), F.encode("text", "UTF-8")))
+        .when(m == 4, F.encode(F.lit(""), "UTF-8"))
+        .when(m == 5, F.encode(F.concat(F.lit("文档"), F.col("text")), "UTF-8"))
+        .otherwise(F.encode("text", "UTF-8"))
+    )
+    return ENC.detect_encoding(
+        d.select("doc_id", content.alias("content"))
+    )

@@ -190,3 +190,20 @@ def test_embed_text_array_contract(spark, sf_dir):
         )
     )
     assert joined.count() == 0
+
+
+def test_sniff_bytes_edge_cases():
+    """BOM beats content; truncated multibyte tails are latin-1, not a
+    crash; lone continuation bytes never pass the strict decode."""
+    from ai_knowledge_etl_spark.functions.encoding import sniff_bytes
+
+    assert sniff_bytes(None) == "empty"
+    assert sniff_bytes(b"") == "empty"
+    assert sniff_bytes(b"\xef\xbb\xbfhello") == "utf-8-bom"
+    assert sniff_bytes(b"\xff\xfeh\x00i\x00") == "utf-16le"
+    assert sniff_bytes(b"\xfe\xff\x00h\x00i") == "utf-16be"
+    assert sniff_bytes(b"plain ascii") == "ascii"
+    assert sniff_bytes("文档".encode()) == "utf-8"
+    assert sniff_bytes(b"\xe9caf") == "latin-1"  # bare latin-1 e-acute
+    assert sniff_bytes("文".encode()[:2]) == "latin-1"  # truncated seq
+    assert sniff_bytes(b"\x80\x80") == "latin-1"  # lone continuations
