@@ -133,3 +133,46 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             / F.greatest(F.col("n_wedges"), F.lit(1))
         ).alias("global_clustering"),
     )
+
+
+def hits_scores(edges: DataFrame, n_iter: int = 2) -> DataFrame:
+    """Kleinberg HITS hubs & authorities, UNNORMALIZED integer rounds
+    (public algorithm): a_{t+1}(v) = sum_{u->v} h_t(u), h_{t+1}(u) =
+    sum_{u->v} a_{t+1}(v), from h_0 = 1. Normalization rescales every
+    score by the same scalar per round, so ranking is invariant and
+    dropping it keeps every intermediate an exact BIGINT — byte-identical
+    across engines and partitionings (the sketch-family discipline).
+
+    Per round: two equi-joins + two hash aggregates on the edge list —
+    the same shuffle shape as pagerank, linear in |E| at any scale.
+    Returns (node, authority, hub) after `n_iter` rounds; nodes with no
+    in/out edges score 0.
+    """
+    from pyspark.sql import functions as F
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = nodes.select("node", F.lit(1).cast("long").alias("h"))
+    for _ in range(n_iter):
+        a = (
+            edges.join(h, edges.src == h.node)
+            .groupBy(edges.dst.alias("node"))
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        h = (
+            edges.join(a, edges.dst == a.node)
+            .groupBy(edges.src.alias("node"))
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+    return (
+        nodes.join(a, "node", "left")
+        .join(h, "node", "left")
+        .select(
+            "node",
+            F.coalesce("a", F.lit(0)).cast("long").alias("authority"),
+            F.coalesce("h", F.lit(0)).cast("long").alias("hub"),
+        )
+    )

@@ -710,3 +710,47 @@ def q_join_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("parent_id").alias("src"), F.col("doc_id").alias("dst")
     )
     return graph.triangle_stats(edges)
+
+
+@register(
+    "rank-hits-authority",
+    f"""
+WITH {syn.LINKS_CTE},
+e AS (
+  SELECT parent_id AS src, doc_id AS dst FROM links WHERE parent_id <> doc_id
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+a1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS a FROM e GROUP BY dst),
+h1 AS (
+  SELECT e.src AS node, CAST(sum(a1.a) AS BIGINT) AS h
+  FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src
+),
+a2 AS (
+  SELECT e.dst AS node, CAST(sum(h1.h) AS BIGINT) AS a
+  FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst
+),
+h2 AS (
+  SELECT e.src AS node, CAST(sum(a2.a) AS BIGINT) AS h
+  FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src
+)
+SELECT node, CAST(coalesce(a2.a, 0) AS BIGINT) AS authority,
+       CAST(coalesce(h2.h, 0) AS BIGINT) AS hub
+FROM nodes LEFT JOIN a2 USING (node) LEFT JOIN h2 USING (node)
+""".strip(),
+    doc="HITS hubs & authorities over the crawl link graph "
+    "(operators/graph.hits_scores; Kleinberg's algorithm, public) — the "
+    "complementary signal to rank-pages-iterative: a page can be a weak "
+    "authority but a strong HUB (links to many authorities), which is "
+    "exactly what a crawl frontier prioritizer wants to expand next. "
+    "Two unnormalized power rounds; normalization rescales uniformly "
+    "per round, so ranking is invariant and every score stays an exact "
+    "BIGINT — no float drift between engines. Per round two equi-joins "
+    "+ two hash aggregates on the edge list, linear in |E|.",
+)
+def q_rank_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.operators import graph
+
+    edges = _links(spark, sf_dir).where(
+        F.col("parent_id") != F.col("doc_id")
+    ).select(F.col("parent_id").alias("src"), F.col("doc_id").alias("dst"))
+    return graph.hits_scores(edges, n_iter=2)

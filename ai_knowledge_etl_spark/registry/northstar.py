@@ -1492,17 +1492,34 @@ def q_pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").alias("cent_id"), F.col("c").alias("cc"))
     from pyspark.sql import Window
 
-    assign = codes.crossJoin(F.broadcast(cents)).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("chunk_key").orderBy(
-                F.desc(_int_cos(F.col("c"), F.col("cc"))), F.asc("cent_id")
-            )
-        ),
-    )
-    cells = assign.where(F.col("rn") == 1).select("chunk_key", "c", "cent_id")
-    q = cells.where(
-        (F.expr("chunk_key div 100") % 97 == 3) & (F.col("chunk_key") % 100 == 0)
+    def assign_cells(code_df):
+        # nearest-centroid as an AGGREGATE, not a ranking window (the
+        # dedup-paragraph discipline): map-side combine collapses the
+        # 16x fan-out to one row per chunk per partition BEFORE the
+        # shuffle; a window would shuffle the full 16x pair stream.
+        # max(struct(cos, -cent_id)) == "highest cos, then smallest
+        # cent_id"; c rides along via first() (constant per chunk_key).
+        pairs = code_df.crossJoin(F.broadcast(cents)).select(
+            "chunk_key",
+            "c",
+            F.struct(
+                _int_cos(F.col("c"), F.col("cc")).alias("cos"),
+                (-F.col("cent_id")).alias("negc"),
+            ).alias("sc"),
+        )
+        return pairs.groupBy("chunk_key").agg(
+            F.first("c").alias("c"), F.max("sc").alias("m")
+        ).select("chunk_key", "c", (-F.col("m.negc")).alias("cent_id"))
+
+    cells = assign_cells(codes)
+    # query chunks filter BEFORE assignment: only the handful of query
+    # vectors re-run the centroid probe, instead of re-deriving the full
+    # corpus assignment a second time (chunk_key = doc_id*100 + idx, so
+    # the predicate prunes at the chunk stage)
+    q = assign_cells(
+        codes.where(
+            (F.col("doc_id") % 97 == 3) & (F.col("chunk_key") % 100 == 0)
+        )
     ).select(
         F.col("chunk_key").alias("query_id"),
         F.col("c").alias("qc"),

@@ -200,6 +200,19 @@ PLAN_ALLOWLIST = {
     # combine per partition) broadcast-crossed onto the >=min-support
     # pair table — the DSIR weight-table shape
     "text-collocations-pmi": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    # brute-force MIPS is definitionally all-pairs (broadcast query set,
+    # like similarity-topk); the max-norm scalar is a 1-row agg broadcast
+    "similarity-mips": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    # vocabulary-size scalar (1-row agg) broadcast-crossed onto the token
+    # stream — the DSIR weight-table shape
+    "text-bigram-perplexity": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    # confusion matrix is a corpus-wide scalar agg by definition (partial
+    # combine per partition, 1-row output)
+    "agg-eval-metrics": {"SinglePartition"},
+    # the two 16-row centroid broadcasts (corpus assignment + the
+    # pre-filtered query assignment) are bounded by n_centroids, never
+    # corpus size
+    "pipeline-rag-index": {"BroadcastNestedLoopJoin"},
 }
 _SMELLS = (
     "CartesianProduct",
@@ -531,3 +544,34 @@ def test_runtime_bloom_filter_injected_on_selective_shuffle_join(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_interval_overlap_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The banded rewrite must make the general interval join an EQUI hash
+    join (on user+bucket); a naive inequality-only condition degrades to
+    BroadcastNestedLoopJoin, which is quadratic per user at scale."""
+    plan = _plan(spark, sf_dir, "join-interval-overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the overlap predicates survive as join residuals, not a post-join
+    # filter over an exploded cross product
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_rag_index_candidate_join_is_equi_on_cell(spark, sf_dir):
+    """IVF routing must join candidates to queries equi-keyed on cent_id;
+    only the 16-centroid assignment may be a (broadcast) cross join."""
+    plan = _plan(spark, sf_dir, "pipeline-rag-index")
+    assert "CartesianProduct" not in plan
+    # only the two 16-row centroid broadcasts (corpus assignment + the
+    # pre-filtered query assignment) may be nested-loop stages
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bigram_perplexity_no_python_and_lm_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text-bigram-perplexity")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # bigram counts + context marginals come back as broadcasts, so the
+    # token stream is never shuffled on the join key
+    assert plan.count("BroadcastHashJoin") >= 2

@@ -111,6 +111,12 @@ HEAVY_QUERIES = [
     "agg-kmv-distinct-setops",
     "dedup-bloom-gate",
     "agg-quantile-sample-merge",  # cutoff-bounded window over 100x orders
+    # round-4 wave 2: interval joins, streaming join, LM scoring, RAG index
+    "join-interval-overlap",      # binned fan-out must stay <=2 bins/row
+    "stream-stream-interval-join",  # state-store join at 100x events
+    "text-bigram-perplexity",     # bigram table broadcast vs corpus growth
+    "pipeline-rag-index",         # chunk x16-centroid assignment fan-out
+    "sample-mixture-epochs",      # explode fan-out bounded by max epochs
 ]
 
 
