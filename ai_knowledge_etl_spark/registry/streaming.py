@@ -600,6 +600,25 @@ def q_stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_join_session(spark: SparkSession, ev: DataFrame) -> SparkSession:
+    """CLONED session sized for a stream-stream join: the join materializes
+    4 state stores per shuffle partition, and local-mode state-store init
+    dominates wall clock when partitions far exceed the data (32 partitions
+    ~38 s vs ~8 s at 4 on the fixture) — while UNDER-partitioning caps
+    parallelism once the stream is big (the 100x sweep measured 571 s at 4
+    partitions vs minutes less at 32). So size state partitions to stream
+    volume — the exact knob a production job sizes to key cardinality; the
+    checkpoint then pins it for the query's lifetime. newSession() shares
+    the SparkContext but owns its conf, so this is invisible to concurrent
+    bench threads."""
+    n = ev.count()  # parquet count-star: metadata-only, no scan
+    ss = spark.newSession()
+    ss.conf.set(
+        "spark.sql.shuffle.partitions", "4" if n < 100_000 else "32"
+    )
+    return ss
+
+
 # --- stream-stream interval join --------------------------------------------------
 
 _SSJ_CACHE: dict[tuple[str, str], str] = {}
@@ -625,15 +644,7 @@ def _run_stream_interval_join(spark: SparkSession, sf_dir: str) -> str:
     ev.where("event_type = 'click'").write.parquet(stage_c)
     ev.where("event_type = 'error'").write.parquet(stage_e)
 
-    # Run the streaming query from a CLONED session: a stream-stream join
-    # materializes 4 state stores per shuffle partition, and local-mode
-    # state-store init dominates wall clock at 32 partitions (~38 s vs ~8 s
-    # at 4). newSession() shares the SparkContext but owns its conf, so
-    # dialing partitions down here is invisible to concurrent bench
-    # threads. On a real cluster this is exactly the knob you'd size to
-    # the stream's key cardinality, not the batch default.
-    ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss = _stream_join_session(spark, ev)
     schema = "event_id long, user_id long, ts long, event_type string"
     clicks = ss.readStream.schema(schema).parquet(stage_c)
     errors = ss.readStream.schema(schema).parquet(stage_e)
@@ -698,4 +709,153 @@ def q_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(
             F.unix_timestamp("clk_time") - F.unix_timestamp("err_time")
         ).cast("long").alias("sum_lag_s"),
+    )
+
+
+# --- stream-stream OUTER join: watermark-gated null-extension ---------------------
+
+_SSOJ_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _run_stream_outer_join(spark: SparkSession, sf_dir: str) -> str:
+    """Three availableNow passes against one checkpoint: (1) all real
+    clicks/errors, (2) far-future sentinel rows on BOTH streams that push
+    the joint watermark past every error's eviction boundary, (3) a second
+    sentinel wave in case the engine emits evicted outer rows one batch
+    after the watermark crossing. Unmatched errors can only null-extend
+    once the watermark proves no future click can match — the semantics
+    this query pins down. Returns the sink path."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Row
+
+    workdir = tempfile.mkdtemp(prefix="etl_ssoj_")
+    stage_c = os.path.join(workdir, "clicks")
+    stage_e = os.path.join(workdir, "errors")
+    out = os.path.join(workdir, "pairs")
+    ckpt = os.path.join(workdir, "ckpt")
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
+    clicks_b = ev.where("event_type = 'click'")
+    errors_b = ev.where("event_type = 'error'")
+    # driver-side scalar: the sentinel must outrun every real event
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    ss = _stream_join_session(spark, ev)
+    schema = "event_id long, user_id long, ts long, event_type string"
+
+    def sentinel(eid: int, uid: int, bump_s: int):
+        return spark.createDataFrame(
+            [Row(event_id=eid, user_id=uid,
+                 ts=max_ts + bump_s * 1_000_000_000, event_type="sentinel")],
+            schema,
+        )
+
+    clicks_b.write.mode("append").parquet(stage_c)
+    errors_b.write.mode("append").parquet(stage_e)
+
+    clicks = ss.readStream.schema(schema).parquet(stage_c)
+    errors = ss.readStream.schema(schema).parquet(stage_e)
+    e = (
+        EV.with_event_time(errors)
+        .withWatermark("event_time", "0 seconds")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("event_time").alias("err_time"),
+        )
+    )
+    c = (
+        EV.with_event_time(clicks)
+        .withWatermark("event_time", "0 seconds")
+        .select(
+            F.col("user_id").alias("clk_user"),
+            F.col("event_time").alias("clk_time"),
+        )
+    )
+    joined = e.join(
+        c,
+        (F.col("err_user") == F.col("clk_user"))
+        & (F.col("clk_time") >= F.col("err_time"))
+        & (F.col("clk_time") < F.col("err_time") + F.expr("INTERVAL 3600 seconds")),
+        "leftOuter",
+    ).select("err_id", "err_user", "err_time", "clk_time")
+
+    def one_pass() -> None:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    one_pass()
+    # sentinel waves: user_ids are negative, so they match nothing; they
+    # exist purely to advance BOTH sides' watermarks (the join watermark
+    # is the min of the two)
+    sentinel(-1, -1, 7200).write.mode("append").parquet(stage_c)
+    sentinel(-2, -2, 7200).write.mode("append").parquet(stage_e)
+    one_pass()
+    sentinel(-3, -1, 14400).write.mode("append").parquet(stage_c)
+    sentinel(-4, -2, 14400).write.mode("append").parquet(stage_e)
+    one_pass()
+    return out
+
+
+@register(
+    "stream-outer-join-flush",
+    """
+WITH err AS (
+  SELECT event_id AS err_id, user_id, epoch_ns(ts) // 1000000000 AS es
+  FROM events WHERE event_type = 'error'
+),
+clk AS (
+  SELECT user_id, epoch_ns(ts) // 1000000000 AS cs
+  FROM events WHERE event_type = 'click'
+)
+SELECT e.err_id, e.user_id,
+       CAST(count(c.cs) AS BIGINT) AS n_clicks,
+       CAST(coalesce(sum(c.cs - e.es), 0) AS BIGINT) AS sum_lag_s
+FROM err e LEFT JOIN clk c
+  ON e.user_id = c.user_id AND c.cs >= e.es AND c.cs < e.es + 3600
+GROUP BY e.err_id, e.user_id
+""".strip(),
+    doc="Stream-stream LEFT OUTER join (SURVEY §2.J, the hard half of "
+    "streaming joins): an unmatched error may only null-extend once the "
+    "watermark PROVES no click can still arrive inside its 3600 s "
+    "window — emitting earlier would be wrong, never emitting would "
+    "lose rows. Sentinel rows on BOTH streams (negative user_ids, "
+    "matching nothing) advance the joint watermark past every eviction "
+    "boundary across three availableNow passes against one checkpoint, "
+    "so the sink provably converges to the batch LEFT JOIN truth — "
+    "matched errors with their click counts AND unmatched errors with "
+    "n_clicks=0, which the inner-join twin (stream-stream-interval-join) "
+    "structurally cannot produce. This is the idle-key flush problem "
+    "every production streaming pipeline hits; the batch oracle checks "
+    "both the emission and the non-duplication side.",
+)
+def q_stream_outer_join_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink_path = cache_get_or_fill(
+        _SSOJ_CACHE, spark, sf_dir,
+        lambda: _run_stream_outer_join(spark, sf_dir), unpersist=False,
+    )
+    pairs = spark.read.schema(
+        "err_id long, err_user long, err_time timestamp, clk_time timestamp"
+    ).parquet(sink_path)
+    return (
+        pairs.where(F.col("err_user") >= 0)
+        .groupBy("err_id", F.col("err_user").alias("user_id"))
+        .agg(
+            F.count("clk_time").cast("long").alias("n_clicks"),
+            F.coalesce(
+                F.sum(
+                    F.unix_timestamp("clk_time") - F.unix_timestamp("err_time")
+                ),
+                F.lit(0),
+            ).cast("long").alias("sum_lag_s"),
+        )
     )

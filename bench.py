@@ -108,6 +108,7 @@ HEAVY_FIRST = {
     "sample-perplexity-buckets": 6,
     "stream-warc-ingest": 10,
     "stream-stream-interval-join": 9,
+    "stream-outer-join-flush": 12,
     "stream-cms-merge": 8,
     "agg-kmv-distinct-setops": 4,
     "agg-quantile-sample-merge": 4,

@@ -114,6 +114,7 @@ HEAVY_QUERIES = [
     # round-4 wave 2: interval joins, streaming join, LM scoring, RAG index
     "join-interval-overlap",      # binned fan-out must stay <=2 bins/row
     "stream-stream-interval-join",  # state-store join at 100x events
+    "stream-outer-join-flush",    # watermark-gated outer emission at 100x
     "text-bigram-perplexity",     # bigram table broadcast vs corpus growth
     "pipeline-rag-index",         # chunk x16-centroid assignment fan-out
     "sample-mixture-epochs",      # explode fan-out bounded by max epochs
