@@ -1500,7 +1500,11 @@ def q_sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PART_WRITE_CACHE, spark, sf_dir,
         lambda: _run_partitioned_write(spark, sf_dir), unpersist=False,
     )
-    back = spark.read.parquet(table).select(
+    # explicit schema: an all-empty input writes a table root with no
+    # partition dirs, which schema inference rejects (empty-input census)
+    back = spark.read.schema("doc_id long, n_chars long, lang string").parquet(
+        table
+    ).select(
         "doc_id", "n_chars", "lang", F.col("_metadata.file_path").alias("__f")
     )
     return back.groupBy("lang").agg(

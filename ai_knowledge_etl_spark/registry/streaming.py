@@ -614,7 +614,7 @@ def _stream_join_session(spark: SparkSession, ev: DataFrame) -> SparkSession:
     n = ev.count()  # parquet count-star: metadata-only, no scan
     ss = spark.newSession()
     ss.conf.set(
-        "spark.sql.shuffle.partitions", "4" if n < 100_000 else "32"
+        "spark.sql.shuffle.partitions", "4" if n < 1_000_000 else "32"
     )
     return ss
 
@@ -740,7 +740,8 @@ def _run_stream_outer_join(spark: SparkSession, sf_dir: str) -> str:
     clicks_b = ev.where("event_type = 'click'")
     errors_b = ev.where("event_type = 'error'")
     # driver-side scalar: the sentinel must outrun every real event
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # (empty stream: any epoch works — there is nothing to flush)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0] or 0
 
     ss = _stream_join_session(spark, ev)
     schema = "event_id long, user_id long, ts long, event_type string"

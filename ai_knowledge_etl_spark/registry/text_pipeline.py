@@ -764,3 +764,56 @@ def q_udf_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "udtf-lateral-chunks",
+    f"""
+WITH {syn.UNI_DOCS_CTE},
+exploded AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, least(CAST(floor((length(text)-1)/400.0) AS INT), 19))) AS i
+  FROM udocs WHERE length(text) > 0
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       CAST(length(substring(text, CAST(i*400+1 AS INT), 400)) AS BIGINT) AS n_chars,
+       md5(substring(text, CAST(i*400+1 AS INT), 400)) AS fp
+FROM exploded
+""".strip(),
+    doc="NATIVE Python UDTF through SQL LATERAL (the Spark-4 table-function "
+    "API surface, distinct from the mapInPandas chunkers): a @udtf class "
+    "registered via spark.udtf.register and invoked as "
+    "`FROM docs, LATERAL chunk_udtf(doc_id, text)` — one input row "
+    "yields up to 20 fixed 400-char chunk rows. Row-at-a-time Python by "
+    "design (a deliberate API-coverage entry like the pandas_udf pair in "
+    "training.py — the HOT-path chunkers stay Arrow/mapInPandas); runs "
+    "over the multibyte probe corpus, so the substring arithmetic is "
+    "character-based on both engines. The oracle replays chunk count, "
+    "per-chunk char length, and content fingerprint in closed form.",
+)
+def q_udtf_lateral_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_chars long, fp string")
+    class ChunkUDTF:
+        def eval(self, text: str):
+            import hashlib
+
+            if not text:
+                return
+            for idx in range(min((len(text) - 1) // 400 + 1, 20)):
+                chunk = text[idx * 400 : idx * 400 + 400]
+                yield (
+                    idx,
+                    len(chunk),
+                    hashlib.md5(chunk.encode("utf-8")).hexdigest(),
+                )
+
+    spark.udtf.register("chunk_udtf", ChunkUDTF)
+    probed = syn.uni_docs(_docs(spark, sf_dir)).select("doc_id", "text")
+    view = "udtf_docs_src"
+    probed.createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT d.doc_id, c.chunk_idx, c.n_chars, c.fp "
+        f"FROM {view} d, LATERAL chunk_udtf(d.text) c"
+    )

@@ -171,6 +171,12 @@ def main() -> None:
     # FAIR's round-robin stretches the critical path's every round.
     # warm the JVM + parquet footers once so timings measure the queries
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    # warm the Python/Arrow worker pool too: the first mapInPandas of the
+    # run otherwise pays daemon fork + Arrow init inside some query's
+    # timed window (worker reuse keeps the pool alive afterwards)
+    spark.range(64, numPartitions=8).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     def run(name: str) -> tuple[str, float]:
         t0 = time.time()

@@ -213,6 +213,10 @@ PLAN_ALLOWLIST = {
     # pre-filtered query assignment) are bounded by n_centroids, never
     # corpus size
     "pipeline-rag-index": {"BroadcastNestedLoopJoin"},
+    # deliberate API-coverage entry: the NATIVE Python UDTF surface is
+    # row-at-a-time by definition (like the two pandas_udf entries in
+    # training.py); the hot-path chunkers stay Arrow/mapInPandas
+    "udtf-lateral-chunks": {"BatchEvalPython"},
 }
 _SMELLS = (
     "CartesianProduct",
