@@ -252,3 +252,59 @@ def compress_images_real(
             yield pd.DataFrame(out)
 
     return images.select(path_col, content_col).mapInPandas(gen, schema)
+
+
+def phash_images(ids: DataFrame, id_col: str = "img_id") -> DataFrame:
+    """Perceptual (average) hash over REAL PNG bytes: for each id, build
+    the deterministic 8x8 RGB test card (the arithmetic the oracle
+    replays), push it through the ACTUAL codec — minipng.encode_png then
+    decode_png, so a lossy or misaligned round-trip breaks the hash —
+    gray = (299r + 587g + 114b)//1000, bit p = gray_p*64 > sum(gray)
+    (integer cross-multiply, no float mean), packed into four 16-bit
+    bands h0..h3 (BIGINT-safe; bands double as the Hamming-LSH keys).
+    ids >= 100000 are the planted near-duplicates of id-100000: +16 on
+    every 9th red channel — a few gray values shift ~5 units, so only
+    bits near the mean flip and the clone stays within a small Hamming
+    radius of its source. Arrow-batched mapInPandas; the per-row work is
+    a 192-byte codec round trip."""
+    from collections.abc import Iterator
+
+    from ai_knowledge_etl_spark.multimodal import minipng
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"img_id": [], "h0": [], "h1": [], "h2": [], "h3": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                base, pert = i % 100000, i >= 100000
+                import hashlib
+
+                rgb = bytearray()
+                for p in range(64):
+                    hx = hashlib.md5(f"{base}:{p}".encode()).hexdigest()
+                    r = int(hx[0:2], 16)
+                    if pert and p % 9 == 0:
+                        r = (r + 16) % 256
+                    rgb.append(r)
+                    rgb.append(int(hx[2:4], 16))
+                    rgb.append(int(hx[4:6], 16))
+                png = minipng.encode_png(8, 8, bytes(rgb))
+                _, _, px = minipng.decode_png(png)
+                grays = [
+                    (px[3 * p] * 299 + px[3 * p + 1] * 587 + px[3 * p + 2] * 114)
+                    // 1000
+                    for p in range(64)
+                ]
+                s = sum(grays)
+                bands = [0, 0, 0, 0]
+                for p, gv in enumerate(grays):
+                    if gv * 64 > s:
+                        bands[p // 16] |= 1 << (p % 16)
+                out["img_id"].append(i)
+                for k in range(4):
+                    out[f"h{k}"].append(bands[k])
+            yield pd.DataFrame(out)
+
+    return ids.select(id_col).mapInPandas(
+        gen, "img_id long, h0 long, h1 long, h2 long, h3 long"
+    )

@@ -1512,3 +1512,157 @@ def q_sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("sum_chars"),
         F.countDistinct("__f").cast("long").alias("n_files"),
     )
+
+
+# --- perceptual image hashing over real PNG bytes ---------------------------------
+
+_PHASH_HS_CTE = """
+pids AS (
+  SELECT doc_id AS img_id, doc_id AS base, 0 AS pert FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, doc_id, 1 FROM documents WHERE doc_id % 10 = 0
+),
+ppos AS (
+  SELECT img_id, base, pert, unnest(generate_series(0, 63)) AS p FROM pids
+),
+phex AS (
+  SELECT img_id, p, pert,
+         md5(CAST(base AS VARCHAR) || ':' || CAST(p AS VARCHAR)) AS hx
+  FROM ppos
+),
+pxg AS (
+  SELECT img_id, p,
+         ((((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+            + strpos('0123456789abcdef', substring(hx, 2, 1)) - 1
+            + CASE WHEN pert = 1 AND p % 9 = 0 THEN 16 ELSE 0 END) % 256) * 299
+          + ((strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substring(hx, 4, 1)) - 1) * 587
+          + ((strpos('0123456789abcdef', substring(hx, 5, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substring(hx, 6, 1)) - 1) * 114) // 1000 AS gray
+  FROM phex
+),
+pst AS (SELECT img_id, sum(gray) AS s FROM pxg GROUP BY img_id),
+hs AS (
+  SELECT g.img_id,
+         CAST(sum(CASE WHEN p // 16 = 0 AND g.gray*64 > pst.s THEN 1 << (p % 16) ELSE 0 END) AS BIGINT) AS h0,
+         CAST(sum(CASE WHEN p // 16 = 1 AND g.gray*64 > pst.s THEN 1 << (p % 16) ELSE 0 END) AS BIGINT) AS h1,
+         CAST(sum(CASE WHEN p // 16 = 2 AND g.gray*64 > pst.s THEN 1 << (p % 16) ELSE 0 END) AS BIGINT) AS h2,
+         CAST(sum(CASE WHEN p // 16 = 3 AND g.gray*64 > pst.s THEN 1 << (p % 16) ELSE 0 END) AS BIGINT) AS h3
+  FROM pxg g JOIN pst USING (img_id) GROUP BY g.img_id
+)
+""".strip()
+
+
+def _phash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(F.col("doc_id").alias("img_id")).unionByName(
+        docs.where("doc_id % 10 = 0").select(
+            (F.col("doc_id") + 100000).alias("img_id")
+        )
+    )
+
+
+@register(
+    "udf-image-phash",
+    f"""
+WITH {_PHASH_HS_CTE}
+SELECT img_id, h0, h1, h2, h3 FROM hs
+""".strip(),
+    doc="Perceptual (average) hash over REAL PNG bytes "
+    "(multimodal/images.phash_images): every image is built as a "
+    "deterministic 8x8 RGB card, pushed through the ACTUAL vendored "
+    "codec — minipng.encode_png then decode_png — and hashed from the "
+    "DECODED pixels, while the oracle computes the hash from the pixel "
+    "arithmetic directly: the differential test itself proves the "
+    "codec round-trip is lossless byte-for-byte. Integer-only hash "
+    "(bit = gray*64 > sum(gray), no float mean), packed as four "
+    "16-bit bands that double as Hamming-LSH keys. Planted "
+    "near-duplicates (+100000 ids, +16 on every 9th red channel) flip "
+    "only bits near the mean — the dedup-image-phash fixture. "
+    "Arrow-batched mapInPandas, no shuffle; a PIL/ffmpeg decoder drops "
+    "into the same seam for JPEG/video frames.",
+)
+def q_udf_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.multimodal import images as IM
+
+    return IM.phash_images(_phash_ids(spark, sf_dir))
+
+
+@register(
+    "dedup-image-phash",
+    f"""
+WITH {_PHASH_HS_CTE},
+bands AS (
+  SELECT img_id, 0 AS bi, h0 AS bv FROM hs UNION ALL
+  SELECT img_id, 1, h1 FROM hs UNION ALL
+  SELECT img_id, 2, h2 FROM hs UNION ALL
+  SELECT img_id, 3, h3 FROM hs
+),
+cand AS (
+  SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+  WHERE a.img_id < b.img_id
+),
+scored AS (
+  SELECT c.img_a, c.img_b,
+         CAST(bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1))
+            + bit_count(xor(x.h2, y.h2)) + bit_count(xor(x.h3, y.h3))
+           AS INTEGER) AS hamming
+  FROM cand c JOIN hs x ON c.img_a = x.img_id JOIN hs y ON c.img_b = y.img_id
+)
+SELECT img_a, img_b, hamming FROM scored WHERE hamming <= 8
+""".strip(),
+    doc="Near-duplicate IMAGE detection via Hamming-LSH over the "
+    "perceptual hashes (the image-side twin of dedup-minhash): "
+    "candidates must share at least one exact 16-bit band of the "
+    "64-bit average-hash — an EQUI self-join on (band_idx, band_value), "
+    "never an all-pairs scan — then the full Hamming distance "
+    "(bit_count of per-band XORs) gates at <= 8. The planted "
+    "+100000-id clones flip only mean-adjacent bits, so they surface "
+    "through the band join; random pairs sit at Hamming ~32 and a "
+    "16-bit band collision is p~6e-5, so candidate fan-out stays "
+    "near-zero at any corpus size. Spark hashes real decoded PNG "
+    "bytes; the oracle replays the arithmetic — codec round-trip and "
+    "LSH recall verified in one differential.",
+)
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.multimodal import images as IM
+
+    hs = IM.phash_images(_phash_ids(spark, sf_dir))
+    bands = None
+    for bi in range(4):
+        part = hs.select(
+            "img_id", F.lit(bi).alias("bi"), F.col(f"h{bi}").alias("bv")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.img_id") < F.col("b.img_id")),
+        )
+        .select(
+            F.col("a.img_id").alias("img_a"), F.col("b.img_id").alias("img_b")
+        )
+        .distinct()
+    )
+    x = hs.alias("x")
+    y = hs.alias("y")
+    scored = (
+        cand.join(x, F.col("img_a") == F.col("x.img_id"))
+        .join(y, F.col("img_b") == F.col("y.img_id"))
+        .select(
+            "img_a",
+            "img_b",
+            (
+                F.bit_count(F.col("x.h0").bitwiseXOR(F.col("y.h0")))
+                + F.bit_count(F.col("x.h1").bitwiseXOR(F.col("y.h1")))
+                + F.bit_count(F.col("x.h2").bitwiseXOR(F.col("y.h2")))
+                + F.bit_count(F.col("x.h3").bitwiseXOR(F.col("y.h3")))
+            ).cast("int").alias("hamming"),
+        )
+    )
+    return scored.where(F.col("hamming") <= 8)
