@@ -4787,28 +4787,17 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sec + (F.col("event_id") % 7 + 1) * 30).alias("s1"),
     )
     incid = ev.where(F.col("event_type") == "error").select(
-        F.col("user_id").alias("iu"),
+        "user_id",
         sec.alias("i0"),
         (sec + 120).alias("i1"),
     )
-    width = 256  # >= max interval length, so every interval spans <=2 bins
-    b = lambda c: F.floor(c / width)  # noqa: E731
-    spans_b = spans.withColumn(
-        "bin", F.explode(F.array_distinct(F.array(b(F.col("s0")), b(F.col("s1")))))
+    from ai_knowledge_etl_spark.operators.intervals import (
+        interval_overlap_join,
     )
-    incid_b = incid.withColumn(
-        "bin", F.explode(F.array_distinct(F.array(b(F.col("i0")), b(F.col("i1")))))
-    )
+
     hits = (
-        spans_b.join(
-            incid_b,
-            (spans_b.user_id == incid_b.iu)
-            & (spans_b.bin == incid_b.bin)
-            # overlap, open intervals on the right end
-            & (spans_b.s0 < incid_b.i1)
-            & (incid_b.i0 < spans_b.s1)
-            # first-common-bucket guard: count each overlapping pair once
-            & (spans_b.bin == F.greatest(b(spans_b.s0), b(incid_b.i0))),
+        interval_overlap_join(
+            spans, incid, "user_id", ("s0", "s1"), ("i0", "i1"), width=256
         )
         .groupBy("event_id")
         .agg(
