@@ -308,3 +308,128 @@ def phash_images(ids: DataFrame, id_col: str = "img_id") -> DataFrame:
     return ids.select(id_col).mapInPandas(
         gen, "img_id long, h0 long, h1 long, h2 long, h3 long"
     )
+
+
+def render_cards(
+    ids: DataFrame, id_col: str = "img_id", garbage_mod: int | None = None
+) -> DataFrame:
+    """(id) → (id, content binary): REAL PNG bytes of the deterministic
+    md5-mixed 8x8 test card (the same arithmetic phash_images and the
+    oracles replay). ids >= 100000 render the perturbed near-duplicate of
+    id-100000. With `garbage_mod`, ids whose BASE % garbage_mod == 0 emit
+    non-PNG bytes instead — the invalid-magic true positives for
+    validation routing."""
+    import hashlib
+    from collections.abc import Iterator
+
+    from ai_knowledge_etl_spark.multimodal import minipng
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"img_id": [], "content": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                base, pert = i % 100000, i >= 100000
+                out["img_id"].append(i)
+                if garbage_mod is not None and base % garbage_mod == 0:
+                    out["content"].append(f"not a png {base}".encode())
+                    continue
+                rgb = bytearray()
+                for p in range(64):
+                    hx = hashlib.md5(f"{base}:{p}".encode()).hexdigest()
+                    r = int(hx[0:2], 16)
+                    if pert and p % 9 == 0:
+                        r = (r + 16) % 256
+                    rgb.append(r)
+                    rgb.append(int(hx[2:4], 16))
+                    rgb.append(int(hx[4:6], 16))
+                out["content"].append(minipng.encode_png(8, 8, bytes(rgb)))
+            yield pd.DataFrame(out)
+
+    return ids.select(id_col).mapInPandas(
+        gen, f"{id_col} long, content binary"
+    )
+
+
+def phash_bytes(
+    images: DataFrame, id_col: str = "img_id", content_col: str = "content"
+) -> DataFrame:
+    """(id, content binary) → (id, h0..h3): decode the PNG with the real
+    codec and average-hash the DECODED pixels (same hash layout as
+    phash_images — four 16-bit bands, integer-only threshold). Rows whose
+    bytes fail to decode are dropped (callers route invalid magic before
+    hashing; see models.classify_images for the same contract)."""
+    from collections.abc import Iterator
+
+    from ai_knowledge_etl_spark.multimodal import minipng
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"img_id": [], "h0": [], "h1": [], "h2": [], "h3": []}
+            for i, raw in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    w, h, px = minipng.decode_png(bytes(raw))
+                except Exception:
+                    continue
+                n = w * h
+                grays = [
+                    (px[3 * p] * 299 + px[3 * p + 1] * 587 + px[3 * p + 2] * 114)
+                    // 1000
+                    for p in range(n)
+                ]
+                s = sum(grays)
+                bands = [0, 0, 0, 0]
+                for p, gv in enumerate(grays):
+                    if gv * n > s:
+                        bands[(p * 4) // n] |= 1 << (p % 16)
+                out["img_id"].append(int(i))
+                for k in range(4):
+                    out[f"h{k}"].append(bands[k])
+            yield pd.DataFrame(out)
+
+    return images.select(id_col, content_col).mapInPandas(
+        gen, "img_id long, h0 long, h1 long, h2 long, h3 long"
+    )
+
+
+def phash_pairs(hs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-duplicate pairs from a (img_id, h0..h3) hash table via
+    Hamming-LSH: candidates share at least one exact 16-bit band (equi
+    self-join on (band_idx, band_value) — never all-pairs), then the full
+    Hamming distance (bit_count of per-band XORs) gates at max_hamming.
+    Returns (img_a, img_b, hamming) with img_a < img_b, each pair once."""
+    bands = None
+    for bi in range(4):
+        part = hs.select(
+            "img_id", F.lit(bi).alias("bi"), F.col(f"h{bi}").alias("bv")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.img_id") < F.col("b.img_id")),
+        )
+        .select(
+            F.col("a.img_id").alias("img_a"), F.col("b.img_id").alias("img_b")
+        )
+        .distinct()
+    )
+    x, y = hs.alias("x"), hs.alias("y")
+    scored = (
+        cand.join(x, F.col("img_a") == F.col("x.img_id"))
+        .join(y, F.col("img_b") == F.col("y.img_id"))
+        .select(
+            "img_a",
+            "img_b",
+            (
+                F.bit_count(F.col("x.h0").bitwiseXOR(F.col("y.h0")))
+                + F.bit_count(F.col("x.h1").bitwiseXOR(F.col("y.h1")))
+                + F.bit_count(F.col("x.h2").bitwiseXOR(F.col("y.h2")))
+                + F.bit_count(F.col("x.h3").bitwiseXOR(F.col("y.h3")))
+            ).cast("int").alias("hamming"),
+        )
+    )
+    return scored.where(F.col("hamming") <= max_hamming)

@@ -1516,11 +1516,23 @@ def q_sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- perceptual image hashing over real PNG bytes ---------------------------------
 
-_PHASH_HS_CTE = """
-pids AS (
+_PHASH_PIDS_SQL = """
   SELECT doc_id AS img_id, doc_id AS base, 0 AS pert FROM documents
   UNION ALL
   SELECT doc_id + 100000, doc_id, 1 FROM documents WHERE doc_id % 10 = 0
+""".strip()
+
+
+def _phash_hs_sql(pids_sql: str) -> str:
+    """CTE chain replaying the md5-mixed test card + average hash for an
+    arbitrary id population (shared by the phash queries and
+    pipeline-image-curate, whose population excludes the garbage rows)."""
+    return _PHASH_HS_TEMPLATE.replace("__PIDS__", pids_sql)
+
+
+_PHASH_HS_TEMPLATE = """
+pids AS (
+__PIDS__
 ),
 ppos AS (
   SELECT img_id, base, pert, unnest(generate_series(0, 63)) AS p FROM pids
@@ -1551,6 +1563,8 @@ hs AS (
   FROM pxg g JOIN pst USING (img_id) GROUP BY g.img_id
 )
 """.strip()
+
+_PHASH_HS_CTE = _phash_hs_sql(_PHASH_PIDS_SQL)
 
 
 def _phash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1588,10 +1602,7 @@ def q_udf_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IM.phash_images(_phash_ids(spark, sf_dir))
 
 
-@register(
-    "dedup-image-phash",
-    f"""
-WITH {_PHASH_HS_CTE},
+_PHASH_PAIRS_CTE = """
 bands AS (
   SELECT img_id, 0 AS bi, h0 AS bv FROM hs UNION ALL
   SELECT img_id, 1, h1 FROM hs UNION ALL
@@ -1610,6 +1621,14 @@ scored AS (
            AS INTEGER) AS hamming
   FROM cand c JOIN hs x ON c.img_a = x.img_id JOIN hs y ON c.img_b = y.img_id
 )
+""".strip()
+
+
+@register(
+    "dedup-image-phash",
+    f"""
+WITH {_PHASH_HS_CTE},
+{_PHASH_PAIRS_CTE}
 SELECT img_a, img_b, hamming FROM scored WHERE hamming <= 8
 """.strip(),
     doc="Near-duplicate IMAGE detection via Hamming-LSH over the "
@@ -1629,40 +1648,106 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_knowledge_etl_spark.multimodal import images as IM
 
     hs = IM.phash_images(_phash_ids(spark, sf_dir))
-    bands = None
-    for bi in range(4):
-        part = hs.select(
-            "img_id", F.lit(bi).alias("bi"), F.col(f"h{bi}").alias("bv")
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.bi") == F.col("b.bi"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.img_id") < F.col("b.img_id")),
-        )
-        .select(
-            F.col("a.img_id").alias("img_a"), F.col("b.img_id").alias("img_b")
-        )
-        .distinct()
+    return IM.phash_pairs(hs, max_hamming=8)
+
+
+_PIPE_IMG_PIDS_SQL = """
+  SELECT doc_id AS img_id, doc_id AS base, 0 AS pert FROM documents
+  WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 100000, doc_id, 1 FROM documents
+  WHERE doc_id % 10 = 0 AND doc_id % 13 <> 0
+""".strip()
+
+_IMG_CAT_SQL = (
+    "CASE (h0 + h1*3 + h2*7 + h3*11) % 8 "
+    + " ".join(
+        f"WHEN {i} THEN '{cat}'"
+        for i, cat in enumerate(IM.IMAGE_CATEGORIES)
     )
-    x = hs.alias("x")
-    y = hs.alias("y")
-    scored = (
-        cand.join(x, F.col("img_a") == F.col("x.img_id"))
-        .join(y, F.col("img_b") == F.col("y.img_id"))
-        .select(
-            "img_a",
-            "img_b",
+    + " END"
+)
+
+
+@register(
+    "pipeline-image-curate",
+    f"""
+WITH {_phash_hs_sql(_PIPE_IMG_PIDS_SQL)},
+{_PHASH_PAIRS_CTE},
+dups AS (SELECT DISTINCT img_b FROM scored WHERE hamming <= 8),
+kept AS (
+  SELECT img_id, h0, h1, h2, h3 FROM hs
+  WHERE img_id NOT IN (SELECT img_b FROM dups)
+),
+cat_counts AS (
+  SELECT {_IMG_CAT_SQL} AS category, CAST(count(*) AS BIGINT) AS n
+  FROM kept GROUP BY 1
+),
+inv AS (
+  SELECT CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)
+            + sum(CASE WHEN doc_id % 13 = 0 AND doc_id % 10 = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n
+  FROM documents
+),
+dupn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dups)
+SELECT category, n FROM cat_counts
+UNION ALL SELECT 'rejected:invalid', n FROM inv
+UNION ALL SELECT 'rejected:duplicate', n FROM dupn
+""".strip(),
+    doc="Image-corpus curation END-TO-END (the multimodal twin of "
+    "pipeline-warc-corpus): render REAL PNG bytes for every image id "
+    "(multimodal/images.render_cards — every 13th base id emits garbage "
+    "bytes, every 10th gains a perturbed near-duplicate clone) -> "
+    "magic-byte validation routes the garbage out as error rows, never "
+    "into the decoder (the anti-fabrication contract) -> survivors "
+    "decode through the actual codec and average-hash "
+    "(phash_bytes) -> Hamming-LSH pair join drops the higher id of "
+    "every near-dup pair (keep-canonical) -> the deterministic "
+    "vision-kernel stub classifies survivors from the decoded-pixel "
+    "fingerprint (a model kernel slots into the same seam) -> "
+    "per-category rollup plus the two rejection counters. One composed "
+    "oracle replays rendering arithmetic, hashing, pairing, dedup, and "
+    "classification; any decoder loss, validation leak, or dedup "
+    "mis-keep breaks the hash. Scale: every stage is a narrow map or "
+    "the bounded band equi-join — no all-pairs anywhere.",
+)
+def q_pipeline_image_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.multimodal import images as IM2
+
+    # eager stage cuts (the pipeline-warc-corpus discipline): imgs feeds
+    # the valid AND invalid branches, hs feeds the band self-join (x2)
+    # AND the keep-canonical anti-join — without the cut each consumer
+    # re-runs the render/decode kernels
+    imgs = IM2.render_cards(
+        _phash_ids(spark, sf_dir), garbage_mod=13
+    ).localCheckpoint()
+    valid = imgs.where(IM2.is_valid_image("content"))
+    invalid_n = imgs.where(~IM2.is_valid_image("content")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    hs = IM2.phash_bytes(valid).localCheckpoint()
+    dups = IM2.phash_pairs(hs, max_hamming=8).select("img_b").distinct()
+    kept = hs.join(dups, hs.img_id == dups.img_b, "left_anti")
+    cat = F.element_at(
+        F.array(*[F.lit(c) for c in IM2.IMAGE_CATEGORIES]),
+        (
             (
-                F.bit_count(F.col("x.h0").bitwiseXOR(F.col("y.h0")))
-                + F.bit_count(F.col("x.h1").bitwiseXOR(F.col("y.h1")))
-                + F.bit_count(F.col("x.h2").bitwiseXOR(F.col("y.h2")))
-                + F.bit_count(F.col("x.h3").bitwiseXOR(F.col("y.h3")))
-            ).cast("int").alias("hamming"),
+                F.col("h0")
+                + F.col("h1") * 3
+                + F.col("h2") * 7
+                + F.col("h3") * 11
+            )
+            % 8
+        ).cast("int")
+        + 1,
+    )
+    cat_counts = kept.groupBy(cat.alias("category")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return cat_counts.unionByName(
+        invalid_n.select(F.lit("rejected:invalid").alias("category"), "n")
+    ).unionByName(
+        dups.agg(F.count("*").cast("long").alias("n")).select(
+            F.lit("rejected:duplicate").alias("category"), "n"
         )
     )
-    return scored.where(F.col("hamming") <= 8)

@@ -121,6 +121,8 @@ HEAVY_FIRST = {
     "pipeline-rag-index": 5,
     "dedup-substring-span": 3,
     "scan-warc": 5,
+    "pipeline-image-curate": 6,
+    "dedup-image-phash": 4,
     "dedup-cluster-cc": 13,
     "scan-custom-datasource": 12,
     "scan-web-connector": 8,

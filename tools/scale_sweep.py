@@ -118,6 +118,7 @@ HEAVY_QUERIES = [
     "text-bigram-perplexity",     # bigram table broadcast vs corpus growth
     "pipeline-rag-index",         # chunk x16-centroid assignment fan-out
     "sample-mixture-epochs",      # explode fan-out bounded by max epochs
+    "pipeline-image-curate",      # render+decode kernels, band self-join
 ]
 
 
