@@ -262,7 +262,7 @@ def phash_images(ids: DataFrame, id_col: str = "img_id") -> DataFrame:
     gray = (299r + 587g + 114b)//1000, bit p = gray_p*64 > sum(gray)
     (integer cross-multiply, no float mean), packed into four 16-bit
     bands h0..h3 (BIGINT-safe; bands double as the Hamming-LSH keys).
-    ids >= 100000 are the planted near-duplicates of id-100000: +16 on
+    ids >= 10^12 are the planted near-duplicates of id-10^12 (the clone-id offset must exceed ANY corpus id — a +100k offset collided with real doc_ids at the 100x sweep and merged two images' pixels under one id): +16 on
     every 9th red channel — a few gray values shift ~5 units, so only
     bits near the mean flip and the clone stays within a small Hamming
     radius of its source. Arrow-batched mapInPandas; the per-row work is
@@ -276,7 +276,7 @@ def phash_images(ids: DataFrame, id_col: str = "img_id") -> DataFrame:
             out = {"img_id": [], "h0": [], "h1": [], "h2": [], "h3": []}
             for i in pdf[id_col]:
                 i = int(i)
-                base, pert = i % 100000, i >= 100000
+                base, pert = i % 10**12, i >= 10**12
                 import hashlib
 
                 rgb = bytearray()
@@ -315,8 +315,8 @@ def render_cards(
 ) -> DataFrame:
     """(id) → (id, content binary): REAL PNG bytes of the deterministic
     md5-mixed 8x8 test card (the same arithmetic phash_images and the
-    oracles replay). ids >= 100000 render the perturbed near-duplicate of
-    id-100000. With `garbage_mod`, ids whose BASE % garbage_mod == 0 emit
+    oracles replay). ids >= 10^12 render the perturbed near-duplicate of
+    id-10^12. With `garbage_mod`, ids whose BASE % garbage_mod == 0 emit
     non-PNG bytes instead — the invalid-magic true positives for
     validation routing."""
     import hashlib
@@ -329,7 +329,7 @@ def render_cards(
             out = {"img_id": [], "content": []}
             for i in pdf[id_col]:
                 i = int(i)
-                base, pert = i % 100000, i >= 100000
+                base, pert = i % 10**12, i >= 10**12
                 out["img_id"].append(i)
                 if garbage_mod is not None and base % garbage_mod == 0:
                     out["content"].append(f"not a png {base}".encode())

@@ -1519,7 +1519,7 @@ def q_sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PHASH_PIDS_SQL = """
   SELECT doc_id AS img_id, doc_id AS base, 0 AS pert FROM documents
   UNION ALL
-  SELECT doc_id + 100000, doc_id, 1 FROM documents WHERE doc_id % 10 = 0
+  SELECT doc_id + 1000000000000, doc_id, 1 FROM documents WHERE doc_id % 10 = 0
 """.strip()
 
 
@@ -1554,7 +1554,7 @@ pxg AS (
   FROM phex
 ),
 pst AS (SELECT img_id, sum(gray) AS s FROM pxg GROUP BY img_id),
-hs AS (
+hs AS MATERIALIZED (
   SELECT g.img_id,
          CAST(sum(CASE WHEN p // 16 = 0 AND g.gray*64 > pst.s THEN 1 << (p % 16) ELSE 0 END) AS BIGINT) AS h0,
          CAST(sum(CASE WHEN p // 16 = 1 AND g.gray*64 > pst.s THEN 1 << (p % 16) ELSE 0 END) AS BIGINT) AS h1,
@@ -1571,7 +1571,7 @@ def _phash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(F.col("doc_id").alias("img_id")).unionByName(
         docs.where("doc_id % 10 = 0").select(
-            (F.col("doc_id") + 100000).alias("img_id")
+            (F.col("doc_id") + 10**12).alias("img_id")
         )
     )
 
@@ -1591,7 +1591,7 @@ SELECT img_id, h0, h1, h2, h3 FROM hs
     "codec round-trip is lossless byte-for-byte. Integer-only hash "
     "(bit = gray*64 > sum(gray), no float mean), packed as four "
     "16-bit bands that double as Hamming-LSH keys. Planted "
-    "near-duplicates (+100000 ids, +16 on every 9th red channel) flip "
+    "near-duplicates (+10^12 ids — above any corpus id, +16 on every 9th red channel) flip "
     "only bits near the mean — the dedup-image-phash fixture. "
     "Arrow-batched mapInPandas, no shuffle; a PIL/ffmpeg decoder drops "
     "into the same seam for JPEG/video frames.",
@@ -1603,7 +1603,7 @@ def q_udf_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PHASH_PAIRS_CTE = """
-bands AS (
+bands AS MATERIALIZED (
   SELECT img_id, 0 AS bi, h0 AS bv FROM hs UNION ALL
   SELECT img_id, 1, h1 FROM hs UNION ALL
   SELECT img_id, 2, h2 FROM hs UNION ALL
@@ -1637,7 +1637,7 @@ SELECT img_a, img_b, hamming FROM scored WHERE hamming <= 8
     "64-bit average-hash — an EQUI self-join on (band_idx, band_value), "
     "never an all-pairs scan — then the full Hamming distance "
     "(bit_count of per-band XORs) gates at <= 8. The planted "
-    "+100000-id clones flip only mean-adjacent bits, so they surface "
+    "+10^12-id clones flip only mean-adjacent bits, so they surface "
     "through the band join; random pairs sit at Hamming ~32 and a "
     "16-bit band collision is p~6e-5, so candidate fan-out stays "
     "near-zero at any corpus size. Spark hashes real decoded PNG "
@@ -1655,7 +1655,7 @@ _PIPE_IMG_PIDS_SQL = """
   SELECT doc_id AS img_id, doc_id AS base, 0 AS pert FROM documents
   WHERE doc_id % 13 <> 0
   UNION ALL
-  SELECT doc_id + 100000, doc_id, 1 FROM documents
+  SELECT doc_id + 1000000000000, doc_id, 1 FROM documents
   WHERE doc_id % 10 = 0 AND doc_id % 13 <> 0
 """.strip()
 
