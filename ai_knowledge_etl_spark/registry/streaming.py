@@ -860,3 +860,134 @@ def q_stream_outer_join_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("sum_lag_s"),
         )
     )
+
+
+# --- custom stateful operator: cross-restart sessionization ------------------------
+
+_STATEFUL_SESS_CACHE: dict[tuple[str, str], str] = {}
+_SESS_GAP_S = 1800
+
+
+def _run_stateful_sessionize(spark: SparkSession, sf_dir: str) -> str:
+    """Two availableNow passes of a CUSTOM applyInPandasWithState operator
+    against one checkpoint: gap-sessionization whose per-user state
+    (last event time, session count, event count) must SURVIVE the stream
+    restart between waves — the property that distinguishes real stateful
+    processing from per-batch aggregation. Waves split by a global time
+    threshold so each user's events arrive in order across batches.
+    Returns the update-log path."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    workdir = tempfile.mkdtemp(prefix="etl_sess_state_")
+    staging = os.path.join(workdir, "staging")
+    out = os.path.join(workdir, "updates")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(staging)  # readStream resolves the path at plan time
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.expr("ts div 1000000000").alias("sec")
+    )
+    lo, hi = ev.agg(F.min("sec"), F.max("sec")).collect()[0]
+    mid = ((lo or 0) + (hi or 0)) // 2
+
+    ss = _stream_join_session(spark, ev)
+    schema = "event_id long, user_id long, sec long"
+    stream = ss.readStream.schema(schema).parquet(staging)
+
+    def sess_fn(key, pdf_iter, state):
+        last, n_sess, n_ev = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        rows = pd.concat(list(pdf_iter))
+        rows = rows.sort_values(["sec", "event_id"])
+        for s in rows["sec"]:
+            s = int(s)
+            if last is None or s - last > _SESS_GAP_S:
+                n_sess += 1
+            last = s
+            n_ev += 1
+        state.update((last, n_sess, n_ev))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sess],
+                "n_events": [n_ev],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        sess_fn,
+        outputStructType="user_id long, n_sessions long, n_events long",
+        stateStructType="last_sec long, n_sessions long, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def one_pass() -> None:
+        def sink(batch: DataFrame, epoch_id: int) -> None:
+            batch.write.mode("append").parquet(out)
+
+        q = (
+            updates.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev.where(F.col("sec") < mid).write.mode("append").parquet(staging)
+    one_pass()
+    ev.where(F.col("sec") >= mid).write.mode("append").parquet(staging)
+    one_pass()
+    return out
+
+
+@register(
+    "stream-stateful-sessionize",
+    f"""
+WITH secs AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec FROM events
+),
+flagged AS (
+  SELECT user_id,
+         CASE WHEN sec - lag(sec) OVER (
+                PARTITION BY user_id ORDER BY sec ASC, event_id ASC)
+              > {_SESS_GAP_S} THEN 1 ELSE 0 END AS new_s
+  FROM secs
+)
+SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM flagged GROUP BY user_id
+""".strip(),
+    doc="CUSTOM stateful streaming operator (SURVEY §2.J, the "
+    "applyInPandasWithState surface — the stable sibling of "
+    "transformWithState, whose proto gencode this env cannot load): "
+    "per-user gap sessionization where the state tuple (last event "
+    "time, session count, event count) must SURVIVE a stream restart — "
+    "events arrive in two time-split waves, each its own availableNow "
+    "run against one checkpoint, and wave 2's first event must compare "
+    "against wave 1's last timestamp restored from the state store. "
+    "Update-mode emissions append to a log; the registered result takes "
+    "each user's final (monotone) counters and must equal the batch "
+    "lag-window sessionization — any state loss between restarts "
+    "undercounts events, any state corruption miscounts sessions. "
+    "Cached per session; state partitions sized to stream volume.",
+)
+def q_stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log_path = cache_get_or_fill(
+        _STATEFUL_SESS_CACHE, spark, sf_dir,
+        lambda: _run_stateful_sessionize(spark, sf_dir), unpersist=False,
+    )
+    log = spark.read.schema(
+        "user_id long, n_sessions long, n_events long"
+    ).parquet(log_path)
+    return log.groupBy("user_id").agg(
+        F.max("n_sessions").cast("long").alias("n_sessions"),
+        F.max("n_events").cast("long").alias("n_events"),
+    )

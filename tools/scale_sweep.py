@@ -115,6 +115,7 @@ HEAVY_QUERIES = [
     "join-interval-overlap",      # binned fan-out must stay <=2 bins/row
     "stream-stream-interval-join",  # state-store join at 100x events
     "stream-outer-join-flush",    # watermark-gated outer emission at 100x
+    "stream-stateful-sessionize", # state survives restart at 100x events
     "text-bigram-perplexity",     # bigram table broadcast vs corpus growth
     "pipeline-rag-index",         # chunk x16-centroid assignment fan-out
     "sample-mixture-epochs",      # explode fan-out bounded by max epochs
