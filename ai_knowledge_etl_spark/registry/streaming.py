@@ -991,3 +991,178 @@ def q_stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_sessions").cast("long").alias("n_sessions"),
         F.max("n_events").cast("long").alias("n_events"),
     )
+
+
+# --- stateful timers: sessions emitted on event-time TIMEOUT ----------------------
+
+_SESS_TIMEOUT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _run_stateful_timeout(spark: SparkSession, sf_dir: str) -> str:
+    """Gap sessions emitted ONLY when their event-time TIMER fires: the
+    state holds the open session; in-batch gaps close sessions from the
+    data callback, the final open session per user closes from the
+    hasTimedOut callback once the watermark passes last_event + gap.
+    Sentinel waves (negative user) push the watermark past every open
+    timer, so the emission set provably converges to the batch session
+    census. Three-plus-one availableNow passes, one checkpoint."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    workdir = tempfile.mkdtemp(prefix="etl_sess_timeout_")
+    staging = os.path.join(workdir, "staging")
+    out = os.path.join(workdir, "sessions")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(staging)
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.expr("ts div 1000000000").alias("sec")
+    )
+    row = ev.agg(F.min("sec"), F.max("sec")).collect()[0]
+    lo, hi = row[0] or 0, row[1] or 0
+    mid = (lo + hi) // 2
+
+    ss = _stream_join_session(spark, ev)
+    stream = (
+        ss.readStream.schema("event_id long, user_id long, sec long")
+        .parquet(staging)
+        .withColumn("event_time", F.timestamp_seconds(F.col("sec")))
+        .withWatermark("event_time", "0 seconds")
+    )
+
+    gap = _SESS_GAP_S
+
+    def sess_fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            start, n, _last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_s": [start],
+                    "n_events": [n],
+                }
+            )
+            return
+        start, n, last = state.get if state.exists else (None, 0, None)
+        done_starts, done_counts = [], []
+        rows = pd.concat(list(pdf_iter)).sort_values(["sec", "event_id"])
+        for s in rows["sec"]:
+            s = int(s)
+            if start is None:
+                start, n, last = s, 1, s
+            elif s - last > gap:
+                done_starts.append(start)
+                done_counts.append(n)
+                start, n, last = s, 1, s
+            else:
+                n += 1
+                last = s
+        state.update((start, n, last))
+        # last_sec rides in the state tuple — reconstructing it from
+        # oldTimeoutTimestamp breaks whenever the watermark clamp below
+        # picked the watermark arm (3 split sessions at sf0.1)
+        # the timer may not sit at/behind the watermark: this batch's
+        # data can be older than the already-advanced global watermark
+        fire_ms = max(
+            (last + gap) * 1000 + 1000, state.getCurrentWatermarkMs() + 1000
+        )
+        state.setTimeoutTimestamp(fire_ms)
+        if done_starts:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(done_starts),
+                    "session_start_s": done_starts,
+                    "n_events": done_counts,
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        sess_fn,
+        outputStructType="user_id long, session_start_s long, n_events long",
+        stateStructType="start_sec long, n long, last_sec long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+    def one_pass() -> None:
+        def sink(batch: DataFrame, epoch_id: int) -> None:
+            batch.write.mode("append").parquet(out)
+
+        q = (
+            sessions.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def sentinel(eid: int, bump: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(eid, -1, hi + bump)], "event_id long, user_id long, sec long"
+        )
+
+    ev.where(F.col("sec") < mid).write.mode("append").parquet(staging)
+    one_pass()
+    ev.where(F.col("sec") >= mid).write.mode("append").parquet(staging)
+    one_pass()
+    sentinel(-1, 10 * _SESS_GAP_S).write.mode("append").parquet(staging)
+    one_pass()
+    sentinel(-2, 20 * _SESS_GAP_S).write.mode("append").parquet(staging)
+    one_pass()
+    return out
+
+
+@register(
+    "stream-stateful-timeout",
+    f"""
+WITH secs AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec FROM events
+),
+flagged AS (
+  SELECT user_id, sec, event_id,
+         CASE WHEN sec - lag(sec) OVER (
+                PARTITION BY user_id ORDER BY sec ASC, event_id ASC)
+              > {_SESS_GAP_S} THEN 1 ELSE 0 END AS new_s
+  FROM secs
+),
+sess AS (
+  SELECT user_id, sec,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM flagged
+)
+SELECT user_id, CAST(min(sec) AS BIGINT) AS session_start_s,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+""".strip(),
+    doc="Stateful TIMERS (SURVEY §2.J, the hardest stateful surface): "
+    "sessions emit only when their EVENT-TIME timeout fires — in-batch "
+    "gaps close sessions from the data callback, the open session per "
+    "user closes from the hasTimedOut callback once the watermark "
+    "passes last_event + gap (setTimeoutTimestamp clamped above the "
+    "current watermark: a late-ish batch may carry data older than the "
+    "already-advanced global watermark). Sentinel waves push the "
+    "watermark past every open timer across four availableNow passes "
+    "on one checkpoint, so the append-mode emission set provably "
+    "converges to the complete batch session census — every session "
+    "exactly once: a lost timer drops a session, a double fire "
+    "duplicates one, early emission splits one. This is the "
+    "cache-TTL/session-expiry primitive every stateful pipeline needs "
+    "and per-batch aggregation cannot express.",
+)
+def q_stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log_path = cache_get_or_fill(
+        _SESS_TIMEOUT_CACHE, spark, sf_dir,
+        lambda: _run_stateful_timeout(spark, sf_dir), unpersist=False,
+    )
+    log = spark.read.schema(
+        "user_id long, session_start_s long, n_events long"
+    ).parquet(log_path)
+    return log.where(F.col("user_id") >= 0)

@@ -110,6 +110,7 @@ HEAVY_FIRST = {
     "stream-stream-interval-join": 9,
     "stream-outer-join-flush": 12,
     "stream-stateful-sessionize": 10,
+    "stream-stateful-timeout": 12,
     "stream-cms-merge": 8,
     "agg-kmv-distinct-setops": 4,
     "agg-quantile-sample-merge": 4,

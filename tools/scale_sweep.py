@@ -116,6 +116,7 @@ HEAVY_QUERIES = [
     "stream-stream-interval-join",  # state-store join at 100x events
     "stream-outer-join-flush",    # watermark-gated outer emission at 100x
     "stream-stateful-sessionize", # state survives restart at 100x events
+    "stream-stateful-timeout",    # event-time timers fire at 100x events
     "text-bigram-perplexity",     # bigram table broadcast vs corpus growth
     "pipeline-rag-index",         # chunk x16-centroid assignment fan-out
     "sample-mixture-epochs",      # explode fan-out bounded by max epochs
