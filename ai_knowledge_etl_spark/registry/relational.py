@@ -4814,3 +4814,59 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_ov", F.lit(0)).cast("long").alias("n_overlaps"),
         F.coalesce("ov_s", F.lit(0)).cast("long").alias("overlap_s"),
     )
+
+
+@register(
+    "udf-arrow-batch-stats",
+    """
+SELECT CAST(l_returnflag AS VARCHAR) AS flag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty_c
+FROM lineitem GROUP BY 1
+""".strip(),
+    doc="mapInArrow API-coverage entry (the third Python execution "
+    "surface after pandas_udf and mapInPandas): the kernel receives raw "
+    "pyarrow RecordBatches — no pandas conversion, no index, the lowest "
+    "constant-factor path for columnar Python — and emits per-batch "
+    "partial (flag, n, qty_cents) triples via pure Arrow compute; the "
+    "JVM hash-aggregates the partials. Integer cents make the partials "
+    "associative, so the result is partitioning-invariant. The hot "
+    "paths in this repo stay JVM-side; this entry pins the API contract "
+    "(batch schema, zero-copy columns, multiple output batches).",
+)
+def q_udf_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            t = pa.table(
+                {
+                    "flag": batch.column(0),
+                    "qty_c": pc.cast(
+                        pc.round(pc.multiply(
+                            pc.cast(batch.column(1), pa.float64()), 100.0
+                        )),
+                        pa.int64(),
+                    ),
+                }
+            )
+            g = t.group_by("flag").aggregate(
+                [("qty_c", "count"), ("qty_c", "sum")]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    g.column("flag").combine_chunks(),
+                    pc.cast(g.column("qty_c_count"), pa.int64()).combine_chunks(),
+                    g.column("qty_c_sum").combine_chunks(),
+                ],
+                names=["flag", "n", "qty_c"],
+            )
+
+    partials = li.mapInArrow(gen, "flag string, n long, qty_c long")
+    return partials.groupBy("flag").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("qty_c").cast("long").alias("qty_c"),
+    )

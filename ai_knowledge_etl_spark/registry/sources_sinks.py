@@ -1751,3 +1751,79 @@ def q_pipeline_image_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("rejected:duplicate").alias("category"), "n"
         )
     )
+
+
+# --- transaction-log table: snapshots, time travel, compaction --------------------
+
+_TXN_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _run_txn_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build a 3-version transaction-log table: v0 = the English docs,
+    v1 = append the German docs, v2 = COMPACT (remove every prior file,
+    add one rewritten file with identical rows). Returns the table root."""
+    import os
+    import tempfile
+
+    from ai_knowledge_etl_spark.operators import txnlog
+
+    table = os.path.join(tempfile.mkdtemp(prefix="etl_txn_"), "docs")
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars", "lang")
+    f0 = txnlog.write_files(spark, docs.where("lang = 'en'"), table, "d0", 2)
+    txnlog.commit(table, 0, adds=f0, removes=[], op="create")
+    f1 = txnlog.write_files(spark, docs.where("lang = 'de'"), table, "d1", 2)
+    txnlog.commit(table, 1, adds=f1, removes=[], op="append")
+    compacted = txnlog.write_files(
+        spark, txnlog.snapshot(spark, table, 1), table, "c0", 1
+    )
+    txnlog.commit(table, 2, adds=compacted, removes=f0 + f1, op="compact")
+    return table
+
+
+@register(
+    "scan-time-travel",
+    """
+SELECT 0 AS version,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_fp
+FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT v.version, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT)
+FROM documents, (SELECT unnest([1, 2]) AS version) v
+WHERE lang IN ('en', 'de')
+GROUP BY v.version
+""".strip(),
+    doc="TIME TRAVEL over a minimal transaction-log table format "
+    "(operators/txnlog.py — the public Delta/Iceberg core: immutable "
+    "parquet data files + an append-only _log/ of versioned "
+    "add/remove JSON actions, commits published by atomic rename so "
+    "readers never see a half-commit and racing writers cannot both "
+    "claim a version). The query builds v0=create(en), v1=append(de), "
+    "v2=compact (remove every prior file, add one rewrite), then reads "
+    "ALL THREE versions by log replay: v0 must show only the English "
+    "rows, and v1 vs v2 must be row-identical though they share no "
+    "data file — the compaction-without-downtime invariant, pinned by "
+    "count, byte sum, and id fingerprint per version. Replay cost is "
+    "O(actions), not table bytes; past ~10^4 actions the standard "
+    "checkpoint-snapshot fix applies without changing the layout.",
+)
+def q_scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.operators import txnlog
+    from ai_knowledge_etl_spark.sources.catalog import cache_get_or_fill
+
+    table = cache_get_or_fill(
+        _TXN_CACHE, spark, sf_dir,
+        lambda: _run_txn_table(spark, sf_dir), unpersist=False,
+    )
+    schema = "doc_id long, n_chars long, lang string"
+    out = None
+    for v in (0, 1, 2):
+        snap = txnlog.snapshot(spark, table, v, schema=schema).agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("doc_id").cast("long").alias("id_fp"),
+        ).select(F.lit(v).alias("version"), "n_docs", "sum_chars", "id_fp")
+        out = snap if out is None else out.unionByName(snap)
+    return out

@@ -217,6 +217,12 @@ PLAN_ALLOWLIST = {
     # row-at-a-time by definition (like the two pandas_udf entries in
     # training.py); the hot-path chunkers stay Arrow/mapInPandas
     "udtf-lateral-chunks": {"BatchEvalPython"},
+    # the two rejection counters are corpus-wide scalar aggregates
+    # (1-row outputs unioned onto the bounded category rollup)
+    "pipeline-image-curate": {"SinglePartition"},
+    # each version snapshot reduces to a single stats row by definition
+    # (count/sum/fingerprint of the whole snapshot)
+    "scan-time-travel": {"SinglePartition"},
 }
 _SMELLS = (
     "CartesianProduct",

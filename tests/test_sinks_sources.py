@@ -562,3 +562,33 @@ def test_incremental_upsert_raises_on_unreadable_existing_table(
     assert not incremental.table_exists(spark, fresh)
     incremental.upsert_parquet(spark, fresh, docs, n_buckets=8)
     assert spark.read.parquet(fresh).count() == docs.count()
+
+
+def test_txnlog_commit_protocol(spark, sf_dir, tmp_path):
+    """Transaction-log guarantees: no half-commits visible (temp+rename),
+    lost-update guard (double-claiming a version raises), and time travel
+    reconstructs every historical snapshot after a compaction rewrote the
+    physical files."""
+    import pytest as _pytest
+
+    from ai_knowledge_etl_spark.operators import txnlog
+
+    table = str(tmp_path / "t")
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    f0 = txnlog.write_files(spark, df.where("id < 5"), table, "a", 1)
+    txnlog.commit(table, 0, adds=f0, removes=[], op="create")
+    f1 = txnlog.write_files(spark, df.where("id >= 5"), table, "b", 1)
+    txnlog.commit(table, 1, adds=f1, removes=[], op="append")
+    # lost-update guard: a racing writer cannot re-claim version 1
+    with _pytest.raises(FileExistsError):
+        txnlog.commit(table, 1, adds=f1, removes=[], op="dup")
+    # compaction rewrites physical files, logical rows unchanged
+    c = txnlog.write_files(
+        spark, txnlog.snapshot(spark, table, 1), table, "c", 1
+    )
+    txnlog.commit(table, 2, adds=c, removes=f0 + f1, op="compact")
+    assert txnlog.live_files(table, 2) == c
+    rows_v0 = {r["id"] for r in txnlog.snapshot(spark, table, 0).collect()}
+    rows_v2 = {r["id"] for r in txnlog.snapshot(spark, table, 2).collect()}
+    assert rows_v0 == set(range(5))
+    assert rows_v2 == set(range(10))
