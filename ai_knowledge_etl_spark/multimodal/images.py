@@ -372,6 +372,15 @@ def phash_bytes(
                 except Exception:
                     continue
                 n = w * h
+                if n > 252:
+                    # Four signed-int64 bands hold 63 usable bits each =
+                    # 252 bits max; a real pipeline downsamples (resize
+                    # seam) to ~8x8 BEFORE hashing — refusing here is the
+                    # honest failure, not a silently-degraded hash.
+                    raise ValueError(
+                        f"phash needs <=252 pixels (got {w}x{h}); "
+                        "downsample first"
+                    )
                 grays = [
                     (px[3 * p] * 299 + px[3 * p + 1] * 587 + px[3 * p + 2] * 114)
                     // 1000
@@ -379,9 +388,16 @@ def phash_bytes(
                 ]
                 s = sum(grays)
                 bands = [0, 0, 0, 0]
+                # Bit position = rank of p WITHIN its band (not p % 16,
+                # which collides for n != 64): collision-free for any
+                # n <= 256, and identical to p % 16 at the 8x8 fixture
+                # size, so the DuckDB oracle arithmetic is unchanged.
+                ranks = [0, 0, 0, 0]
                 for p, gv in enumerate(grays):
+                    band = (p * 4) // n
                     if gv * n > s:
-                        bands[(p * 4) // n] |= 1 << (p % 16)
+                        bands[band] |= 1 << ranks[band]
+                    ranks[band] += 1
                 out["img_id"].append(int(i))
                 for k in range(4):
                     out[f"h{k}"].append(bands[k])

@@ -146,9 +146,13 @@ def hits_scores(edges: DataFrame, n_iter: int = 2) -> DataFrame:
     Per round: two equi-joins + two hash aggregates on the edge list —
     the same shuffle shape as pagerank, linear in |E| at any scale.
     Returns (node, authority, hub) after `n_iter` rounds; nodes with no
-    in/out edges score 0.
+    in/out edges score 0. Requires n_iter >= 1 (the authority frame is
+    only defined after a first propagation round).
     """
     from pyspark.sql import functions as F
+
+    if n_iter < 1:
+        raise ValueError(f"hits_scores needs n_iter >= 1, got {n_iter}")
 
     nodes = (
         edges.select(F.col("src").alias("node"))

@@ -275,6 +275,7 @@ def mips_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     k: int = 10,
+    order_by_augmented: bool = False,
 ) -> DataFrame:
     """Maximum-inner-product top-k via the norm-augmentation reduction
     (Shrivastava & Li 2014; Bachrach et al. 2014 — public): append
@@ -285,10 +286,10 @@ def mips_topk(
     dot(q, x) / (const_q * M). This is what makes MIPS (recommendation /
     rerank scoring) servable by ANY cosine-ANN index: bucket or quantize
     the AUGMENTED vectors and the existing LSH/IVF/PQ machinery applies
-    unchanged. Candidate ordering uses the augmented cosine (the quantity
-    an index would see); the reported score is the raw inner product.
-    tests/test_similarity_quality.py proves rank-equivalence to direct
-    inner-product ordering corpus-wide."""
+    unchanged. Final ranking uses the raw inner product (bit-stable across
+    engines); the augmented cosine — the quantity an index would see — is
+    computed alongside and tests/test_similarity_quality.py proves its
+    rank-equivalence to the raw dot corpus-wide."""
     m2 = corpus.agg(
         F.max(_sq_norm(F.col(vec_col))).alias("__m2")
     )
@@ -322,16 +323,29 @@ def mips_topk(
     scored = pairs.select(
         query_id_col,
         id_col,
-        F.round(_dot(F.col("__qvec"), F.col(vec_col)), 4).alias(
-            "inner_product"
-        ),
+        _dot(F.col("__qvec"), F.col(vec_col)).alias("__ip"),
         cosine(F.col("__qaug"), F.col("__aug")).alias("__aug_cos"),
     )
+    # Default: rank by the RAW inner product (bit-identical left-to-right
+    # double fold the oracle also computes), not the augmented cosine: the
+    # cosine is ip / (const_q * M) with a per-row denominator
+    # reconstruction that carries row-varying ulp rounding, so near-tie
+    # inner products could order differently across engines. The
+    # augmented cosine — what a cosine-ANN index over the augmented
+    # vectors would bucket on — is still computed, and
+    # order_by_augmented=True ranks by it so the rank-equivalence proof in
+    # tests/test_similarity_quality.py exercises the reduction end-to-end.
+    rank_key = "__aug_cos" if order_by_augmented else "__ip"
     w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("__aug_cos"), F.asc(id_col)
+        F.desc(rank_key), F.asc(id_col)
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
-        .drop("__aug_cos")
+        .select(
+            query_id_col,
+            id_col,
+            F.round(F.col("__ip"), 4).alias("inner_product"),
+            "rank",
+        )
     )

@@ -6,11 +6,15 @@ version to get the live file set — which gives snapshot isolation, TIME
 TRAVEL, and compaction-without-downtime on any object store.
 
 Commit protocol: data files are written first (invisible until
-referenced), then the version file is written via write-temp + atomic
-rename — a reader never observes a half-commit, and two racing writers
-cannot both claim version N (the second rename targets an existing name;
-os.rename onto an existing file is checked explicitly). This is the same
-optimistic-concurrency story Delta's _delta_log uses.
+referenced), then the version file is published via write-temp + atomic
+hard-link — `os.link(tmp, final)` fails with FileExistsError if `final`
+exists, so of two racing writers exactly one claims version N and the
+loser gets a clean conflict to retry at N+1. (A bare os.rename would be
+wrong here: POSIX rename silently REPLACES an existing destination, so
+an exists()-then-rename sequence is a TOCTOU lost-update.) A reader
+never observes a half-commit because the link only appears complete.
+This is the same optimistic-concurrency story Delta's _delta_log uses
+(put-if-absent on the version object).
 
 Scale notes: replay cost is O(actions), not O(table bytes) — at 100 TB
 with daily compaction the log stays in the thousands of actions, and the
@@ -24,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -43,19 +48,28 @@ def _data_files(subdir: str) -> list[str]:
 def commit(table: str, version: int, adds: list[str], removes: list[str],
            op: str) -> None:
     """Atomically publish a version: temp-write the action file, then
-    rename. Refuses to overwrite an existing version (lost-update guard)."""
+    hard-link it to the final name. os.link is atomic fail-if-exists, so
+    two racing writers cannot both claim `version` — exactly one link
+    succeeds and the loser raises FileExistsError (no TOCTOU window, unlike
+    exists()-then-rename, where rename would silently replace the winner's
+    commit). Caller retries at the next version on conflict."""
     os.makedirs(_log_dir(table), exist_ok=True)
     final = os.path.join(_log_dir(table), f"{version:05d}.json")
-    if os.path.exists(final):
-        raise FileExistsError(f"version {version} already committed")
-    tmp = final + ".tmp"
+    # Unique temp name per writer (pid AND thread) so racing writers never
+    # clobber each other's staging file either.
+    tmp = f"{final}.{os.getpid()}.{threading.get_ident()}.tmp"
     with open(tmp, "w") as f:
         for p in removes:
             f.write(json.dumps({"remove": {"path": p}}) + "\n")
         for p in adds:
             f.write(json.dumps({"add": {"path": p}}) + "\n")
         f.write(json.dumps({"commit": {"version": version, "op": op}}) + "\n")
-    os.rename(tmp, final)
+    try:
+        os.link(tmp, final)  # atomic put-if-absent publish
+    except FileExistsError:
+        raise FileExistsError(f"version {version} already committed")
+    finally:
+        os.unlink(tmp)
 
 
 def write_files(spark: SparkSession, df: DataFrame, table: str,

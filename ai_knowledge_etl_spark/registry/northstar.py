@@ -1332,12 +1332,13 @@ FROM ranked WHERE rnk <= 10
     "sqrt(M^2-||x||^2) dimension, queries a 0, and cosine over the "
     "augmented space orders exactly like the raw inner product — the "
     "public trick that makes recommendation-style MIPS servable by any "
-    "cosine-ANN index (LSH/IVF/PQ) unchanged. The ORACLE ranks by the "
-    "raw inner product directly, so the differential test itself proves "
-    "the reduction is order-preserving on real data; Spark orders by "
-    "the augmented cosine (what an index would see) and reports the raw "
-    "dot. One scalar max-norm aggregate broadcast to the scan, queries "
-    "broadcast, JVM-side zip_with folds — no Python in the loop.",
+    "cosine-ANN index (LSH/IVF/PQ) unchanged. Both engines rank by the "
+    "raw inner product (bit-identical double folds, so the differential "
+    "hash is stable under near-ties); the augmented-cosine ordering the "
+    "index would see is proven rank-equivalent corpus-wide in "
+    "tests/test_similarity_quality.py. One scalar max-norm aggregate "
+    "broadcast to the scan, queries broadcast, JVM-side zip_with folds — "
+    "no Python in the loop.",
 )
 def q_similarity_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

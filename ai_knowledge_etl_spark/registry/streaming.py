@@ -682,7 +682,7 @@ GROUP BY e.err_id, e.user_id
     doc="NATIVE stream-stream inner join (SURVEY §2.J): clicks and errors "
     "arrive as two separate parquet file streams; the join runs inside "
     "Structured Streaming with watermarks on BOTH sides plus the range "
-    "condition clk in [err, err+600s), which is what lets the engine "
+    f"condition clk in [err, err+{_SSJ_WINDOW_S}s), which is what lets the engine "
     "evict buffered rows older than watermark+window instead of holding "
     "both streams forever — the property that makes this run "
     "indefinitely on an unbounded 100 TB/day event feed. Joined pairs "

@@ -167,9 +167,15 @@ def test_mips_reduction_is_rank_equivalent(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # order_by_augmented=True ranks by the augmented cosine (the quantity
+    # an ANN index over augmented vectors would see) — the production
+    # default ranks by the raw dot, so this flag is what makes the test
+    # actually exercise the reduction's ordering.
     via_reduction = {
         (r["query_id"], r["rank"]): r["vec_id"]
-        for r in similarity.mips_topk(emb, queries, k=20).collect()
+        for r in similarity.mips_topk(
+            emb, queries, k=20, order_by_augmented=True
+        ).collect()
     }
 
     # direct inner-product ranking, no augmentation

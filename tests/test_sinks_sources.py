@@ -592,3 +592,51 @@ def test_txnlog_commit_protocol(spark, sf_dir, tmp_path):
     rows_v2 = {r["id"] for r in txnlog.snapshot(spark, table, 2).collect()}
     assert rows_v0 == set(range(5))
     assert rows_v2 == set(range(10))
+
+
+def test_txnlog_concurrent_writers_one_wins(spark, tmp_path):
+    """Two interleaved writers racing to claim the same version: exactly
+    one commit() must win and the loser must observe FileExistsError and
+    retry cleanly at the next version — the optimistic-concurrency
+    guarantee a 100 TB lakehouse table needs (put-if-absent on the version
+    object; Delta _delta_log semantics). The publish step is os.link,
+    which is atomic fail-if-exists, so there is no TOCTOU window: both
+    writers pass any pre-check simultaneously and the filesystem still
+    serializes them. A barrier lines the two threads up at the commit
+    call to make the race deterministic-by-construction."""
+    import threading
+
+    from ai_knowledge_etl_spark.operators import txnlog
+
+    table = str(tmp_path / "race")
+    df = spark.range(4).selectExpr("id", "id AS v")
+    fa = txnlog.write_files(spark, df.where("id < 2"), table, "wa", 1)
+    fb = txnlog.write_files(spark, df.where("id >= 2"), table, "wb", 1)
+
+    barrier = threading.Barrier(2)
+    outcome: dict[str, object] = {}
+
+    def writer(name: str, adds: list[str]) -> None:
+        barrier.wait()  # both threads hit commit(version=0) together
+        try:
+            txnlog.commit(table, 0, adds=adds, removes=[], op=f"create-{name}")
+            outcome[name] = "won"
+        except FileExistsError:
+            # Loser's retry protocol: re-read the log tip, claim next.
+            txnlog.commit(table, 1, adds=adds, removes=[], op=f"retry-{name}")
+            outcome[name] = "retried"
+
+    t1 = threading.Thread(target=writer, args=("a", fa))
+    t2 = threading.Thread(target=writer, args=("b", fb))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    # Exactly one winner, one clean retry — never two wins (lost update)
+    # and never two losses (livelock).
+    assert sorted(outcome.values()) == ["retried", "won"]
+    # Both commits landed; no staging files leaked.
+    assert txnlog.live_files(table, 1) == sorted(fa + fb)
+    log_dir = os.path.join(table, "_log")
+    assert sorted(os.listdir(log_dir)) == ["00000.json", "00001.json"]
+    # Full table readable — neither writer's data was lost.
+    rows = {r["id"] for r in txnlog.snapshot(spark, table).collect()}
+    assert rows == {0, 1, 2, 3}
