@@ -17,6 +17,46 @@ LINK_ANCHOR_WEIGHT = 5  # +5 when the anchor text matches
 LINK_CONTEXT_WEIGHT = 2  # +2 when the surrounding context matches
 SCORE_CAP = 10
 
+# --- preset multilingual relevance-pattern catalog (reference:
+#     skills/relevance-scorer/references/patterns.md:1-64 — the curated
+#     bilingual EN/中文 regex table per technology domain and doc type a
+#     user reaching for --topic gets for free). Lowercase literals matched
+#     against lower(text) so no engine-specific case folding is involved;
+#     every pattern is in the Java∩RE2 subset (alternations + `.?` only)
+#     and carries ONE capture group, the scoring-kernel contract
+#     (functions/scoring.mention_count). Dict order is the catalog order —
+#     probe fixtures index into it positionally. ---
+TOPIC_PRESETS: dict[str, str] = {
+    "api-development": (
+        "(api|rest|graphql|endpoint|接口|端点|认证|authentication"
+        "|oauth|jwt|token)"
+    ),
+    "frontend": (
+        "(react|vue|angular|component|组件|ui|ux|css|样式"
+        "|responsive|响应式)"
+    ),
+    "backend": (
+        "(database|数据库|sql|nosql|server|服务器|microservice"
+        "|微服务|cache|缓存)"
+    ),
+    "devops": (
+        "(docker|kubernetes|ci/cd|deploy|部署|container|容器"
+        "|pipeline|monitoring|监控)"
+    ),
+    "security": (
+        "(security|安全|authentication|授权|encryption|加密"
+        "|vulnerability|漏洞|owasp)"
+    ),
+    "getting-started": (
+        "(getting.?started|quick.?start|入门|快速开始|tutorial"
+        "|教程|guide|指南)"
+    ),
+    "reference-docs": (
+        "(reference|参考|api.?docs|specification|规范|schema|模式)"
+    ),
+    "examples": "(example|示例|sample|demo|演示|cookbook|recipes)",
+}
+
 # page scoring (reference: skills/relevance-scorer/SKILL.md:69-86,123-155)
 PAGE_TITLE_WEIGHT = 3  # +3 title match
 PAGE_HEADING_WEIGHT = 2  # +2 per heading match, max 2 headings counted
@@ -107,6 +147,15 @@ DEDUP_SHINGLE_MAX_DF = 100
 # the CCNet style) ---
 GOPHER_DUP3_MAX = 0.10  # max fraction of duplicate word-3-grams per doc
 GOPHER_TOPWORD_MAX = 0.12  # max share of the single most frequent word
+# Unigram-LM vocabulary cap (CCNet-style capped artifact): the LM table
+# broadcast to executors holds at most this many (token, count) rows plus
+# one OOV bucket carrying the residual mass — NEVER the full raw vocabulary
+# (by Heaps' law a 100 TB web corpus has billions of distinct raw tokens;
+# an unbounded broadcast OOMs the driver). Production value would be
+# ~2^16 like a shipped KenLM vocab; set low enough here to BIND on the
+# 31-type synthetic corpus so every differential run exercises the OOV
+# path (a cap the tests never hit is an untested cap).
+UNIGRAM_VOCAB_TOPK = 24
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 20

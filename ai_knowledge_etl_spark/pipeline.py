@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ai_knowledge_etl_spark import config
 from ai_knowledge_etl_spark.functions import scoring, text as TX, urls as U
-from ai_knowledge_etl_spark.operators import chunking, dedup, sinks, topk
+from ai_knowledge_etl_spark.operators import chunking, dedup, lm, sinks, topk
 from ai_knowledge_etl_spark.sources import web
 
 
@@ -342,7 +342,7 @@ def curate_warc_corpus(
     warc_files: DataFrame,
     uri_lookup: DataFrame,
     target_pred: str = "lang = 'en'",
-    lp_min: float = -4.5,
+    lp_min: float = -3.1,
     min_norm_chars: int = 40,
     top_n: int = 100,
 ) -> DataFrame:
@@ -410,19 +410,14 @@ def curate_warc_corpus(
     )
     gated = parsed.join(gop, "doc_id")
 
-    # unigram-logprob gate, self-trained on the gate survivors
+    # unigram-logprob gate, self-trained on the gate survivors under the
+    # CAPPED vocabulary (operators/lm): the broadcast LM table is top-K
+    # tokens + one OOV residual bucket — <= K+1 rows at any corpus size,
+    # never the full raw vocab (which is billions of types at 100 TB).
     toks = gated.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
-    vtot = toks.agg(F.count("*").alias("tot"))
     lp = (
-        toks.join(F.broadcast(vocab), "w")
-        .crossJoin(F.broadcast(vtot))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.avg(F.log(F.col("cnt").cast("double") / F.col("tot"))), 3
-            ).alias("avg_logprob")
-        )
+        lm.avg_logprob(toks)
+        .select("doc_id", "avg_logprob")
         .where(F.col("avg_logprob") >= lp_min)
     )
     # Persisted: `qual` feeds three consumers (paragraph dedup, the

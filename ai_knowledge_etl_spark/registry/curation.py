@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_knowledge_etl_spark.operators import curation as CU
+from ai_knowledge_etl_spark.operators import lm as _lm
 from ai_knowledge_etl_spark.registry import register
 from ai_knowledge_etl_spark.sources import synthetic as syn
 from ai_knowledge_etl_spark.sources.catalog import load_table
@@ -307,7 +308,11 @@ from ai_knowledge_etl_spark.registry.northstar import (  # noqa: E402
 
 from ai_knowledge_etl_spark import config as _cfg  # noqa: E402
 
-_PWC_LP_MIN = -4.5  # measured corpus spread [-4.82, -3.83]; gates the tail
+# Measured under the CAPPED unigram LM (operators/lm, K=24 binds on this
+# corpus): survivor spread ~[-3.33, -1.77] with p5 ≈ -3.10 at every SF
+# (0.001/0.01/0.1) — gate at the 5% tail so the lp stage provably rejects
+# docs on the test corpus (a gate that never fires is an untested gate).
+_PWC_LP_MIN = -3.1
 
 _WARC_NORM_SQL = (
     "trim(regexp_replace(regexp_replace(lower(text_kept), '[^a-z0-9 ]', "
@@ -342,11 +347,9 @@ gop AS (
 ),
 gated AS MATERIALIZED (SELECT s.* FROM surv s JOIN gop USING (doc_id)),
 gtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM gated),
-vocab AS (SELECT w, count(*) AS cnt FROM gtoks GROUP BY w),
-vtot AS (SELECT count(*) AS tot FROM gtoks),
+{_lm.oracle_lm_ctes("gtoks")},
 lp AS (
-  SELECT doc_id, round(avg(ln(CAST(cnt AS DOUBLE) / tot)), 3) AS avg_logprob
-  FROM gtoks JOIN vocab USING (w), vtot GROUP BY doc_id
+  SELECT doc_id, round(avg(lp), 3) AS avg_logprob FROM lmtoks GROUP BY doc_id
 ),
 qual AS MATERIALIZED (
   SELECT g.doc_id, g.lang, g.source, g.text, l.avg_logprob

