@@ -159,6 +159,71 @@ def q_classify_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PRESET_VALUES = ",\n    ".join(
+    f"('{k}', '{p}')" for k, p in config.TOPIC_PRESETS.items()
+)
+
+
+@register(
+    "score-page-preset",
+    f"""
+WITH {syn.UNI_DOCS_CTE},
+{syn.PRESET_DOCS_CTE},
+presets(preset, pattern) AS (VALUES
+    {_PRESET_VALUES}),
+m AS (
+  SELECT p.preset, d.doc_id,
+         len(regexp_extract_all(lower(d.text), p.pattern, 1)) AS m
+  FROM pdocs d, presets p
+)
+SELECT preset,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(m) AS BIGINT) AS sum_mentions,
+       CAST(max(m) AS INTEGER) AS max_mentions
+FROM m WHERE m > 0
+GROUP BY preset
+""".strip(),
+    doc="The PRESET relevance-pattern catalog scoring the multibyte probe "
+    "corpus (reference: skills/relevance-scorer/references/patterns.md:"
+    "1-64 — the curated bilingual EN/中文 regex table per technology "
+    "domain and doc type that a user reaching for --topic gets for "
+    "free). config.TOPIC_PRESETS ships all eight presets in the "
+    "Java∩RE2 subset; every doc in uni_docs gets one planted bilingual "
+    "snippet (synthetic.PRESET_SNIPPETS, doc_id % 8), so each preset "
+    "has true positives whose CJK alternations are load-bearing. Spark "
+    "side evaluates the 8 literal patterns as codegen'd "
+    "regexp_extract_all columns then explodes to long form — patterns "
+    "stay foldable so each regex compiles once per task, linear scan, "
+    "no shuffle before the 8-group aggregate. Counting (not boolean) "
+    "matches makes the differential sensitive to engine regex-semantics "
+    "drift (leftmost-first alternation in both Java and RE2).",
+)
+def q_score_page_preset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = syn.preset_docs(_docs(spark, sf_dir))
+    lowered = F.lower(F.col("text"))
+    structs = [
+        F.struct(
+            F.lit(k).alias("preset"),
+            F.size(F.regexp_extract_all(lowered, F.lit(p), F.lit(1))).alias(
+                "m"
+            ),
+        )
+        for k, p in config.TOPIC_PRESETS.items()
+    ]
+    long = docs.select(
+        "doc_id", F.explode(F.array(*structs)).alias("s")
+    ).select("doc_id", F.col("s.preset").alias("preset"), F.col("s.m").alias("m"))
+    return (
+        long.where(F.col("m") > 0)
+        .groupBy("preset")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("m").cast("bigint").alias("sum_mentions"),
+            F.max("m").cast("int").alias("max_mentions"),
+        )
+    )
+
+
 # --- §2.B projections ----------------------------------------------------------
 
 

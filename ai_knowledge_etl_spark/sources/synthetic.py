@@ -162,6 +162,46 @@ udocs AS (
 )
 """.strip()
 
+# Bilingual probe snippets for the preset relevance-pattern catalog
+# (config.TOPIC_PRESETS; reference:
+# skills/relevance-scorer/references/patterns.md:1-64): snippet i carries
+# one English AND one 中文 term of preset i (catalog order), chosen to be
+# unique to that preset, so "preset i matches its own planted docs" is a
+# true-positive assertion and the CJK alternations are load-bearing.
+PRESET_SNIPPETS = [
+    " oauth 认证 endpoint",        # api-development
+    " react 组件 css",             # frontend
+    " nosql 数据库 缓存",           # backend
+    " docker 容器 部署",            # devops
+    " owasp 漏洞 加密",             # security
+    " quick start 入门 教程",       # getting-started
+    " specification 规范 参考",     # reference-docs
+    " demo 示例 cookbook",          # examples
+]
+
+_PRESET_CASE = " ".join(
+    f"WHEN {i} THEN '{s}'" for i, s in enumerate(PRESET_SNIPPETS)
+)
+# Every doc gets exactly one preset snippet (doc_id % 8 picks it), appended
+# to the multibyte uni text — so each preset has ~1/8 of the corpus as
+# planted bilingual probes, in both engines from this one expression.
+PRESET_TEXT_EXPR = f"text || CASE doc_id % 8 {_PRESET_CASE} END"
+
+PRESET_DOCS_CTE = f"""
+pdocs AS (
+  SELECT doc_id, ({PRESET_TEXT_EXPR}) AS text, lang, source FROM udocs
+)
+""".strip()
+
+
+def preset_docs(documents: DataFrame) -> DataFrame:
+    """Spark twin of PRESET_DOCS_CTE over uni_docs: the multibyte corpus
+    with one bilingual preset snippet planted per doc (doc_id % 8)."""
+    return uni_docs(documents).select(
+        "doc_id", F.expr(PRESET_TEXT_EXPR).alias("text"), "lang", "source"
+    )
+
+
 # Paragraph-shaped probe for paragraph-level dedup: 3 paragraphs per doc,
 # the middle one drawn from a tiny boilerplate pool on half the corpus
 # (newsletter/copyright footers — the classic cross-document duplicate

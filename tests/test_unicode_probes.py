@@ -116,3 +116,38 @@ def test_smart_chunker_overlap_on_multibyte(spark, sf_dir):
         ~F.col("idx_contiguous") | ~F.col("chunks_nonempty") | ~F.col("overlap_ok")
     )
     assert bad.count() == 0
+
+
+def test_each_preset_hits_its_planted_bilingual_probes(spark, sf_dir):
+    """TOPIC_PRESETS (the reference's curated bilingual pattern catalog,
+    skills/relevance-scorer/references/patterns.md) must each match their
+    planted probe docs — and the 中文 alternations must be the matching
+    branch for at least one term per preset, so the CJK side of each
+    pattern is load-bearing, not decoration."""
+    from ai_knowledge_etl_spark import config
+
+    docs = syn.preset_docs(load_table(spark, sf_dir, "documents"))
+    keys = list(config.TOPIC_PRESETS)
+    assert len(keys) == len(syn.PRESET_SNIPPETS) == 8
+    for i, key in enumerate(keys):
+        pat = config.TOPIC_PRESETS[key]
+        planted = docs.where(F.col("doc_id") % 8 == i)
+        n_planted = planted.count()
+        assert n_planted > 0
+        # every planted doc matches its own preset
+        n_hit = planted.where(
+            F.size(
+                F.regexp_extract_all(F.lower("text"), F.lit(pat), F.lit(1))
+            )
+            > 0
+        ).count()
+        assert n_hit == n_planted, f"{key}: {n_hit}/{n_planted} probes hit"
+        # the snippet's CJK term alone matches the pattern (the bilingual
+        # half is exercised, independent of the English terms)
+        import re
+
+        cjk_terms = re.findall(r"[一-鿿]+", syn.PRESET_SNIPPETS[i])
+        assert cjk_terms, f"{key}: snippet carries no CJK term"
+        assert any(
+            re.search(pat, t) for t in cjk_terms
+        ), f"{key}: no CJK term of its snippet matches the preset"
