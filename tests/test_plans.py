@@ -258,10 +258,49 @@ def test_sequential_ids_have_no_global_window(spark, sf_dir):
 def test_batch_packing_window_is_partitioned(spark, sf_dir):
     """The packing window must carry PARTITION BY (session key), not a
     global ORDER BY — one reducer per session, not one reducer total."""
-    for name in ("window-batch-assign", "plan-batches"):
+    for name in ("window-batch-assign", "plan-batches", "agg-batch-rollup"):
         plan = _plan(spark, sf_dir, name)
         assert "SinglePartition" not in plan, name
         assert "hashpartitioning(o_custkey" in plan, name
+
+
+def test_batch_packing_global_fallback_is_never_called_in_source(spark):
+    """VERDICT r4 #4: operators/batching.assign_batches documents a
+    global-window fallback (no partition_cols) that is acceptable ONLY for
+    the reference's <=100-task planner state. Pin the docstring promise:
+    no production call site may omit partition_cols — otherwise the
+    single-reducer branch silently becomes the default on real data. The
+    physical-plan test above proves the registry queries take the
+    partitioned branch; this one proves no OTHER caller exists."""
+    import ast
+    import os
+
+    import ai_knowledge_etl_spark as pkg
+
+    root = os.path.dirname(pkg.__file__)
+    offenders = []
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            if fn == "batching.py":
+                continue  # the definition itself
+            tree = ast.parse(open(path).read())
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "assign_batches"
+                ):
+                    kw = {k.arg for k in node.keywords}
+                    # positional arity: partition_cols is the 5th arg
+                    if "partition_cols" not in kw and len(node.args) < 5:
+                        offenders.append(f"{path}:{node.lineno}")
+    assert not offenders, (
+        "assign_batches called without partition_cols (global single-"
+        f"reducer window) at: {offenders}"
+    )
 
 
 def test_asof_join_is_single_shuffle(spark, sf_dir):
@@ -617,3 +656,98 @@ def test_unigram_lm_table_is_bounded(spark, sf_dir):
     # The composed 100 TB entry pipeline must use the same bounded form.
     wplan = _plan(spark, sf_dir, "pipeline-warc-corpus")
     assert "TakeOrderedAndProject" in wplan
+
+
+def _zipf_crawl_corpus(spark, n_links: int):
+    """Crawl-links corpus with the pathological domain tail docs/SCALE.md
+    names: ONE domain holds ~30% of all pages, the rest spread over ~997
+    Zipf-ish domains. Shaped like the frontier/visited tables of the
+    crawl suite (link url + domain key joining a per-domain dim)."""
+    links = spark.range(n_links).select(
+        F.col("id").alias("link_id"),
+        F.when(F.col("id") % 10 < 3, F.lit("hot.example.com"))
+        .otherwise(
+            F.concat(
+                F.lit("d"),
+                F.pmod(F.hash(F.col("id")), F.lit(997)).cast("string"),
+                F.lit(".example.com"),
+            )
+        )
+        .alias("domain"),
+        F.concat(F.lit("https://x/"), F.col("id").cast("string")).alias(
+            "url"
+        ),
+    )
+    # Independent per-domain dim (crawl policy): built from its own range,
+    # NOT derived from the links frame — deriving it re-plans the links
+    # scan under the dim and AQE then declines to split the skewed
+    # partition (measured); an independent dim is also what a real
+    # crawl-policy table is.
+    dim = spark.range(0, 998).select(
+        F.when(F.col("id") == 997, F.lit("hot.example.com"))
+        .otherwise(
+            F.concat(F.lit("d"), F.col("id").cast("string"),
+                     F.lit(".example.com"))
+        )
+        .alias("domain"),
+        (F.col("id") % 7).cast("long").alias("crawl_delay"),
+    )
+    return links, dim
+
+
+def test_zipf_domain_skew_aqe_split_fires_on_crawl_join(spark, sf_dir):
+    """VERDICT r4 #8(a): on a crawl corpus where one domain holds ~30% of
+    pages, the UNSALTED domain-keyed join (the frontier-visited /
+    links-per-domain-policy shape) must be rescued by AQE's skew split at
+    runtime — proving the join shape stays sort-merge-splittable and the
+    session confs enable the rescue. Thresholds lowered to fixture bytes;
+    the trigger is byte-based and identical at 100 TB."""
+    overrides = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        links, dim = _zipf_crawl_corpus(spark, 20_000)
+        # multi-mapper input: AQE splits a skewed reduce partition into
+        # ranges of MAP outputs, so single-mapper input has nothing to split
+        links = links.repartition(8, "link_id")
+        joined = links.hint("merge").join(dim.hint("merge"), "domain")
+        # materialize THIS frame (not a derived count) — AQE rewrites the
+        # plan at runtime, so the skew marker only appears on the executed
+        # plan of the collected DataFrame
+        assert len(joined.collect()) == 20_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "AQE did not split the 30%-domain partition:\n" + plan[:2000]
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_zipf_domain_salted_join_matches_plain_at_100x(spark, sf_dir):
+    """VERDICT r4 #8(b): operators/partitioning.salted_join must return
+    EXACTLY the plain join's rows on the Zipf crawl corpus at 100x the
+    crawl fixture's link count (500 -> 50k) — the explicit remedy
+    docs/SCALE.md promises for the one-domain-with-10^7-pages tail is
+    only a remedy if it is result-identical."""
+    from ai_knowledge_etl_spark.operators.partitioning import salted_join
+
+    links, dim = _zipf_crawl_corpus(spark, 50_000)
+    cols = ["link_id", "domain", "url", "crawl_delay"]
+    plain = links.join(dim, "domain").select(*cols)
+    salted = salted_join(links, dim, "domain", n_salts=8).select(*cols)
+    assert salted.count() == plain.count() == 50_000
+    assert salted.exceptAll(plain).isEmpty()
+    assert plain.exceptAll(salted).isEmpty()
