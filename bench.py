@@ -254,16 +254,58 @@ def main() -> None:
     # Per-query timings go to a sidecar, NOT the stdout line: the driver
     # captures only a tail of stdout and a ~6 KB line gets truncated
     # mid-JSON (BENCH_r01 came back parsed:null). Keep the final line tiny.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as f:
-        json.dump(
-            {**headline, "queries": timings, "isolated": isolated},
-            f,
-            indent=1,
-            sort_keys=True,
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail = {**headline, "queries": timings, "isolated": isolated}
+
+    # Round-over-round history (VERDICT r4 #3): BENCH_DETAIL.json used to
+    # be overwritten every round, so no verdict could name per-query
+    # regressions. The current round number is inferred from the driver's
+    # BENCH_r{N}.json records (driver writes r{N} AFTER this runs, so the
+    # live round is max+1); the detail snapshot is ALSO written to
+    # BENCH_DETAIL_r{N}.json, and the top-10 isolated-latency deltas vs
+    # the newest previous snapshot go to stderr (stdout stays one line).
+    def _round_no(pat: str) -> int:
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(repo)
+            if (m := re.match(pat, f))
+        ]
+        return max(rounds, default=0)
+
+    cur_round = _round_no(r"BENCH_r(\d+)\.json$") + 1
+    prev_snap = _round_no(r"BENCH_DETAIL_r(\d+)\.json$")
+    deltas = []
+    if 0 < prev_snap < cur_round:
+        with open(os.path.join(repo, f"BENCH_DETAIL_r{prev_snap:02d}.json")) as f:
+            prev_iso = json.load(f).get("isolated", {})
+        for name, cur in isolated.items():
+            old = prev_iso.get(name, {}).get("spark")
+            if old is not None and cur["spark"] is not None:
+                deltas.append(
+                    {
+                        "query": name,
+                        "prev_s": old,
+                        "cur_s": cur["spark"],
+                        "delta_s": round(cur["spark"] - old, 3),
+                    }
+                )
+        deltas.sort(key=lambda d: -d["delta_s"])
+        print(
+            f"# top-10 isolated deltas vs r{prev_snap} "
+            "(positive = regression):",
+            file=sys.stderr,
         )
+        for d in deltas[:10]:
+            print(
+                f"#  {d['query']:40s} {d['prev_s']:7.3f}s -> "
+                f"{d['cur_s']:7.3f}s  ({d['delta_s']:+.3f}s)",
+                file=sys.stderr,
+            )
+        detail["deltas_vs_prev"] = {"prev_round": prev_snap, "top": deltas[:25]}
+
+    for path in ("BENCH_DETAIL.json", f"BENCH_DETAIL_r{cur_round:02d}.json"):
+        with open(os.path.join(repo, path), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
     print(json.dumps(headline))
 
 
