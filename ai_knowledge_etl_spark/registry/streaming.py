@@ -993,6 +993,114 @@ def q_stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- transformWithState: typed ValueState running stats ---------------------------
+
+_TWS_STATS_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _run_user_stats_tws(spark: SparkSession, sf_dir: str) -> str:
+    """Two availableNow passes of streaming/stateful.UserStatsProcessor
+    (transformWithStateInPandas, Spark 4.x StatefulProcessor API) against
+    one checkpoint on the RocksDB provider: per-user (count, value-sum)
+    in a typed ValueState that must SURVIVE the stream restart between
+    the two time-split waves. Returns the update-log path."""
+    import os
+    import tempfile
+
+    from ai_knowledge_etl_spark.streaming import stateful
+
+    if not stateful.HAS_TWS:  # pragma: no cover - no protobuf anywhere
+        raise RuntimeError(
+            "transformWithState needs google.protobuf>=5.27 "
+            "(compat.ensure_protobuf found none)"
+        )
+    stateful.prepare_session(spark)
+
+    workdir = tempfile.mkdtemp(prefix="etl_tws_stats_")
+    staging = os.path.join(workdir, "staging")
+    out = os.path.join(workdir, "updates")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(staging)
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "value", F.expr("ts div 1000000000").alias("sec")
+    )
+    lo, hi = ev.agg(F.min("sec"), F.max("sec")).collect()[0]
+    mid = ((lo or 0) + (hi or 0)) // 2
+
+    ss = _stream_join_session(spark, ev)
+    ss.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        stateful.ROCKSDB_PROVIDER,
+    )
+    schema = "event_id long, user_id long, value double, sec long"
+    stream = ss.readStream.schema(schema).parquet(staging)
+    updates = stateful.running_user_stats(stream)
+
+    def one_pass() -> None:
+        def sink(batch: DataFrame, epoch_id: int) -> None:
+            batch.write.mode("append").parquet(out)
+
+        q = (
+            updates.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev.where(F.col("sec") < mid).write.mode("append").parquet(staging)
+    one_pass()
+    ev.where(F.col("sec") >= mid).write.mode("append").parquet(staging)
+    one_pass()
+    return out
+
+
+@register(
+    "stream-user-stats-tws",
+    """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(CAST(value AS DOUBLE)), 2) AS total_value
+FROM events GROUP BY user_id
+""".strip(),
+    doc="transformWithStateInPandas (SURVEY §2.J — the Spark 4.x "
+    "StatefulProcessor API, successor to applyInPandasWithState): "
+    "per-user running (count, value-sum) in a TYPED ValueState on the "
+    "RocksDB state store, state sharded by grouping key across "
+    "executors — per-executor state is O(active keys / executors), "
+    "independent of stream length. Events arrive in two time-split "
+    "waves, each its own availableNow run against one checkpoint, so "
+    "wave 2 must restore wave 1's counters from RocksDB: state loss "
+    "undercounts, corruption missums, and either breaks the hash "
+    "against the plain batch groupBy oracle. The container's missing-"
+    "protobuf blocker is resolved by compat.ensure_protobuf + "
+    "stateful.prepare_session (on-disk pure-Python protobuf 6.32, "
+    "PYTHONPATH routed to the TWS pre-init runner via "
+    "sc.environment, which py-files do NOT reach). Update-mode "
+    "emissions append to a log; the registered result takes each "
+    "user's final monotone counters. Cached per session.",
+)
+def q_stream_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log_path = cache_get_or_fill(
+        _TWS_STATS_CACHE, spark, sf_dir,
+        lambda: _run_user_stats_tws(spark, sf_dir), unpersist=False,
+    )
+    log = spark.read.schema(
+        "user_id long, n_events long, total_value double"
+    ).parquet(log_path)
+    return log.groupBy("user_id").agg(
+        F.max("n_events").cast("long").alias("n_events"),
+        F.round(
+            F.max(F.struct("n_events", "total_value")).getField(
+                "total_value"
+            ),
+            2,
+        ).alias("total_value"),
+    )
+
+
 # --- stateful timers: sessions emitted on event-time TIMEOUT ----------------------
 
 _SESS_TIMEOUT_CACHE: dict[tuple[str, str], str] = {}

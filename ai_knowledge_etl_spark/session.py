@@ -31,6 +31,12 @@ def get_spark(
     are the scale story. It is worth turning OFF for sub-GB microbenchmarks:
     measured here, AQE's per-stage re-planning roughly doubles wall time on
     tiny inputs while buying nothing (bench.py does exactly that)."""
+    # Must run BEFORE the JVM launches: makes google.protobuf importable in
+    # the TWS pre-init runner and Python workers via inherited PYTHONPATH
+    # (no-op when protobuf is properly installed; see compat.py).
+    from ai_knowledge_etl_spark.compat import ensure_protobuf
+
+    ensure_protobuf()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)

@@ -20,17 +20,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from ai_knowledge_etl_spark.compat import ensure_protobuf
+
 try:  # Spark >= 4.0, and protobuf present (the TWS state protocol needs
-    # google.protobuf in every python worker; without it the driver-side
-    # pre-init worker crashes with STREAMING_PYTHON_RUNNER_INITIALIZATION).
-    # Version floor: Spark 4.1's StateMessage_pb2 gencode imports
-    # google.protobuf.runtime_version, added in protobuf 5.27 — an older
-    # 4.x runtime gets past this import but fails inside the streaming
-    # runner (verified in-sandbox against a vendored 4.23: the RocksDB
-    # provider and runner wiring all work; only the protobuf import line
-    # fails). On a real cluster: `--py-files` the package and ship
-    # protobuf>=5.27 in the environment; no code changes needed.
-    import google.protobuf  # noqa: F401
+    # google.protobuf in the driver, the pre-init streaming runner, AND
+    # every python worker; without it the pre-init worker crashes with
+    # STREAMING_PYTHON_RUNNER_INITIALIZATION). Version floor: Spark 4.1's
+    # StateMessage_pb2 gencode imports google.protobuf.runtime_version,
+    # added in protobuf 5.27. compat.ensure_protobuf() resolves this in
+    # the no-network container from the on-disk pure-Python protobuf 6.32
+    # (and exports PYTHONPATH for the runner/workers — effective when the
+    # session comes from session.get_spark, which calls it pre-JVM). On a
+    # real cluster: ship protobuf>=5.27 in the env; the shim is a no-op.
+    if not ensure_protobuf():  # pragma: no cover - no protobuf anywhere
+        raise ImportError("google.protobuf unavailable")
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -80,6 +83,38 @@ class UserStatsProcessor(StatefulProcessor):
 
     def close(self) -> None:
         pass
+
+
+def prepare_session(spark) -> None:
+    """Make transformWithState runnable on a session created by ANYONE
+    (the external driver builds its own SparkSession, so the pre-JVM env
+    export in session.get_spark may not have happened). The TWS PRE-INIT
+    runner is spawned by the JVM from the PythonFunction's envVars — which
+    come from sparkContext.environment, mutable at runtime — and it does
+    NOT see addPyFile includes (verified: a py-files-shipped package is
+    ModuleNotFound there while regular task workers import it fine). So
+    this sets PYTHONPATH (repo root + the protobuf fallback dir) and the
+    protobuf version-check override in sc.environment. Idempotent, cheap,
+    a no-op for everything except TWS queries."""
+    import os
+    import sys as _sys
+
+    import ai_knowledge_etl_spark as _pkg
+
+    ensure_protobuf()  # driver-side import + os.environ export
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
+    parts = [repo_root]
+    for p in _sys.path:
+        if os.path.isdir(os.path.join(p, "google", "protobuf")):
+            parts.append(p)
+    prev = os.environ.get("PYTHONPATH", "")
+    if prev:
+        parts.append(prev)
+    env = spark.sparkContext.environment
+    env["PYTHONPATH"] = os.pathsep.join(dict.fromkeys(parts))
+    check = os.environ.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK")
+    if check:
+        env["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = check
 
 
 def running_user_stats(stream: DataFrame) -> DataFrame:
