@@ -374,7 +374,18 @@ def curate_warc_corpus(
     from ai_knowledge_etl_spark.operators import curation as CU
     from ai_knowledge_etl_spark.sources import warc
 
-    parsed = warc.scan_warc_text(warc_files).join(uri_lookup, "uri")
+    # Cut here: `parsed` feeds FOUR consumers (the 3-gram gate, the
+    # top-word gate, the gated join, and the LM token stream), and
+    # without a cut each one re-runs the Python WARC byte parse — the
+    # pipeline's most expensive per-byte stage at 100 TB. Local wall is
+    # noise-level either way at sf0.1 (r5 profiling: parse 0.6-0.9 s,
+    # 4 replays vs one ~1 s materialization), but 4x the parse at scale
+    # is the difference that matters.
+    parsed = (
+        warc.scan_warc_text(warc_files)
+        .join(uri_lookup, "uri")
+        .localCheckpoint()
+    )
 
     # Gopher repetition gates (registry twin: filter-repetition-gopher)
     words = parsed.select("doc_id", F.split("text", " ").alias("ws"))

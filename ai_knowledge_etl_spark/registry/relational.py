@@ -2836,23 +2836,28 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("grp"),
         F.col("l_extendedprice").cast("decimal(12,2)").alias("v"),
     )
-    # NOT checkpointed, deliberately: 5 downstream consumers replay the
-    # corpus scan + histogram agg (10 FileScans in the executed plan),
-    # but the replays are page-cache-cheap (warm wall identical within
-    # 0.2 s measured) and a localCheckpoint here would turn the
-    # histogram into a LogicalRDD scan that blinds the
-    # windows-run-over-histograms plan audit — the structural guarantee
-    # is worth more than the cold-run seconds.
+    # NOT checkpointed, deliberately: downstream consumers replay the
+    # histogram lineage, but the replays dedupe to ReusedExchange nodes
+    # (computed once) and a localCheckpoint would turn the histogram into
+    # a LogicalRDD scan that blinds the windows-run-over-histograms plan
+    # audit — measured (r5 profiling pass): checkpointing does not beat
+    # the plain warm wall here.
     hist = x.groupBy("grp", "v").agg(F.count("*").cast("long").alias("c"))
-    tot = hist.groupBy("grp").agg(F.sum("c").cast("long").alias("cnt"))
     wv = (
         Window.partitionBy("grp")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Per-group total fused INTO the window stage: cnt = max cumulative
+    # count over an unordered grp window, which runs on the same sorted
+    # partition as the cumulative sum — this deletes the separate `tot`
+    # aggregate chain and its two broadcast re-joins (r5 profiling pass:
+    # 23 -> 16 exchanges, 3.36 -> 2.96 s isolated at sf0.1, ~2.0x the
+    # DuckDB twin; rows verified identical).
+    wall = Window.partitionBy("grp")
     cum = hist.select(
         "grp", "v", "c", F.sum("c").over(wv).cast("long").alias("cm")
-    )
+    ).withColumn("cnt", F.max("cm").over(wall))
     lo = F.expr("(cnt + 1) div 2")
     hi = F.expr("(cnt + 2) div 2")
 
@@ -2868,12 +2873,11 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast(out_type)
 
     zero2 = F.lit(0).cast("decimal(12,2)")
-    med = (
-        cum.join(F.broadcast(tot), "grp")
-        .groupBy("grp")
-        .agg(bracket("v", zero2, "decimal(14,2)").alias("med2"))
+    med = cum.groupBy("grp").agg(
+        bracket("v", zero2, "decimal(14,2)").alias("med2"),
+        F.max("cnt").cast("long").alias("cnt"),
     )
-    dev = hist.join(F.broadcast(med), "grp").select(
+    dev = cum.join(F.broadcast(med.drop("cnt")), "grp").select(
         "grp",
         F.abs(F.lit(2) * F.col("v") - F.col("med2"))
         .cast("decimal(15,2)")
@@ -2888,20 +2892,16 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dcum = dhist.select(
         "grp", "d2", "c", F.sum("c").over(wd).cast("long").alias("cm")
-    )
+    ).withColumn("cnt", F.max("cm").over(wall))
     zero3 = F.lit(0).cast("decimal(15,2)")
-    mad = (
-        dcum.join(F.broadcast(tot), "grp")
-        .groupBy("grp")
-        .agg(bracket("d2", zero3, "decimal(17,2)").alias("mad4"))
+    mad = dcum.groupBy("grp").agg(
+        bracket("d2", zero3, "decimal(17,2)").alias("mad4")
     )
     return (
         dev.join(F.broadcast(mad), "grp")
         .join(F.broadcast(med), "grp")
-        .join(F.broadcast(tot), "grp")
-        .groupBy("grp", "med2", "mad4")
+        .groupBy("grp", "med2", "mad4", "cnt")
         .agg(
-            F.max("cnt").cast("long").alias("n"),
             F.sum(
                 F.when(
                     F.lit(2) * F.col("d2") > F.lit(3) * F.col("mad4"),
@@ -2913,7 +2913,7 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("grp").alias("l_returnflag"),
-            "n",
+            F.col("cnt").cast("long").alias("n"),
             F.expr("CAST(med2 * 0.5 AS DECIMAL(18,3))").alias("median_price"),
             F.expr("CAST(mad4 * 0.25 AS DECIMAL(18,4))").alias("mad"),
             "n_outliers",
