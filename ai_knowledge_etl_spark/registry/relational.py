@@ -3973,31 +3973,37 @@ ORDER BY n_orders DESC, part_a, part_b
 LIMIT 20
 """.strip(),
     doc="Market-basket pair mining: the 20 part pairs most often bought "
-    "in the same order — the co-purchase self-join on the basket key, "
-    "with a < on the part keys so each unordered pair appears once and "
-    "the (count desc, part_a, part_b) total order makes the LIMIT cut "
-    "deterministic. Scale: DISTINCT first bounds per-order fan-out at "
-    "basket-size-squared over unique parts (TPC-H baskets are ~4-7 "
-    "items); at pathological basket sizes, cap items per order with a "
-    "rank window or prune to frequent items first (apriori) before "
-    "pairing — the join itself shuffles once on the order key.",
+    "in the same order — collect each order's distinct parts into a "
+    "sorted basket array, then expand the i<j pairs in-row, so each "
+    "unordered pair appears once and the (count desc, part_a, part_b) "
+    "total order makes the LIMIT cut deterministic. Scale: ONE shuffle "
+    "on the order key (collect_set dedups in the same hash-agg) replaces "
+    "the distinct+self-join plan's extra sort-merge join; fan-out stays "
+    "bounded at basket-size-squared over unique parts (TPC-H baskets "
+    "are ~4-7 items). At pathological basket sizes, cap the array with "
+    "slice() or prune to frequent items first (apriori) before pairing.",
 )
 def q_agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = (
+    baskets = (
         _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"),
-        F.col("b.l_partkey").alias("part_b"),
-    )
+    # In-row i<j expansion of the sorted basket: for element i (0-based),
+    # pair it with every later element via slice(parts, i+2, n) (1-based
+    # start; slice clamps past the end, and an empty slice for the last
+    # element contributes nothing).
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS part_a, y AS part_b)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").cast("long").alias("n_orders"))
@@ -4407,6 +4413,133 @@ def q_join_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_rows"),
             F.sum("wv").cast("long").alias("weighted_c"),
         )
+    )
+
+
+def _zexpr_sql(a: str, b: str, bits: int) -> str:
+    """DuckDB twin of operators/partitioning.zorder_key: Morton interleave
+    as pure shift/mask arithmetic (disjoint bit positions make + == |)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_KEYED_SQL = f"""
+  SELECT o_orderkey,
+         CAST(o_custkey % 256 AS BIGINT) AS ca,
+         CAST(floor(o_totalprice / 2000) AS BIGINT) % 256 AS cb
+  FROM orders
+""".strip()
+
+
+@register(
+    "sort-zorder-key",
+    f"""
+WITH keyed AS (
+  {_Z_KEYED_SQL}
+)
+SELECT o_orderkey, ca, cb,
+       CAST({_zexpr_sql('ca', 'cb', 8)} AS BIGINT) AS zkey
+FROM keyed
+ORDER BY zkey, o_orderkey
+LIMIT 50
+""".strip(),
+    doc="Z-order (Morton) clustering key as a first-class query: orders "
+    "bucketized to an 8-bit (custkey, price-band) grid, interleaved via "
+    "operators/partitioning.zorder_key — the write-time sort key that "
+    "clusters BOTH dimensions at once so parquet footer min/max stay "
+    "narrow on either column (docs/SCALE.md 'Z-order layout'). Pure "
+    "shiftleft/and arithmetic, whole-stage codegen, no shuffle beyond "
+    "the top-50 TakeOrdered; the production write path is "
+    "partitioning.write_zordered (repartitionByRange on the key). "
+    "o_orderkey tiebreak makes the LIMIT deterministic.",
+)
+def q_sort_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.operators.partitioning import zorder_key
+
+    keyed = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).cast("long").alias("ca"),
+        (F.floor(F.col("o_totalprice") / 2000).cast("long") % 256).alias(
+            "cb"
+        ),
+    )
+    return (
+        keyed.select(
+            "o_orderkey",
+            "ca",
+            "cb",
+            zorder_key("ca", "cb", 8).cast("long").alias("zkey"),
+        )
+        .orderBy("zkey", "o_orderkey")
+        .limit(50)
+    )
+
+
+@register(
+    "agg-zonemap-prune",
+    f"""
+WITH keyed AS (
+  {_Z_KEYED_SQL}
+),
+z AS (
+  SELECT ca, cb, {_zexpr_sql('ca', 'cb', 8)} AS zkey FROM keyed
+),
+files AS (
+  SELECT 'linear' AS layout, ca >> 4 AS file_id,
+         min(cb) AS min_b, max(cb) AS max_b
+  FROM z GROUP BY layout, file_id
+  UNION ALL
+  SELECT 'zorder' AS layout, zkey >> 12 AS file_id,
+         min(cb) AS min_b, max(cb) AS max_b
+  FROM z GROUP BY layout, file_id
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS files_total,
+       CAST(sum(CASE WHEN max_b >= 32 AND min_b <= 47 THEN 1 ELSE 0 END)
+            AS BIGINT) AS files_hit
+FROM files
+GROUP BY layout
+""".strip(),
+    doc="Zone-map (parquet footer min/max) pruning simulation — the "
+    "data-skipping payoff of the z-order layout, measured as a query: "
+    "assign each row to one of 16 'files' under (a) a linear layout "
+    "(top 4 bits of the custkey bucket — every file spans the full "
+    "price range) and (b) the z-order layout (top 4 bits of the Morton "
+    "key — each file is a compact rectangle), then count files whose "
+    "[min,max] price band intersects a selective predicate on the "
+    "SECOND dimension. Linear hits every file; z-order prunes ~3/4 of "
+    "them — the reason write_zordered exists. File assignment is pure "
+    "bit arithmetic (no global window, no extra shuffle: one hash-agg "
+    "per layout), so the simulation itself is scale-right.",
+)
+def q_agg_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.operators.partitioning import zorder_key
+
+    keyed = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 256).cast("long").alias("ca"),
+        (F.floor(F.col("o_totalprice") / 2000).cast("long") % 256).alias(
+            "cb"
+        ),
+    )
+    z = keyed.select(
+        "ca", "cb", zorder_key("ca", "cb", 8).cast("long").alias("zkey")
+    )
+    linear = z.groupBy(
+        F.lit("linear").alias("layout"),
+        F.shiftright(F.col("ca"), 4).alias("file_id"),
+    ).agg(F.min("cb").alias("min_b"), F.max("cb").alias("max_b"))
+    zord = z.groupBy(
+        F.lit("zorder").alias("layout"),
+        F.shiftright(F.col("zkey"), 12).alias("file_id"),
+    ).agg(F.min("cb").alias("min_b"), F.max("cb").alias("max_b"))
+    files = linear.unionByName(zord)
+    hit = (F.col("max_b") >= 32) & (F.col("min_b") <= 47)
+    return files.groupBy("layout").agg(
+        F.count("*").cast("long").alias("files_total"),
+        F.sum(hit.cast("int")).cast("long").alias("files_hit"),
     )
 
 

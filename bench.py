@@ -101,6 +101,7 @@ def duckdb_oracle_wall() -> tuple[float, int, dict[str, float]]:
 # (relative rank is what matters; anything unlisted is light and runs last
 # in name order).
 HEAVY_FIRST = {
+    "stream-user-stats-tws": 14,  # two-pass RocksDB TWS run, cached after
     "stream-late-data-watermark": 20,
     "pipeline-curate-corpus": 9,
     "pipeline-crawl-e2e": 9,

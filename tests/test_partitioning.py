@@ -212,3 +212,21 @@ def test_results_invariant_under_shuffle_partitioning(spark, sf_dir):
             assert a == b, f"{name} changed under repartitioning"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_zonemap_prune_payoff(spark, sf_dir):
+    """The registry's zone-map simulation must show the actual payoff:
+    the linear layout's files all span the price range (no pruning),
+    the z-order layout prunes most files for the same predicate."""
+    from ai_knowledge_etl_spark.registry import REGISTRY
+
+    rows = {
+        r["layout"]: r
+        for r in REGISTRY["agg-zonemap-prune"].spark(spark, sf_dir).collect()
+    }
+    lin, zo = rows["linear"], rows["zorder"]
+    assert lin["files_hit"] == lin["files_total"], "linear layout prunes nothing"
+    assert zo["files_hit"] <= zo["files_total"] // 2, (
+        f"z-order should prune most files, hit {zo['files_hit']}/"
+        f"{zo['files_total']}"
+    )
