@@ -121,6 +121,9 @@ HEAVY_QUERIES = [
     "pipeline-rag-index",         # chunk x16-centroid assignment fan-out
     "sample-mixture-epochs",      # explode fan-out bounded by max epochs
     "pipeline-image-curate",      # render+decode kernels, band self-join
+    # round-5 additions
+    "agg-basket-pairs",           # in-row pair fan-out = basket size^2
+    "agg-zonemap-prune",          # layout sim: bit-arith file ids at 100x
 ]
 
 
