@@ -1049,6 +1049,134 @@ def q_dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline-entity-resolution",
+    """
+WITH RECURSIVE recs AS (
+  SELECT c_custkey * 10 AS rec_id, c_name AS name,
+         CAST(c_nationkey AS BIGINT) AS nat,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+  UNION ALL
+  SELECT c_custkey * 10 + 1, replace(c_name, '#', '-'),
+         CAST(c_nationkey AS BIGINT),
+         CAST(round(c_acctbal * 100) AS BIGINT)
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey * 10 + 2,
+         c_name || substr(c_name, length(c_name), 1),
+         CAST(c_nationkey AS BIGINT),
+         CAST(round(c_acctbal * 100) AS BIGINT)
+  FROM customer WHERE c_custkey % 7 = 0
+),
+blocked AS (
+  SELECT rec_id, name, bal_c,
+         nat * 1000000 + CAST(substr(name, 10, 6) AS BIGINT) AS blk
+  FROM recs
+),
+cand AS (
+  SELECT a.rec_id AS ea, b.rec_id AS eb
+  FROM blocked a JOIN blocked b
+    ON a.blk = b.blk AND a.bal_c = b.bal_c AND a.rec_id < b.rec_id
+  WHERE levenshtein(a.name, b.name) <= 2
+),
+edges AS (SELECT ea AS a, eb AS b FROM cand
+          UNION SELECT eb AS a, ea AS b FROM cand),
+reach(node, lab) AS (
+  SELECT a AS node, a AS lab FROM edges
+  UNION
+  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node
+),
+labs AS (
+  SELECT node AS rec_id, CAST(min(lab) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY node
+)
+SELECT cluster_id, CAST(rec_id AS BIGINT) AS rec_id,
+       rec_id = cluster_id AS is_canonical,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+FROM labs
+""".strip(),
+    doc="Entity resolution (record linkage) as a composed pipeline: "
+    "customer records plus deterministic noisy variants (punctuation "
+    "typo for custkey%5, doubled trailing char for custkey%7 — "
+    "custkey%35 entities get BOTH, a 3-record cluster) are blocked on "
+    "(nation, leading name digits), candidate pairs inside a block must "
+    "agree on account-balance cents AND sit within levenshtein<=2, and "
+    "surviving edges collapse through the same iterative "
+    "connected-components operator the dedup tier uses "
+    "(operators/clustering.canonical_clusters). Oracle replays blocking "
+    "+ edit distance + a WITH RECURSIVE closure. Scale: the pair stage "
+    "is an equi-join on (block, cents) — never all-pairs, candidate "
+    "sets bounded by block size; the feature gate (levenshtein) is a "
+    "JVM builtin post-filter on the joined rows; CC rounds = cluster "
+    "diameter (~2 here). This is the canonical-customer-table step a "
+    "training pipeline runs before per-entity aggregation.",
+)
+def q_pipeline_entity_resolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ai_knowledge_etl_spark.operators import clustering
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    bal = F.round(F.col("c_acctbal") * 100).cast("long")
+
+    def rec(ids, name_col):
+        return cust.where(ids).select(
+            name_col[0].alias("rec_id"),
+            name_col[1].alias("name"),
+            F.col("c_nationkey").cast("long").alias("nat"),
+            bal.alias("bal_c"),
+        )
+
+    k = F.col("c_custkey")
+    base = rec(F.lit(True), ((k * 10), F.col("c_name")))
+    va = rec(
+        k % 5 == 0,
+        ((k * 10 + 1), F.expr("replace(c_name, '#', '-')")),
+    )
+    vb = rec(
+        k % 7 == 0,
+        (
+            (k * 10 + 2),
+            F.expr("c_name || substr(c_name, length(c_name), 1)"),
+        ),
+    )
+    blocked = (
+        base.unionByName(va)
+        .unionByName(vb)
+        .select(
+            "rec_id",
+            "name",
+            "bal_c",
+            (
+                F.col("nat") * 1000000
+                + F.expr("CAST(substr(name, 10, 6) AS BIGINT)")
+            ).alias("blk"),
+        )
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bal_c") == F.col("b.bal_c"))
+            & (F.col("a.rec_id") < F.col("b.rec_id")),
+        )
+        .where(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 2)
+        .select(
+            F.col("a.rec_id").alias("a"), F.col("b.rec_id").alias("b")
+        )
+    )
+    return clustering.canonical_clusters(cand).select(
+        "cluster_id",
+        F.col("doc_id").alias("rec_id"),
+        "is_canonical",
+        "n_members",
+    )
+
+
+@register(
     "filter-expectations-gate",
     """
 WITH checks AS (
