@@ -48,6 +48,29 @@ def merge_latest(
     )
 
 
+def merge_agg_partials(
+    partials: list[DataFrame],
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Self-maintainable aggregate refresh: merge pre-aggregated partial
+    frames (a stored materialized aggregate + signed delta partials) with
+    one unionByName + one hash re-agg summing every partial column.
+
+    Counts and sums are associative, so refresh cost scales with
+    |delta rows| + |groups| — the base table's raw rows are never
+    rescanned. Retractions (deletes/corrections) enter as NEGATIVE-weight
+    partials; callers drop groups whose count reaches zero. min/max are
+    NOT self-maintainable under deletes — re-scan only the affected
+    groups for those (docs/SCALE.md, incremental refresh)."""
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(*keys).agg(
+        *[F.sum(c).cast("long").alias(c) for c in sum_cols]
+    )
+
+
 def table_exists(spark: SparkSession, path: str) -> bool:
     """Explicit existence probe through the Hadoop FileSystem API (works
     for any scheme the cluster can read, not just local paths)."""

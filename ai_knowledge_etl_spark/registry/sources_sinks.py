@@ -901,6 +901,66 @@ def q_sink_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg-incremental-refresh",
+    """
+WITH base AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents, event_id
+  FROM events WHERE event_id % 10 <> 0
+),
+truth AS (
+  SELECT user_id, cents FROM base WHERE event_id % 50 <> 1
+  UNION ALL
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_id % 10 = 0
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM truth GROUP BY user_id
+""".strip(),
+    doc="Incremental (self-maintaining) aggregate refresh — the 100 TB "
+    "answer to 'new data arrived, do NOT rescan the corpus': the stored "
+    "per-user aggregate (the base snapshot's count/sum partials) merges "
+    "with SIGNED delta partials — inserts as +weight, retractions of "
+    "corrected base rows (event_id%50=1) as -weight — through "
+    "operators/incremental.merge_agg_partials: one unionByName of "
+    "pre-aggregated frames + one hash re-agg, cost |delta|+|groups|. "
+    "The oracle recomputes the truth FROM SCRATCH over "
+    "(base - retracted) + inserts, so the differential itself proves "
+    "count/sum self-maintainability under inserts AND deletes. "
+    "(reference roadmap DESIGN.md:1693-1694 incremental processing; "
+    "min/max need group re-scan instead, docs/SCALE.md).",
+)
+def q_agg_incremental_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = ev.where("event_id % 10 != 0")
+    # the "stored MV": base partials, computed once at snapshot time
+    mv = base.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    inserts = ev.where("event_id % 10 = 0")
+    ins_p = inserts.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    retract = base.where("event_id % 50 = 1")
+    ret_p = retract.groupBy("user_id").agg(
+        (-F.count("*")).cast("long").alias("n_events"),
+        (-F.sum("cents")).cast("long").alias("total_cents"),
+    )
+    merged = incremental.merge_agg_partials(
+        [mv, ins_p, ret_p], ["user_id"], ["n_events", "total_cents"]
+    )
+    return merged.where(F.col("n_events") > 0)
+
+
+@register(
     "scan-cache-ttl",
     """
 WITH log AS (

@@ -640,3 +640,28 @@ def test_txnlog_concurrent_writers_one_wins(spark, tmp_path):
     # Full table readable — neither writer's data was lost.
     rows = {r["id"] for r in txnlog.snapshot(spark, table).collect()}
     assert rows == {0, 1, 2, 3}
+
+
+def test_merge_agg_partials_retraction_zeroes_group(spark):
+    """A group fully retracted by a negative partial must reach count 0
+    (callers filter it); surviving groups must sum partials exactly."""
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_etl_spark.operators.incremental import (
+        merge_agg_partials,
+    )
+
+    mv = spark.createDataFrame(
+        [("a", 2, 100), ("b", 1, 7)], "k string, n long, s long"
+    )
+    delta = spark.createDataFrame([("a", 3, 50)], "k string, n long, s long")
+    retract = spark.createDataFrame(
+        [("b", -1, -7)], "k string, n long, s long"
+    )
+    out = {
+        r["k"]: (r["n"], r["s"])
+        for r in merge_agg_partials(
+            [mv, delta, retract], ["k"], ["n", "s"]
+        ).collect()
+    }
+    assert out == {"a": (5, 150), "b": (0, 0)}
