@@ -1352,39 +1352,46 @@ GROUP BY s.s_name
     "supplier orders. The classic EXISTS/NOT-EXISTS pair over lineitem "
     "self-joins is decorrelated into two grouped order-level predicates "
     "(>1 supplier participated; exactly 1 shipped late) joined back — "
-    "turning two correlated scans into one shuffle each. Lateness is "
-    "shipdate > orderdate+60d (this schema has no commit/receipt dates; "
-    "reference: crawl scheduling uses the same overdue-by-threshold shape).",
+    "turning two correlated scans into one shuffle each. Spark plan "
+    "(round 5): ALL THREE order-level predicates fuse into ONE hash "
+    "aggregate over lineitem-join-orders — collect_set(supplier) and "
+    "collect_set(late supplier) per order (when() nulls drop out of "
+    "collect_set; sets are bounded by basket size, so no Expand and no "
+    "double-distinct rewrite), then size(all)>1 AND size(late)=1 picks "
+    "the sole late supplier as the set's only element. One exchange on "
+    "the order key plus the tiny supplier-name agg replaces the "
+    "textbook plan's four-plus. Lateness is shipdate > orderdate+60d "
+    "(this schema has no commit/receipt dates; reference: crawl "
+    "scheduling uses the same overdue-by-threshold shape).",
 )
 def q_join_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
     s = _t(spark, sf_dir, "supplier")
-    late = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .where(
-            (F.col("o_orderstatus") == "F")
-            & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+    is_late = (F.col("o_orderstatus") == "F") & (
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    )
+    per_order = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.collect_set("l_suppkey").alias("all_supps"),
+            F.collect_set(
+                F.when(is_late, F.col("l_suppkey"))
+            ).alias("late_supps"),
         )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    multi = (
-        li.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("ns"))
-        .where(F.col("ns") > 1)
-        .select("l_orderkey")
-    )
-    sole_late = (
-        late.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("nl"))
-        .where(F.col("nl") == 1)
-        .select("l_orderkey")
+        .where(
+            (F.size("all_supps") > 1) & (F.size("late_supps") == 1)
+        )
+        .select(F.element_at("late_supps", 1).alias("late_supp"))
     )
     return (
-        late.join(multi, "l_orderkey")
-        .join(sole_late, "l_orderkey")
-        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
+        per_order.join(
+            F.broadcast(s), per_order.late_supp == s.s_suppkey
+        )
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
