@@ -1101,6 +1101,140 @@ def q_stream_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- streaming incremental MV: foreachBatch + versioned idempotent merge ----------
+
+_INC_MV_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _run_incremental_mv(spark: SparkSession, sf_dir: str) -> str:
+    """Maintain a per-user (count, cents-sum) materialized aggregate from
+    a file stream via foreachBatch: each microbatch aggregates ONLY its
+    own rows and merges those partials with the previous MV version
+    through incremental.merge_agg_partials — never rescanning history.
+
+    Exactly-once without a transactional sink: version directories are
+    keyed by batch_id (read v{batch_id-1}, write v{batch_id}), so a
+    replayed batch overwrites its own version idempotently — the
+    standard foreachBatch idempotent-write recipe. Two availableNow
+    waves against one checkpoint prove the MV also survives a stream
+    restart (wave 2's first batch must read wave 1's last version).
+    Returns the final MV directory."""
+    import os
+    import shutil
+    import tempfile
+
+    from ai_knowledge_etl_spark.operators import incremental
+
+    workdir = tempfile.mkdtemp(prefix="etl_inc_mv_")
+    staging = os.path.join(workdir, "staging")
+    ckpt = os.path.join(workdir, "ckpt")
+    mv_root = os.path.join(workdir, "mv")
+    os.makedirs(staging)
+    os.makedirs(mv_root)
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def latest_version() -> int:
+        vs = [
+            int(d[1:])
+            for d in os.listdir(mv_root)
+            if d.startswith("v") and d[1:].isdigit()
+        ]
+        return max(vs) if vs else -1
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        cur = batch_df.groupBy("user_id").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        prev_dir = os.path.join(mv_root, f"v{batch_id - 1}")
+        # a replayed batch must NOT read its own output: only versions
+        # strictly below batch_id participate (idempotent re-merge)
+        if not os.path.isdir(prev_dir):
+            newest = max(
+                (
+                    v
+                    for v in range(batch_id)
+                    if os.path.isdir(os.path.join(mv_root, f"v{v}"))
+                ),
+                default=-1,
+            )
+            prev_dir = os.path.join(mv_root, f"v{newest}")
+        sess = batch_df.sparkSession
+        if os.path.isdir(prev_dir):
+            prev = sess.read.parquet(prev_dir)
+            merged = incremental.merge_agg_partials(
+                [prev, cur], ["user_id"], ["n_events", "total_cents"]
+            )
+        else:
+            merged = cur
+        out = os.path.join(mv_root, f"v{batch_id}")
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        merged.write.mode("overwrite").parquet(out)
+
+    schema = "event_id long, user_id long, cents long"
+    for wave_pred in ("event_id % 2 = 0", "event_id % 2 = 1"):
+        # 4 files per wave + 2-file triggers -> >=2 microbatches per wave,
+        # so the version chain (and its restart hand-off) really exercises
+        # multi-step merging, not one batch per wave
+        ev.where(wave_pred).repartition(4).write.mode("append").parquet(
+            staging
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(staging)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return os.path.join(mv_root, f"v{latest_version()}")
+
+
+@register(
+    "stream-incremental-mv",
+    """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events GROUP BY user_id
+""".strip(),
+    doc="Streaming incremental view maintenance: a parquet file stream "
+    "of events maintains a per-user count/cents-sum MV through "
+    "foreachBatch — each microbatch merges ITS OWN partial aggregate "
+    "with the previous MV version (operators/incremental."
+    "merge_agg_partials), cost |batch|+|groups| per trigger, history "
+    "never rescanned. Versioned directories keyed by batch_id give "
+    "idempotent exactly-once writes (a replayed batch reads only "
+    "versions below itself and overwrites its own), and two "
+    "availableNow waves against one checkpoint prove restart safety. "
+    "The oracle is the plain batch groupBy truth — any double-count "
+    "under replay, state loss across the restart, or merge error "
+    "breaks the hash. The batch twin is agg-incremental-refresh; "
+    "cached per session.",
+)
+def q_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mv_path = cache_get_or_fill(
+        _INC_MV_CACHE,
+        spark,
+        sf_dir,
+        lambda: _run_incremental_mv(spark, sf_dir),
+        unpersist=False,
+    )
+    return spark.read.parquet(mv_path).select(
+        "user_id", "n_events", "total_cents"
+    )
+
+
 # --- stateful timers: sessions emitted on event-time TIMEOUT ----------------------
 
 _SESS_TIMEOUT_CACHE: dict[tuple[str, str], str] = {}

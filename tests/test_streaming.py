@@ -504,3 +504,25 @@ def test_pagesource_stream_matches_batch(spark, tmp_path):
     }
     assert len(got) == 140  # no duplicates across restarts
     assert set(got) == want
+
+
+def test_incremental_mv_version_chain(spark, sf_dir):
+    """The foreachBatch MV must advance through a contiguous batch_id
+    version chain with >=2 microbatches per wave (4 files, 2-file
+    triggers), and the final version must carry every user exactly once
+    — the registry differential separately proves value parity."""
+    import os
+
+    from ai_knowledge_etl_spark.registry.streaming import (
+        _run_incremental_mv,
+    )
+
+    final = _run_incremental_mv(spark, sf_dir)
+    mv_root = os.path.dirname(final)
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(mv_root) if d.startswith("v")
+    )
+    assert versions == list(range(len(versions))), versions
+    assert len(versions) >= 4, versions
+    mv = spark.read.parquet(final)
+    assert mv.count() == mv.select("user_id").distinct().count()
