@@ -1197,6 +1197,14 @@ def _run_incremental_mv(spark: SparkSession, sf_dir: str) -> str:
             .start()
         )
         q.awaitTermination()
+    if latest_version() < 0:
+        # zero-row source: no file ever reached the stream, so no batch
+        # ran — publish an empty v0 with the MV schema (empty partitions
+        # are routine; the MV must still exist and be readable)
+        ev.limit(0).groupBy("user_id").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        ).write.mode("overwrite").parquet(os.path.join(mv_root, "v0"))
     return os.path.join(mv_root, f"v{latest_version()}")
 
 
