@@ -1853,6 +1853,170 @@ def q_sql_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_REVENUE_BY_REGION_SQL)
 
 
+# Final-stage double arithmetic shared VERBATIM by the Spark selectExpr and
+# the DuckDB oracle: identical expression trees over identical (exact
+# BIGINT-partial-derived) inputs make the floats bit-identical, so the
+# differential needs only display rounding, not tolerance bands.
+def _split_top_level(exprs: str) -> list[str]:
+    """Split a comma-joined projection list on TOP-LEVEL commas only
+    (commas inside round(x, 4) etc. must not split)."""
+    out, depth, cur = [], 0, []
+    for ch in exprs:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+_REGR_FINAL = """
+  event_type,
+  CAST(n AS BIGINT) AS n_days,
+  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS slope,
+  round((CAST(sy AS DOUBLE)
+         - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 2) AS intercept
+""".strip()
+
+
+@register(
+    "agg-regression-trend",
+    f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, day
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(day) AS BIGINT) AS sx,
+         CAST(sum(cents) AS BIGINT) AS sy,
+         CAST(sum(day * cents) AS BIGINT) AS sxy,
+         CAST(sum(day * day) AS BIGINT) AS sxx
+  FROM daily GROUP BY event_type
+)
+SELECT {_REGR_FINAL}
+FROM m
+""".strip(),
+    doc="Per-segment least-squares trend (daily revenue vs day index) "
+    "from EXACT integer moments: two hash aggregates produce BIGINT "
+    "(n, Σx, Σy, Σxy, Σx²) — associative partials, so the result is "
+    "partitioning-invariant, which a native double-accumulating "
+    "regr_slope is NOT — and the closing slope/intercept arithmetic is "
+    "one shared expression string evaluated by both engines on "
+    "identical inputs (bit-identical doubles, display rounding only). "
+    "Scale: the daily rollup is bounded by the calendar (O(days x "
+    "segments) rows), so the second aggregate is trivially small; "
+    "moments are cast to DOUBLE before the closing products to stay "
+    "overflow-free at any corpus size.",
+)
+def q_agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("ts div 1000000000 div 86400").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("day").cast("long").alias("sx"),
+        F.sum("cents").cast("long").alias("sy"),
+        F.sum(F.col("day") * F.col("cents")).cast("long").alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).cast("long").alias("sxx"),
+    )
+    return m.selectExpr(*_split_top_level(_REGR_FINAL))
+
+
+_WELCH_FINAL = """
+  CAST(na AS BIGINT) AS n_a,
+  CAST(nb AS BIGINT) AS n_b,
+  round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), 2) AS mean_a,
+  round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 2) AS mean_b,
+  round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+         - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        / sqrt(((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE)
+                 * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+                / (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE)
+               + ((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE)
+                   * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                  / (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE)),
+        4) AS t_stat
+""".strip()
+
+
+@register(
+    "agg-welch-ttest",
+    f"""
+WITH g AS (
+  SELECT
+    CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS na,
+    CAST(sum(CAST(round(value * 100) AS BIGINT))
+         FILTER (WHERE event_type = 'purchase') AS BIGINT) AS sa,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT))
+         FILTER (WHERE event_type = 'purchase') AS BIGINT) AS ssa,
+    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS nb,
+    CAST(sum(CAST(round(value * 100) AS BIGINT))
+         FILTER (WHERE event_type = 'click') AS BIGINT) AS sb,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT))
+         FILTER (WHERE event_type = 'click') AS BIGINT) AS ssb
+  FROM events
+)
+SELECT {_WELCH_FINAL}
+FROM g
+""".strip(),
+    doc="Welch two-sample t statistic (A/B experiment readout: purchase "
+    "vs click value) from exact integer moments — one conditional hash "
+    "aggregate produces BIGINT (n, Σ, Σ²) per arm (map-side combine, "
+    "single 1-row reduce), and the t arithmetic is one expression "
+    "string shared verbatim with the oracle, so the doubles are "
+    "bit-identical and only display rounding is applied. Scale: the "
+    "moments are the only state — O(1) per partition regardless of "
+    "corpus size; cast to DOUBLE before the closing products so s² "
+    "cannot overflow int64 at petabyte row counts.",
+)
+def q_agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    is_a = F.col("event_type") == "purchase"
+    is_b = F.col("event_type") == "click"
+    g = ev.agg(
+        F.count(F.when(is_a, 1)).cast("long").alias("na"),
+        F.sum(F.when(is_a, F.col("cents"))).cast("long").alias("sa"),
+        F.sum(F.when(is_a, F.col("cents") * F.col("cents")))
+        .cast("long")
+        .alias("ssa"),
+        F.count(F.when(is_b, 1)).cast("long").alias("nb"),
+        F.sum(F.when(is_b, F.col("cents"))).cast("long").alias("sb"),
+        F.sum(F.when(is_b, F.col("cents") * F.col("cents")))
+        .cast("long")
+        .alias("ssb"),
+    )
+    return g.selectExpr(*_split_top_level(_WELCH_FINAL))
+
+
 @register(
     "agg-retention-cohorts",
     """

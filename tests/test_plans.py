@@ -105,6 +105,9 @@ PLAN_ALLOWLIST = {
     "topk-supplier-revenue": {"SinglePartition"},
     # Q6 is a single scalar sum (partial agg per partition, 1-row combine)
     "agg-forecast-revenue": {"SinglePartition"},
+    # Welch t reduces the corpus to six integer moments: partial agg per
+    # partition, single-row final combine — inherent to a global stat
+    "agg-welch-ttest": {"SinglePartition"},
     # rolling calendar window over the DAILY rollup: input is O(days)
     # rows (30 at sf0.1, ~36k at a century of data) — bounded by the
     # calendar, not the event volume, so the ordered window is safe
