@@ -1048,10 +1048,11 @@ def q_dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pipeline-entity-resolution",
-    """
-WITH RECURSIVE recs AS (
+# Shared by pipeline-entity-resolution and project-golden-record: noisy
+# variant construction + blocking + feature-gated candidate edges + the
+# recursive transitive closure, ending in labs(rec_id, cluster_id).
+_ER_CTE_SQL = """
+recs AS (
   SELECT c_custkey * 10 AS rec_id, c_name AS name,
          CAST(c_nationkey AS BIGINT) AS nat,
          CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
@@ -1090,6 +1091,13 @@ labs AS (
   SELECT node AS rec_id, CAST(min(lab) AS BIGINT) AS cluster_id
   FROM reach GROUP BY node
 )
+""".strip()
+
+
+@register(
+    "pipeline-entity-resolution",
+    f"""
+WITH RECURSIVE {_ER_CTE_SQL}
 SELECT cluster_id, CAST(rec_id AS BIGINT) AS rec_id,
        rec_id = cluster_id AS is_canonical,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
@@ -1116,6 +1124,20 @@ def q_pipeline_entity_resolution(
 ) -> DataFrame:
     from ai_knowledge_etl_spark.operators import clustering
 
+    _blocked, cand = _er_blocked_cand(spark, sf_dir)
+    return clustering.canonical_clusters(cand).select(
+        "cluster_id",
+        F.col("doc_id").alias("rec_id"),
+        "is_canonical",
+        "n_members",
+    )
+
+
+def _er_blocked_cand(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of _ER_CTE_SQL up to `cand`: (blocked records,
+    candidate edge pairs)."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal"
     )
@@ -1168,10 +1190,67 @@ def q_pipeline_entity_resolution(
             F.col("a.rec_id").alias("a"), F.col("b.rec_id").alias("b")
         )
     )
-    return clustering.canonical_clusters(cand).select(
+    return blocked, cand
+
+
+@register(
+    "project-golden-record",
+    f"""
+WITH RECURSIVE {_ER_CTE_SQL},
+members AS (
+  SELECT l.cluster_id, l.rec_id, b.name
+  FROM labs l JOIN blocked b ON b.rec_id = l.rec_id
+),
+ranked AS (
+  SELECT cluster_id, rec_id, name,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY length(name) DESC, rec_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS n_members
+  FROM members
+)
+SELECT cluster_id, CAST(rec_id AS BIGINT) AS best_rec_id,
+       name AS best_name, n_members
+FROM ranked WHERE rn = 1
+""".strip(),
+    doc="Survivorship (golden-record construction) on top of the "
+    "entity-resolution clusters: each multi-record entity elects ONE "
+    "surviving attribute set by the most-complete-wins rule — longest "
+    "name, rec_id tiebreak — via a per-cluster ranking window, the step "
+    "that turns linkage clusters into a canonical dimension table. "
+    "Shares _er_blocked_cand / _ER_CTE_SQL with "
+    "pipeline-entity-resolution so both sides resolve identical "
+    "clusters; the window partitions by cluster_id (bounded groups, "
+    "never global). At 100 TB survivorship is one window over the "
+    "clustered minority of records — singletons never enter the edge "
+    "set, so the frame is |clustered records|, not |corpus|.",
+)
+def q_project_golden_record(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ai_knowledge_etl_spark.operators import clustering
+
+    blocked, cand = _er_blocked_cand(spark, sf_dir)
+    clusters = clustering.connected_components(cand)
+    members = clusters.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("node").cast("long").alias("rec_id"),
+    ).join(blocked.select("rec_id", "name"), "rec_id")
+    wc = Window.partitionBy("cluster_id")
+    wr = wc.orderBy(F.length("name").desc(), F.asc("rec_id"))
+    ranked = members.select(
         "cluster_id",
-        F.col("doc_id").alias("rec_id"),
-        "is_canonical",
+        "rec_id",
+        "name",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wc).cast("long").alias("n_members"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("rec_id").alias("best_rec_id"),
+        F.col("name").alias("best_name"),
         "n_members",
     )
 
