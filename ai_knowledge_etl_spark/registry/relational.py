@@ -2018,6 +2018,64 @@ def q_agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg-markov-transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_ns(ts), event_id) AS to_type
+  FROM events
+)
+SELECT event_type AS from_type, to_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(count(*) * 1000000.0 /
+                  sum(count(*)) OVER (PARTITION BY event_type))
+            AS BIGINT) AS p_ppm
+FROM seq WHERE to_type IS NOT NULL
+GROUP BY event_type, to_type
+""".strip(),
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (the next-action model behind funnel/recommendation "
+    "analytics): lead() over (user, time, event_id-tiebreak) pairs each "
+    "event with its successor, then one hash aggregate counts "
+    "(from, to) transitions and a row-count-bounded window (|types|^2 "
+    "frame) normalizes to integer ppm via floor of a bit-identical "
+    "double ratio. Scale: the sequence window partitions by user_id "
+    "(bounded per-user frames, shuffle on the user key); the transition "
+    "matrix itself is O(|event types|^2) rows — tiny at any corpus "
+    "size. The deterministic (ts, event_id) ordering makes lead() "
+    "engine-portable even under duplicate timestamps.",
+)
+def q_agg_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count("*").cast("long").alias("n"))
+    wt = W.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.floor(
+            F.col("n") * 1000000.0 / F.sum("n").over(wt)
+        ).cast("long").alias("p_ppm"),
+    )
+
+
+@register(
     "agg-retention-cohorts",
     """
 WITH days AS (
