@@ -124,6 +124,9 @@ HEAVY_QUERIES = [
     # round-5 additions
     "agg-basket-pairs",           # in-row pair fan-out = basket size^2
     "agg-zonemap-prune",          # layout sim: bit-arith file ids at 100x
+    "agg-markov-transitions",     # per-user lead() window over 100x events
+    "agg-incremental-refresh",    # partial-merge cost vs 100x base scan
+    "stream-incremental-mv",      # real foreachBatch MV at 100x events
 ]
 
 
