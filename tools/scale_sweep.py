@@ -127,6 +127,7 @@ HEAVY_QUERIES = [
     "agg-markov-transitions",     # per-user lead() window over 100x events
     "agg-incremental-refresh",    # partial-merge cost vs 100x base scan
     "stream-incremental-mv",      # real foreachBatch MV at 100x events
+    "join-waiting-supplier",      # fused collect_set plan on 100x lineitem
 ]
 
 
@@ -225,6 +226,11 @@ def main() -> None:
                     help="linearity timing only, skip the differential")
     ap.add_argument("--heavy", action="store_true",
                     help="run the HEAVY_QUERIES 100x family")
+    ap.add_argument("--batch", type=int, default=15,
+                    help="max queries per JVM: one local[32] JVM exhausts "
+                    "native thread-local memory after ~20 consecutive "
+                    "heavy 100x queries (docs/PERF.md); longer lists "
+                    "re-exec in fresh child processes. 0 disables.")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -236,6 +242,41 @@ def main() -> None:
 
     default = HEAVY_QUERIES if args.heavy else SCALING_QUERIES
     names = args.names or [n for n in default if n in REGISTRY]
+
+    if args.batch and len(names) > args.batch:
+        # self-batch: run each chunk in a fresh process (fresh JVM), merge
+        # the one-line JSON results
+        import subprocess
+
+        merged: dict = {}
+        fails = 0
+        for i in range(0, len(names), args.batch):
+            chunk = names[i : i + args.batch]
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--skip-gen", "--mult", str(args.mult),
+                "--out", args.out, "--batch", "0",
+            ] + (["--no-diff"] if args.no_diff else []) + chunk
+            proc = subprocess.run(cmd, capture_output=True, text=True)
+            sys.stderr.write(proc.stderr[-2000:])
+            last = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if not last:
+                print(f"# batch {chunk[0]}.. produced no result "
+                      f"(rc={proc.returncode})", file=sys.stderr)
+                fails += len(chunk)
+                continue
+            part = json.loads(last[-1])
+            merged.update(part["queries"])
+            fails += part["scale_sweep"]["fails"]
+        ratios = sorted(v["ratio"] for v in merged.values())
+        med = ratios[len(ratios) // 2] if ratios else None
+        print(json.dumps({
+            "scale_sweep": {"mult": args.mult, "n": len(merged),
+                            "fails": fails, "median_ratio": med},
+            "queries": merged,
+        }))
+        return
+
     spark = get_spark()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
