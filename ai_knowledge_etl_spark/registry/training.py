@@ -70,6 +70,78 @@ def q_sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
 
 
+def _balanced_oracle_sql() -> str:
+    from ai_knowledge_etl_spark.operators.sketches import duck_md5_slice
+
+    h = duck_md5_slice("CAST(e.event_id AS VARCHAR)", 1, 8)
+    return f"""
+WITH counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+),
+thr AS (SELECT event_type, n, min(n) OVER () AS mn FROM counts),
+kept AS (
+  SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_kept
+  FROM events e JOIN thr t ON e.event_type = t.event_type
+  WHERE {h} * t.n < t.mn * 4294967296
+  GROUP BY e.event_type
+)
+SELECT t.event_type, t.n AS n_orig,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM thr t LEFT JOIN kept k ON t.event_type = k.event_type
+""".strip()
+
+
+@register(
+    "sample-balanced-classes",
+    _balanced_oracle_sql(),
+    doc="Class-balanced downsampling with DATA-DERIVED rates — the "
+    "training-set rebalance stratified sampling (fixed rates) cannot "
+    "express: each class keeps ~minority-count rows via the "
+    "dialect-common md5-slice hash gated by EXACT integer "
+    "cross-multiplication (h * class_n < min_n * 16^8 — no float "
+    "division, so keep decisions are identical across engines, runs, "
+    "and partitionings). Scale: the class-count dim is O(|classes|) "
+    "rows (broadcast equi-join); the min attaches via a window over "
+    "that same tiny pre-aggregated frame (allowlisted SinglePartition "
+    "on O(classes) rows); the keep gate is a narrow filter — no "
+    "shuffle of the corpus beyond the final per-class count.",
+)
+def q_sample_balanced_classes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ai_knowledge_etl_spark.operators.sketches import md5_slice
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    counts = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    thr = counts.select(
+        "event_type",
+        "n",
+        F.min("n").over(W.partitionBy()).cast("long").alias("mn"),
+    )
+    h = md5_slice(F.col("event_id").cast("string"), 1, 8)
+    kept = (
+        ev.join(F.broadcast(thr), "event_type")
+        .where(h * F.col("n") < F.col("mn") * F.lit(4294967296))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+    )
+    return (
+        thr.join(kept, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").alias("n_orig"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
 @register(
     "sample-train-split",
     """

@@ -108,6 +108,10 @@ PLAN_ALLOWLIST = {
     # Welch t reduces the corpus to six integer moments: partial agg per
     # partition, single-row final combine — inherent to a global stat
     "agg-welch-ttest": {"SinglePartition"},
+    # the min-class threshold attaches via a window over the
+    # PRE-AGGREGATED class-count frame — O(|classes|) rows, never the
+    # corpus
+    "sample-balanced-classes": {"SinglePartition"},
     # rolling calendar window over the DAILY rollup: input is O(days)
     # rows (30 at sf0.1, ~36k at a century of data) — bounded by the
     # calendar, not the event volume, so the ordered window is safe

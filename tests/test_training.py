@@ -266,3 +266,19 @@ def test_bpe_train_merges_known_sequence(spark):
         for r in bpe.vocab_symbol_counts(final).collect()
     }
     assert vocab == {"abab": 1, "ab": 1}
+
+
+def test_balanced_classes_actually_balance(spark, sf_dir):
+    """Every class's kept count must land near the minority count: the
+    md5 gate is binomial around mn, so 25% tolerance is generous at
+    fixture sizes. Keep decisions must also be a subset per class."""
+    from ai_knowledge_etl_spark.registry import REGISTRY
+
+    rows = REGISTRY["sample-balanced-classes"].spark(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    mn = min(r["n_orig"] for r in rows)
+    for r in rows:
+        assert r["n_kept"] <= r["n_orig"]
+        assert abs(r["n_kept"] - mn) <= max(0.25 * mn, 8.0), (
+            r["event_type"], r["n_kept"], mn,
+        )
