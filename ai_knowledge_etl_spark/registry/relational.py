@@ -2017,6 +2017,98 @@ def q_agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.selectExpr(*_split_top_level(_WELCH_FINAL))
 
 
+_EWMA_FINAL = """
+  event_type, day, cents,
+  round(pow(0.7, idx) * y0
+        + 0.3 * pow(0.7, idx) * (cu - y0), 2) AS ewma
+""".strip()
+
+
+@register(
+    "agg-ewma-daily",
+    f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, day
+),
+idxd AS (
+  SELECT event_type, day, cents,
+         CAST(row_number() OVER w - 1 AS BIGINT) AS idx,
+         CAST(cents AS DOUBLE) * pow(1.0 / 0.7,
+           CAST(row_number() OVER w - 1 AS BIGINT)) AS u
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+accum AS (
+  SELECT event_type, day, cents, idx,
+         sum(u) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cu,
+         first_value(CAST(cents AS DOUBLE)) OVER (
+           PARTITION BY event_type ORDER BY day) AS y0
+  FROM idxd
+)
+SELECT {_EWMA_FINAL}
+FROM accum
+""".strip(),
+    doc="Exponentially weighted moving average of daily revenue per "
+    "segment (alpha=0.3) — the sequential recurrence s_t = a*y_t + "
+    "(1-a)*s_(t-1) re-expressed CLOSED-FORM as one ordered cumulative "
+    "window: s_t = r^t*y_0 + a*r^t*(sum of y_i*r^(-i) for i<=t, minus "
+    "y_0), so no driver loop and no iterative state. The closing "
+    "arithmetic is one expression string evaluated verbatim by both "
+    "engines over an identically-ordered running sum — bit-identical "
+    "doubles, display rounding only. Scale: windows partition by "
+    "segment over the CALENDAR-bounded daily rollup (O(days) rows per "
+    "partition); the r^(-i) rescaling is numerically valid to ~500 "
+    "steps at r=0.7 — segment longer series into rescaled epochs, the "
+    "standard trick for windowed geometric reweighting.",
+)
+def q_agg_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("ts div 1000000000 div 86400").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    idx = (F.row_number().over(w) - 1).cast("long")
+    idxd = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        idx.alias("idx"),
+        (
+            F.col("cents").cast("double")
+            * F.pow(F.lit(1.0 / 0.7), idx)
+        ).alias("u"),
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    accum = idxd.select(
+        "event_type",
+        "day",
+        "cents",
+        "idx",
+        F.sum("u").over(wcum).alias("cu"),
+        F.first(F.col("cents").cast("double"))
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .alias("y0"),
+    )
+    return accum.selectExpr(*_split_top_level(_EWMA_FINAL))
+
+
 @register(
     "agg-markov-transitions",
     """
