@@ -665,3 +665,57 @@ def test_merge_agg_partials_retraction_zeroes_group(spark):
         ).collect()
     }
     assert out == {"a": (5, 150), "b": (0, 0)}
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-50, 50)),
+    min_size=1,
+    max_size=24,
+)
+_cuts = st.lists(st.integers(0, 23), max_size=3)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_rows, cuts=_cuts)
+def test_merge_agg_partials_is_partition_invariant(spark, rows, cuts):
+    """ANY split of the rows into delta batches must merge to the direct
+    aggregate — the property the incremental-MV correctness rests on
+    (hypothesis picks adversarial splits: empty slices, single rows,
+    negative values acting as retractions)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_etl_spark.operators.incremental import (
+        merge_agg_partials,
+    )
+
+    bounds = sorted({c for c in cuts if c < len(rows)} | {0, len(rows)})
+    slices = [
+        rows[a:b] for a, b in zip(bounds, bounds[1:]) if rows[a:b]
+    ] or [rows]
+    partials = [
+        spark.createDataFrame(s, "k string, v long")
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s"),
+        )
+        for s in slices
+    ]
+    got = {
+        r["k"]: (r["n"], r["s"])
+        for r in merge_agg_partials(partials, ["k"], ["n", "s"]).collect()
+    }
+    want = defaultdict(lambda: [0, 0])
+    for k, v in rows:
+        want[k][0] += 1
+        want[k][1] += v
+    assert got == {k: tuple(v) for k, v in want.items()}
