@@ -2017,6 +2017,43 @@ def q_agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.selectExpr(*_split_top_level(_WELCH_FINAL))
 
 
+@register(
+    "sql-parameterized",
+    """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_totalprice > 200000.0 AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""".strip(),
+    doc="Parameterized SQL API surface (spark.sql(query, args={...}), "
+    "Spark 3.4+): named :placeholders bound server-side as literal "
+    "expressions — injection-proof user-facing SQL without string "
+    "interpolation, and Catalyst still constant-folds the bound values "
+    "into pushed-down scan filters exactly as if they were inline "
+    "literals. The oracle inlines the same values; an API-coverage "
+    "entry like udtf-lateral-chunks.",
+)
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 200000.0, "status": "F"},
+    )
+
+
 _EWMA_FINAL = """
   event_type, day, cents,
   round(pow(0.7, idx) * y0
