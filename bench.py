@@ -132,6 +132,10 @@ HEAVY_FIRST = {
     "agg-mad-outliers": 8,
     "sql-revenue-by-region": 7,
     "agg-basket-pairs": 6,
+    # round-5 additions: CC-loop driver waves + the streaming MV cache fill
+    "pipeline-entity-resolution": 6,
+    "project-golden-record": 6,
+    "stream-incremental-mv": 8,
     "dedup-minhash": 6,
     "dedup-semantic": 6,
     "agg-market-share": 6,
