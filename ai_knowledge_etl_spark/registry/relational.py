@@ -5223,6 +5223,93 @@ def q_join_full_outer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spatial_pts_sql() -> str:
+    from ai_knowledge_etl_spark.operators.sketches import duck_md5_slice
+
+    hx = duck_md5_slice("CAST(c_custkey AS VARCHAR)", 1, 4)
+    hy = duck_md5_slice("CAST(c_custkey AS VARCHAR)", 5, 4)
+    return f"""
+  SELECT c_custkey AS id,
+         CAST({hx} % 1000 AS BIGINT) AS x,
+         CAST({hy} % 1000 AS BIGINT) AS y
+  FROM customer
+""".strip()
+
+
+@register(
+    "join-spatial-grid",
+    f"""
+WITH pts AS (
+  {_spatial_pts_sql()}
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST((a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+FROM pts a JOIN pts b
+  ON a.id < b.id
+ AND b.x BETWEEN a.x - 10 AND a.x + 10
+ AND b.y BETWEEN a.y - 10 AND a.y + 10
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 100
+""".strip(),
+    doc="Spatial distance join (all point pairs within Euclidean "
+    "distance 10 on a deterministic md5-derived 1000x1000 integer "
+    "grid) via GRID-CELL BLOCKING — the 2-D analog of the banded "
+    "interval join: one side expands to its 3x3 neighbor cells "
+    "(cell size = radius, so any qualifying pair shares an expanded "
+    "cell exactly once), candidates meet in an EQUI-join on the cell "
+    "key, and the exact integer distance predicate filters the joined "
+    "rows. Never all-pairs: candidate count is bounded by points per "
+    "cell squared times 9. The ORACLE is the independent formulation — "
+    "a direct inequality join on coordinate bands plus the exact "
+    "distance predicate, no grid, no hashing — so the differential "
+    "proves the blocking loses no pair and invents none. Scale: the cell-key "
+    "shuffle is uniform by construction (md5 coords); at real-world "
+    "skew (cities), salt the hot cells exactly like hot join keys.",
+)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.operators.sketches import md5_slice
+
+    ck = F.col("c_custkey").cast("string")
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (md5_slice(ck, 1, 4) % 1000).alias("x"),
+        (md5_slice(ck, 5, 4) % 1000).alias("y"),
+    )
+    cx = F.floor(F.col("x") / 10).cast("long")
+    cy = F.floor(F.col("y") / 10).cast("long")
+    off = F.explode(
+        F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    )
+    a = (
+        pts.withColumn("dx", off)
+        .withColumn(
+            "dy", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
+        )
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            ((cx + F.col("dx")) * 1000 + cy + F.col("dy")).alias("cell"),
+        )
+    )
+    b = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        (cx * 1000 + cy).alias("cell"),
+    )
+    dist2 = (F.col("xa") - F.col("xb")) * (
+        F.col("xa") - F.col("xb")
+    ) + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(b, "cell")
+        .where((F.col("id_a") < F.col("id_b")) & (dist2 <= 100))
+        .select(
+            "id_a", "id_b", dist2.cast("long").alias("dist2")
+        )
+    )
+
+
 @register(
     "join-interval-overlap",
     """
