@@ -2054,6 +2054,60 @@ def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg-user-paths-topk",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+)
+SELECT event_type || '>' || t1 || '>' || t2 AS path,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE t2 IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT 20
+""".strip(),
+    doc="Top-k 3-step behavioral paths (sequence n-gram mining over "
+    "per-user event streams — the clickstream-analysis staple): two "
+    "lead() offsets over one shared (user, time, event_id-tiebreak) "
+    "window produce each consecutive event triple, then a hash "
+    "aggregate over the O(|types|^3)-bounded path space and a "
+    "TakeOrderedAndProject with a path tiebreak for a deterministic "
+    "cut. Scale: one shuffle on user_id for the window (per-user "
+    "frames bounded by session length), map-side combine on the tiny "
+    "path key space; deeper paths grow the key space geometrically — "
+    "prune with a minimum-support pre-filter (apriori) before "
+    "lengthening.",
+)
+def q_agg_user_paths_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).where(F.col("t2").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )
+
+
 _EWMA_FINAL = """
   event_type, day, cents,
   round(pow(0.7, idx) * y0
