@@ -2055,6 +2055,61 @@ def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg-activity-streaks",
+    """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day
+  FROM events
+),
+grouped AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+  FROM grouped GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS n_active_days
+FROM streaks GROUP BY user_id
+""".strip(),
+    doc="Gaps-and-islands: each user's longest run of CONSECUTIVE "
+    "active days — the classic streak detection that needs no "
+    "self-join: day minus its per-user rank is constant within an "
+    "island, so one partitioned row_number window plus two hash "
+    "aggregates finds every streak. Scale: the window partitions by "
+    "user over the calendar-bounded distinct-day frame (O(days) rows "
+    "per user, not O(events)); everything downstream is tiny.",
+)
+def q_agg_activity_streaks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr("ts div 1000000000 div 86400").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grouped = days.select(
+        "user_id",
+        "day",
+        (F.col("day") - F.row_number().over(w)).alias("grp"),
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum("len").cast("long").alias("n_active_days"),
+    )
+
+
+@register(
     "agg-user-paths-topk",
     """
 WITH seq AS (
