@@ -9,10 +9,16 @@ protobuf 6.32 inside the (public) google-cloud-sdk App Engine platform
 directory. This shim:
 
   1. appends that directory to sys.path (driver-side import),
-  2. prepends it to $PYTHONPATH so the JVM — and therefore the TWS
+  2. appends it to $PYTHONPATH so the JVM — and therefore the TWS
      pre-init runner and the Python workers it spawns — inherits it
      (must run BEFORE SparkSession creation; worker processes get their
-     environment from the JVM),
+     environment from the JVM). Appended, not prepended, for the same
+     never-shadow rationale as the sys.path edit: the App Engine
+     platform dir ships many top-level packages beyond protobuf, and
+     putting it FIRST would let those shadow same-named modules in
+     every spawned worker; last, it only supplies what is otherwise
+     missing (protobuf resolves fine from the tail — `google` is a
+     namespace package, so its path entries merge),
   3. sets protobuf's own documented escape hatch
      TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK for the one-minor-behind
      runtime (Spark's gencode is 6.33, the on-disk runtime 6.32; the
@@ -56,10 +62,13 @@ def ensure_protobuf() -> bool:
             sys.path.remove(d)
             continue
         # Propagate to the JVM's children (TWS pre-init runner + workers).
+        # APPEND — mirror the sys.path rationale above: workers only need
+        # protobuf importable, not first; the platform dir must never
+        # shadow same-named modules already on PYTHONPATH.
         prev = os.environ.get("PYTHONPATH", "")
         if d not in prev.split(os.pathsep):
             os.environ["PYTHONPATH"] = (
-                f"{d}{os.pathsep}{prev}" if prev else d
+                f"{prev}{os.pathsep}{d}" if prev else d
             )
         # protobuf's own documented override for the gencode>runtime
         # minor-version check (6.33 gencode on the 6.32 on-disk runtime).

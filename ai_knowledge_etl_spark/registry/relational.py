@@ -1909,6 +1909,7 @@ m AS (
          CAST(sum(day * cents) AS BIGINT) AS sxy,
          CAST(sum(day * day) AS BIGINT) AS sxx
   FROM daily GROUP BY event_type
+  HAVING count(*) > 1
 )
 SELECT {_REGR_FINAL}
 FROM m
@@ -1923,7 +1924,12 @@ FROM m
     "Scale: the daily rollup is bounded by the calendar (O(days x "
     "segments) rows), so the second aggregate is trivially small; "
     "moments are cast to DOUBLE before the closing products to stay "
-    "overflow-free at any corpus size.",
+    "overflow-free at any corpus size. Degenerate segments (a single "
+    "distinct day) are excluded IDENTICALLY in both engines via "
+    "HAVING n > 1 — the slope denominator n*sxx - sx² is then always "
+    "positive (x values are distinct by construction), where a 0 "
+    "denominator would yield NULL in Spark's non-ANSI division but "
+    "inf/nan in DuckDB's IEEE mode.",
 )
 def q_agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -1943,7 +1949,11 @@ def q_agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("day") * F.col("cents")).cast("long").alias("sxy"),
         F.sum(F.col("day") * F.col("day")).cast("long").alias("sxx"),
     )
-    return m.selectExpr(*_split_top_level(_REGR_FINAL))
+    # mirror the oracle's HAVING count(*) > 1: single-day segments have a
+    # zero slope denominator (NULL in Spark non-ANSI, inf/nan in DuckDB)
+    return m.where(F.col("n") > 1).selectExpr(
+        *_split_top_level(_REGR_FINAL)
+    )
 
 
 _WELCH_FINAL = """
@@ -1960,6 +1970,19 @@ _WELCH_FINAL = """
                    * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
                   / (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE)),
         4) AS t_stat
+""".strip()
+
+# Degenerate-arm guard, shared verbatim by both engines: an empty or
+# size-1 arm zeroes a variance denominator, and two zero-variance arms
+# zero the t denominator — Spark's non-ANSI double division returns NULL
+# there while DuckDB's IEEE mode returns inf/nan, so such inputs must be
+# excluded IDENTICALLY on both sides. Zero variance is detected exactly:
+# n*Σx² == (Σx)² over 128-bit DECIMAL products (no int64 wrap, no FP
+# boundary drift).
+_WELCH_GUARD = """
+na > 1 AND nb > 1
+AND (CAST(ssa AS DECIMAL(38,0)) * na <> CAST(sa AS DECIMAL(38,0)) * sa
+     OR CAST(ssb AS DECIMAL(38,0)) * nb <> CAST(sb AS DECIMAL(38,0)) * sb)
 """.strip()
 
 
@@ -1984,6 +2007,7 @@ WITH g AS (
 )
 SELECT {_WELCH_FINAL}
 FROM g
+WHERE {_WELCH_GUARD}
 """.strip(),
     doc="Welch two-sample t statistic (A/B experiment readout: purchase "
     "vs click value) from exact integer moments — one conditional hash "
@@ -1993,7 +2017,11 @@ FROM g
     "bit-identical and only display rounding is applied. Scale: the "
     "moments are the only state — O(1) per partition regardless of "
     "corpus size; cast to DOUBLE before the closing products so s² "
-    "cannot overflow int64 at petabyte row counts.",
+    "cannot overflow int64 at petabyte row counts. Degenerate inputs "
+    "(an arm with <2 rows, or both arms zero-variance) are excluded by "
+    "_WELCH_GUARD — one condition string shared verbatim by both "
+    "engines, exact 128-bit integer arithmetic — because Spark "
+    "non-ANSI and DuckDB IEEE disagree on x/0.0 (NULL vs inf/nan).",
 )
 def q_agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
@@ -2014,7 +2042,9 @@ def q_agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ssb"),
     )
-    return g.selectExpr(*_split_top_level(_WELCH_FINAL))
+    return g.where(F.expr(_WELCH_GUARD)).selectExpr(
+        *_split_top_level(_WELCH_FINAL)
+    )
 
 
 @register(

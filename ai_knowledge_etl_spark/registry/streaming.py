@@ -1023,7 +1023,14 @@ def _run_user_stats_tws(spark: SparkSession, sf_dir: str) -> str:
     os.makedirs(staging)
 
     ev = _events(spark, sf_dir).select(
-        "event_id", "user_id", "value", F.expr("ts div 1000000000").alias("sec")
+        "event_id",
+        "user_id",
+        # exact integer cents BEFORE the stream: the processor's state is
+        # an associative BIGINT sum, so the result cannot drift with
+        # arrival order the way a double accumulator can (repo convention,
+        # same as stream-incremental-mv)
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr("ts div 1000000000").alias("sec"),
     )
     lo, hi = ev.agg(F.min("sec"), F.max("sec")).collect()[0]
     mid = ((lo or 0) + (hi or 0)) // 2
@@ -1033,7 +1040,7 @@ def _run_user_stats_tws(spark: SparkSession, sf_dir: str) -> str:
         "spark.sql.streaming.stateStore.providerClass",
         stateful.ROCKSDB_PROVIDER,
     )
-    schema = "event_id long, user_id long, value double, sec long"
+    schema = "event_id long, user_id long, cents long, sec long"
     stream = ss.readStream.schema(schema).parquet(staging)
     updates = stateful.running_user_stats(stream)
 
@@ -1062,13 +1069,17 @@ def _run_user_stats_tws(spark: SparkSession, sf_dir: str) -> str:
     """
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(CAST(value AS DOUBLE)), 2) AS total_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
 FROM events GROUP BY user_id
 """.strip(),
     doc="transformWithStateInPandas (SURVEY §2.J — the Spark 4.x "
     "StatefulProcessor API, successor to applyInPandasWithState): "
-    "per-user running (count, value-sum) in a TYPED ValueState on the "
-    "RocksDB state store, state sharded by grouping key across "
+    "per-user running (count, EXACT-integer-cents sum) in a TYPED "
+    "ValueState on the RocksDB state store — integer accumulation "
+    "makes the state arrival-order-invariant, where a double sum's "
+    "2-decimal rounding could flip near .005 boundaries (repo "
+    "convention, as stream-incremental-mv) — state sharded across "
     "executors — per-executor state is O(active keys / executors), "
     "independent of stream length. Events arrive in two time-split "
     "waves, each its own availableNow run against one checkpoint, so "
@@ -1088,16 +1099,14 @@ def q_stream_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _run_user_stats_tws(spark, sf_dir), unpersist=False,
     )
     log = spark.read.schema(
-        "user_id long, n_events long, total_value double"
+        "user_id long, n_events long, total_cents long"
     ).parquet(log_path)
     return log.groupBy("user_id").agg(
         F.max("n_events").cast("long").alias("n_events"),
-        F.round(
-            F.max(F.struct("n_events", "total_value")).getField(
-                "total_value"
-            ),
-            2,
-        ).alias("total_value"),
+        F.max(F.struct("n_events", "total_cents"))
+        .getField("total_cents")
+        .cast("long")
+        .alias("total_cents"),
     )
 
 

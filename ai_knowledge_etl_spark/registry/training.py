@@ -83,7 +83,8 @@ thr AS (SELECT event_type, n, min(n) OVER () AS mn FROM counts),
 kept AS (
   SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_kept
   FROM events e JOIN thr t ON e.event_type = t.event_type
-  WHERE {h} * t.n < t.mn * 4294967296
+  WHERE CAST({h} AS DECIMAL(38,0)) * t.n
+        < CAST(t.mn AS DECIMAL(38,0)) * 4294967296
   GROUP BY e.event_type
 )
 SELECT t.event_type, t.n AS n_orig,
@@ -98,10 +99,13 @@ FROM thr t LEFT JOIN kept k ON t.event_type = k.event_type
     doc="Class-balanced downsampling with DATA-DERIVED rates — the "
     "training-set rebalance stratified sampling (fixed rates) cannot "
     "express: each class keeps ~minority-count rows via the "
-    "dialect-common md5-slice hash gated by EXACT integer "
-    "cross-multiplication (h * class_n < min_n * 16^8 — no float "
-    "division, so keep decisions are identical across engines, runs, "
-    "and partitionings). Scale: the class-count dim is O(|classes|) "
+    "dialect-common md5-slice hash gated by EXACT "
+    "cross-multiplication in DECIMAL(38,0) (h * class_n < min_n * "
+    "16^8 — no float division, and 128-bit products cannot wrap even "
+    "when a class exceeds 2^31 rows, where the old int64 form would "
+    "silently overflow in Spark's non-ANSI mode while DuckDB raised; "
+    "keep decisions are identical across engines, runs, and "
+    "partitionings). Scale: the class-count dim is O(|classes|) "
     "rows (broadcast equi-join); the min attaches via a window over "
     "that same tiny pre-aggregated frame (allowlisted SinglePartition "
     "on O(classes) rows); the keep gate is a narrow filter — no "
@@ -128,7 +132,10 @@ def q_sample_balanced_classes(
     h = md5_slice(F.col("event_id").cast("string"), 1, 8)
     kept = (
         ev.join(F.broadcast(thr), "event_type")
-        .where(h * F.col("n") < F.col("mn") * F.lit(4294967296))
+        .where(
+            h.cast("decimal(38,0)") * F.col("n")
+            < F.col("mn").cast("decimal(38,0)") * F.lit(4294967296)
+        )
         .groupBy("event_type")
         .agg(F.count("*").cast("long").alias("n_kept"))
     )

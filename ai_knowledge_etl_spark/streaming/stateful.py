@@ -45,8 +45,8 @@ except ImportError:  # pragma: no cover - older Spark or no protobuf
     StatefulProcessorHandle = None  # type: ignore[assignment,misc]
     HAS_TWS = False
 
-OUTPUT_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
-_STATE_SCHEMA = "n BIGINT, total DOUBLE"
+OUTPUT_SCHEMA = "user_id BIGINT, n_events BIGINT, total_cents BIGINT"
+_STATE_SCHEMA = "n BIGINT, cents BIGINT"
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -54,10 +54,18 @@ ROCKSDB_PROVIDER = (
 
 
 class UserStatsProcessor(StatefulProcessor):
-    """Running per-user (count, value-sum) with a single typed ValueState.
+    """Running per-user (count, cents-sum) with a single typed ValueState.
 
     Emits the post-update running totals once per key per micro-batch, so
     under outputMode=update the latest row per key is the final answer.
+
+    The accumulator is EXACT integer cents (the input stream carries a
+    pre-rounded BIGINT `cents` column), matching the repo convention set
+    by stream-incremental-mv: a double accumulator's value would depend
+    on arrival order (FP association), which can flip a 2-decimal display
+    rounding near .005 boundaries and make the batch differential flaky —
+    integer sums are associative, so the streaming result is
+    arrival-order- and partitioning-invariant by construction.
     """
 
     def init(self, handle: "StatefulProcessorHandle") -> None:
@@ -68,16 +76,16 @@ class UserStatsProcessor(StatefulProcessor):
 
         prev = self._stats.get()
         n = int(prev[0]) if prev is not None else 0
-        total = float(prev[1]) if prev is not None else 0.0
+        cents = int(prev[1]) if prev is not None else 0
         for pdf in rows:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        self._stats.update((n, total))
+            cents += int(pdf["cents"].sum())
+        self._stats.update((n, cents))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [total],
+                "total_cents": [cents],
             }
         )
 

@@ -297,7 +297,13 @@ def test_transform_with_state_running_stats(spark, events_stream):
         stateful.ROCKSDB_PROVIDER,
     )
     try:
-        out = stateful.running_user_stats(stream)
+        # the processor's ValueState sums exact integer cents (repo
+        # convention: arrival-order-invariant, unlike a double sum)
+        out = stateful.running_user_stats(
+            stream.withColumn(
+                "cents", F.round(F.col("value") * 100).cast("long")
+            )
+        )
         q = (
             out.writeStream.format("memory")
             .queryName("t_tws")
@@ -314,20 +320,20 @@ def test_transform_with_state_running_stats(spark, events_stream):
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
     got = {
-        (r["user_id"], r["n_events"], round(r["total_value"], 2))
+        (r["user_id"], r["n_events"], r["total_cents"])
         for r in spark.sql(
-            """SELECT user_id, n_events, total_value FROM (
+            """SELECT user_id, n_events, total_cents FROM (
                  SELECT *, row_number() OVER (
                    PARTITION BY user_id ORDER BY n_events DESC) AS rn
                  FROM t_tws) WHERE rn = 1"""
         ).collect()
     }
     want = {
-        (r["user_id"], r["n"], round(r["tv"], 2))
+        (r["user_id"], r["n"], r["tc"])
         for r in batch.groupBy("user_id")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("double")).alias("tv"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("tc"),
         )
         .collect()
     }
