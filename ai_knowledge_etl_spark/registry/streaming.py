@@ -1115,6 +1115,15 @@ def q_stream_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INC_MV_CACHE: dict[tuple[str, str], str] = {}
 
 
+def _user_stats_partials(batch_df: DataFrame) -> DataFrame:
+    """Per-user (count, cents-sum) partials of ONE microbatch — the
+    associative partial frame apply_mv_batch merges into the MV chain."""
+    return batch_df.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
 def _run_incremental_mv(spark: SparkSession, sf_dir: str) -> str:
     """Maintain a per-user (count, cents-sum) materialized aggregate from
     a file stream via foreachBatch: each microbatch aggregates ONLY its
@@ -1129,7 +1138,6 @@ def _run_incremental_mv(spark: SparkSession, sf_dir: str) -> str:
     restart (wave 2's first batch must read wave 1's last version).
     Returns the final MV directory."""
     import os
-    import shutil
     import tempfile
 
     from ai_knowledge_etl_spark.operators import incremental
@@ -1156,35 +1164,17 @@ def _run_incremental_mv(spark: SparkSession, sf_dir: str) -> str:
         return max(vs) if vs else -1
 
     def apply_batch(batch_df, batch_id: int) -> None:
-        cur = batch_df.groupBy("user_id").agg(
-            F.count("*").cast("long").alias("n_events"),
-            F.sum("cents").cast("long").alias("total_cents"),
+        # delegated to the operator so replay idempotence (same batch_id
+        # applied twice) is provable in isolation — tests/test_fault_
+        # tolerance.py drives apply_mv_batch directly with a duplicate id
+        incremental.apply_mv_batch(
+            mv_root,
+            batch_df,
+            batch_id,
+            ["user_id"],
+            ["n_events", "total_cents"],
+            _user_stats_partials,
         )
-        prev_dir = os.path.join(mv_root, f"v{batch_id - 1}")
-        # a replayed batch must NOT read its own output: only versions
-        # strictly below batch_id participate (idempotent re-merge)
-        if not os.path.isdir(prev_dir):
-            newest = max(
-                (
-                    v
-                    for v in range(batch_id)
-                    if os.path.isdir(os.path.join(mv_root, f"v{v}"))
-                ),
-                default=-1,
-            )
-            prev_dir = os.path.join(mv_root, f"v{newest}")
-        sess = batch_df.sparkSession
-        if os.path.isdir(prev_dir):
-            prev = sess.read.parquet(prev_dir)
-            merged = incremental.merge_agg_partials(
-                [prev, cur], ["user_id"], ["n_events", "total_cents"]
-            )
-        else:
-            merged = cur
-        out = os.path.join(mv_root, f"v{batch_id}")
-        if os.path.isdir(out):
-            shutil.rmtree(out)
-        merged.write.mode("overwrite").parquet(out)
 
     schema = "event_id long, user_id long, cents long"
     for wave_pred in ("event_id % 2 = 0", "event_id % 2 = 1"):
