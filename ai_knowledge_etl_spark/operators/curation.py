@@ -31,6 +31,53 @@ from pyspark.sql import functions as F
 
 PARA_SEP = "\n\n"
 
+# Max multiplicity of any element in a string array, as ONE per-row fold:
+# sorting puts equal tokens adjacent, so the longest equal-run IS the top
+# word's count. aggregate() evaluates JVM-side per row — the top-word
+# occupancy gate therefore needs no token explode, no (doc, word) hash
+# aggregate, and no join back: at 100 TB that removes two full-corpus
+# token-stream shuffles from the hot path (round-5 verdict #4).
+_MAX_RUN_EXPR = (
+    "aggregate(array_sort({ws}), "
+    "named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
+    "(a, x) -> named_struct("
+    "'prev', x, "
+    "'run', if(a.prev <=> x, a.run + 1L, 1L), "
+    "'best', greatest(a.best, if(a.prev <=> x, a.run + 1L, 1L))), "
+    "a -> a.best)"
+)
+
+_DISTINCT_TRIGRAMS_EXPR = (
+    "size(array_distinct(transform("
+    "sequence(1, greatest(size({ws}) - 2, 1)), "
+    "i -> concat_ws(' ', slice({ws}, i, 3)))))"
+)
+
+
+def gopher_metrics(df: DataFrame, ws_col: str = "ws") -> DataFrame:
+    """Gopher repetition metrics (Rae et al. 2021, public) for a frame
+    carrying a words-array column, appended as four columns — ALL pure
+    per-row array expressions, zero shuffles, zero joins:
+
+      t3        window count for 3-grams (>=1)
+      d3        distinct 3-gram count
+      n_tokens  token count (= size of the array)
+      mx        top word's multiplicity (max equal-run in the sorted array)
+
+    The duplicate-3-gram fraction is 1 - d3/t3; top-word occupancy is
+    mx/n_tokens. One tokenization pass serves both gates (and the caller
+    can reuse the same array for the LM token explode), where the naive
+    form pays an explode + (doc, word) hash agg + per-doc re-agg + two
+    joins — integer-identical results, embarrassingly parallel."""
+    return df.withColumns(
+        {
+            "t3": F.greatest(F.size(ws_col) - 2, F.lit(1)),
+            "d3": F.expr(_DISTINCT_TRIGRAMS_EXPR.format(ws=ws_col)),
+            "n_tokens": F.size(ws_col).cast("long"),
+            "mx": F.expr(_MAX_RUN_EXPR.format(ws=ws_col)),
+        }
+    )
+
 
 def split_paragraphs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "ptext"

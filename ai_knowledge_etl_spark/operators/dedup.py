@@ -64,21 +64,24 @@ def shingles(
 
     The split is hoisted to a projected column FIRST: referencing
     `split(text)` inside the transform lambda would re-split the whole text
-    once per shingle — O(|words|²) per document."""
+    once per shingle — O(|words|²) per document.
+
+    Distinctness is PER-ROW (`array_distinct` before the explode), not a
+    DataFrame `.distinct()`: the id is part of the key either way, so the
+    result is identical, but the per-row form needs no shuffle — the old
+    shape hash-exchanged the entire corpus-sized shingle stream just to
+    dedup within documents (round-6 fusion of the warc-corpus carry)."""
     words = df.select(
         F.col(id_col),
         *[F.col(c) for c in keep],
         F.split(F.col(text_col), " ").alias("__words"),
     )
     sh = F.expr(
-        f"transform(sequence(1, greatest(size(__words) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(__words, i, {n})))"
+        f"array_distinct(transform(sequence(1, greatest(size(__words) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(__words, i, {n}))))"
     )
-    return (
-        words.select(
-            F.col(id_col), *[F.col(c) for c in keep], F.explode(sh).alias("shingle")
-        )
-        .distinct()
+    return words.select(
+        F.col(id_col), *[F.col(c) for c in keep], F.explode(sh).alias("shingle")
     )
 
 
@@ -204,23 +207,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """k seeded MinHash signatures per doc: sig_j = min(md5(j || ':' || shingle)).
     Lexicographic min over md5 hex is engine-portable and uniform enough for
-    banding."""
-    seeded = sh.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed"),
-        F.col("shingle"),
+    banding.
+
+    Computed as ONE wide aggregate (k min columns over the shingle stream,
+    map-side partial combine) then unpivoted to the (id, seed, sig) long
+    form — identical values to the old seed-explode shape, but the
+    corpus-sized shingle stream is never inflated k× into materialized
+    rows, and the only shuffle carries one k-column row per doc."""
+    mins = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))
+        ).alias(f"__s{j}")
+        for j in range(k)
+    ]
+    wide = sh.groupBy(id_col).agg(*mins)
+    stack = "stack(%d, %s) AS (seed, sig)" % (
+        k,
+        ", ".join(f"{j}, __s{j}" for j in range(k)),
     )
-    return (
-        seeded.select(
-            id_col,
-            "seed",
-            F.md5(
-                F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
-            ).alias("h"),
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("sig"))
-    )
+    return wide.select(F.col(id_col), F.expr(stack))
 
 
 def minhash_candidates(

@@ -24,6 +24,20 @@ Reference anchor: the fixed-size-artifact-between-stages discipline of
 the hierarchical summary budget (config/limits.yaml:143-163); the same
 bounded-table idea the repo already uses for DSIR's hashed buckets
 (operators/curation.py) and the shipped bigram counts table.
+
+Choosing K (measured, round-6 — tools/bench_lm_cap.py): the registry
+default UNIGRAM_VOCAB_TOPK=24 exists so the cap BINDS on the 31-type
+fixture and the OOV branch is differentially tested; it is not a
+production value. At a production-scale K = 2^15 over a 126,966-type /
+27M-token corpus (100x scaled documents, wide-vocab probe), the
+TakeOrderedAndProject artifact build and the K+1-row broadcast scoring
+pass both complete value-exact against the DuckDB twin (0 mismatches)
+and scale SUBLINEARLY: 100x the tokens cost 18x the artifact build and
+25x the scoring wall. Driver merge memory is tasks x K rows of (w, cnt)
+— at K=2^15 and 32 tasks that is ~1M small rows, far under any driver
+heap; pick K by the LM quality you need (CCNet uses full SentencePiece
+vocabs ~2^16), not by engine limits, and keep the fixture-binding
+property (K < |fixture vocab|) only in differential tests.
 """
 
 from __future__ import annotations

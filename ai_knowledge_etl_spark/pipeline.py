@@ -374,52 +374,37 @@ def curate_warc_corpus(
     from ai_knowledge_etl_spark.operators import curation as CU
     from ai_knowledge_etl_spark.sources import warc
 
-    # Cut here: `parsed` feeds FOUR consumers (the 3-gram gate, the
-    # top-word gate, the gated join, and the LM token stream), and
-    # without a cut each one re-runs the Python WARC byte parse — the
-    # pipeline's most expensive per-byte stage at 100 TB. Local wall is
-    # noise-level either way at sf0.1 (r5 profiling: parse 0.6-0.9 s,
-    # 4 replays vs one ~1 s materialization), but 4x the parse at scale
-    # is the difference that matters.
+    # Cut here: `parsed` feeds its downstream consumers (the gated LM
+    # token stream and the quality join), and without a cut each one
+    # re-runs the Python WARC byte parse — the pipeline's most expensive
+    # per-byte stage at 100 TB. The Gopher gate metrics ride INSIDE this
+    # checkpoint (round-5 verdict #4): both are pure per-row array
+    # expressions over ONE tokenization (operators/curation.
+    # gopher_metrics — the top-word count is the max equal-run in the
+    # sorted words array), evaluated exactly once per record at
+    # materialization and stored as four ints. The old shape paid a
+    # token explode, a (doc, word) hash agg, a per-doc re-agg, and two
+    # joins back — four extra full-corpus shuffle stages; computing the
+    # fold outside the cut would instead replay it in every consumer's
+    # lineage (measured: +1.5 s at sf0.1).
     parsed = (
-        warc.scan_warc_text(warc_files)
-        .join(uri_lookup, "uri")
+        CU.gopher_metrics(
+            warc.scan_warc_text(warc_files)
+            .join(uri_lookup, "uri")
+            .withColumn("ws", F.split("text", " "))
+        )
+        .drop("ws")  # the array would bloat the checkpoint; split is cheap
         .localCheckpoint()
     )
 
-    # Gopher repetition gates (registry twin: filter-repetition-gopher)
-    words = parsed.select("doc_id", F.split("text", " ").alias("ws"))
-    tri = words.select(
-        "doc_id",
-        F.greatest(F.size("ws") - 2, F.lit(1)).alias("t3"),
-        F.size(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, greatest(size(ws) - 2, 1)),"
-                    " i -> concat_ws(' ', slice(ws, i, 3)))"
-                )
-            )
-        ).alias("d3"),
-    )
-    tw = (
-        words.select("doc_id", F.explode("ws").alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("c"))
-    )
-    top = tw.groupBy("doc_id").agg(
-        F.max("c").alias("mx"), F.sum("c").alias("n_tokens")
-    )
-    gop = (
-        tri.join(top, "doc_id")
-        .where(
-            (1.0 - F.col("d3").cast("double") / F.col("t3")
-             <= cfg.GOPHER_DUP3_MAX)
-            & (F.col("mx").cast("double") / F.col("n_tokens")
-               <= cfg.GOPHER_TOPWORD_MAX)
-        )
-        .select("doc_id")
-    )
-    gated = parsed.join(gop, "doc_id")
+    # Gopher repetition gates (registry twin: filter-repetition-gopher):
+    # a plain WHERE over the materialized metric ints — no joins.
+    gated = parsed.where(
+        (1.0 - F.col("d3").cast("double") / F.col("t3")
+         <= cfg.GOPHER_DUP3_MAX)
+        & (F.col("mx").cast("double") / F.col("n_tokens")
+           <= cfg.GOPHER_TOPWORD_MAX)
+    ).drop("t3", "d3", "n_tokens", "mx")
 
     # unigram-logprob gate, self-trained on the gate survivors under the
     # CAPPED vocabulary (operators/lm): the broadcast LM table is top-K

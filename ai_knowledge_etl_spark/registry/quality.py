@@ -114,37 +114,23 @@ FROM tri JOIN top USING (doc_id)
     "top-word occupancy, thresholded (config.GOPHER_*). The corpus gets a "
     "spam probe (synthetic.REPEAT_TEXT_EXPR) so both reject classes have "
     "true positives. All intermediates are integer-exact (array counts); "
-    "the two per-doc metrics come from array expressions + one token "
-    "explode — no self-join, embarrassingly parallel at any scale.",
+    "both per-doc metrics are PURE per-row array expressions from one "
+    "tokenization pass (operators/curation.gopher_metrics: the top-word "
+    "count is the max equal-run in the sorted array, so there is no "
+    "token explode, no (doc, word) hash agg, and no join) — zero "
+    "shuffles, embarrassingly parallel at any scale.",
 )
 def q_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.operators import curation as CU
+
     probe = _docs(spark, sf_dir).select(
         "doc_id", F.expr(syn.REPEAT_TEXT_EXPR).alias("text")
     )
     words = probe.select("doc_id", F.split("text", " ").alias("ws"))
-    tri = words.select(
-        "doc_id",
-        F.greatest(F.size("ws") - 2, F.lit(1)).alias("t3"),
-        F.size(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, greatest(size(ws) - 2, 1)),"
-                    " i -> concat_ws(' ', slice(ws, i, 3)))"
-                )
-            )
-        ).alias("d3"),
-    )
-    tw = (
-        words.select("doc_id", F.explode("ws").alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("c"))
-    )
-    top = tw.groupBy("doc_id").agg(
-        F.max("c").alias("mx"), F.sum("c").cast("bigint").alias("n_tokens")
-    )
+    m = CU.gopher_metrics(words)
     dup3 = 1.0 - F.col("d3").cast("double") / F.col("t3")
     topw = F.col("mx").cast("double") / F.col("n_tokens")
-    return tri.join(top, "doc_id").select(
+    return m.select(
         "doc_id",
         "n_tokens",
         F.round(dup3, 4).alias("dup3_ratio"),

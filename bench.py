@@ -25,14 +25,21 @@ stdout line stays small enough for the driver's tail-capture to parse.
   oracle SQLs, sequential, 32 threads).
 - BENCH_DETAIL.json additionally carries `isolated`: one-at-a-time
   sequential timings for EVERY registered query (same warmed session,
-  alphabetical), each as {"spark": sec, "duck": sec} with the DuckDB
-  per-query wall (min of 2 runs) beside it. These are true isolated
-  latencies — the per-round comparable numbers and the per-query 2x
-  check — unlike the queue-inclusive concurrent timings. Disable with
-  SPARK_GRAFT_BENCH_ISOLATED=0. Per-query ratio caveat: a Spark job has
-  a ~0.1-0.3 s driver/scheduling floor that DuckDB (in-process, no DAG)
-  does not pay, so sub-second queries compare on max(2*duck, duck+floor)
-  — see docs/PERF.md.
+  alphabetical), each as {"spark": warm sec, "spark_cold": first-run
+  sec, "duck": sec} with the DuckDB per-query wall (min of 2 runs)
+  beside it. Each query runs TWICE back-to-back and `spark` is the
+  best-of-2 (round-5 verdict #2): the old single-shot numbers were
+  cold-ordering noise — the same query read 1.74 s or 1.38 s depending
+  on what ran before it, and two rounds in a row the "top regressions"
+  evaporated under a 3-run warm probe. The warm number is the
+  reproducible one, so round-over-round deltas (computed on `spark`)
+  are signal; `spark_cold` is kept for first-touch diagnosis. These
+  are true isolated latencies — the per-round comparable numbers and
+  the per-query 2x check — unlike the queue-inclusive concurrent
+  timings. Disable with SPARK_GRAFT_BENCH_ISOLATED=0. Per-query ratio
+  caveat: a Spark job has a ~0.1-0.3 s driver/scheduling floor that
+  DuckDB (in-process, no DAG) does not pay, so sub-second queries
+  compare on max(2*duck, duck+floor) — see docs/PERF.md.
 """
 
 from __future__ import annotations
@@ -200,11 +207,13 @@ def main() -> None:
     # current VM the run-to-run spread is large (cold 1.3-2x warm), so the
     # warm pass is the reproducible measurement.
     totals, timings = [], {}
+    all_pass_timings: list[dict[str, float]] = []
     for _ in range(PASSES):
         t0 = time.time()
         with ThreadPoolExecutor(N_WORKERS) as ex:
             pass_timings = dict(ex.map(run, order))
         wall = round(time.time() - t0, 3)
+        all_pass_timings.append(pass_timings)
         if not totals or wall < min(totals):
             timings = pass_timings
         totals.append(wall)
@@ -224,12 +233,20 @@ def main() -> None:
     # ≈ workers × wall by construction) and cannot be compared across
     # rounds. One query at a time, alphabetical, same warmed session —
     # these ARE isolated latencies, the round-over-round comparable set.
-    isolated_spark = {}
+    # Best-of-2 per query (round-5 verdict #2): the single-shot number is
+    # cold-ordering noise — JIT/codegen state, page cache, and what the
+    # previous query left behind swing a sub-3 s wall by 1.3-2x. Running
+    # the same query twice back-to-back and keeping the min gives the
+    # reproducible warm latency; the cold first run is kept as a separate
+    # field so first-touch costs stay visible without polluting deltas.
+    isolated_spark: dict[str, tuple[float, float]] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
         for i, name in enumerate(sorted(REGISTRY)):
             if i % 50 == 0:
                 gc.collect()  # same pollution guard as the pass boundary
-            isolated_spark[name] = run(name)[1]
+            cold = run(name)[1]
+            warm = min(cold, run(name)[1])
+            isolated_spark[name] = (warm, cold)
     # stop the JVM before the DuckDB phase so the baseline measurement does
     # not compete with a resident 16 GB heap; best-of-2 damps VM noise
     # (same direction for both engines: min-of-passes each).
@@ -243,8 +260,8 @@ def main() -> None:
         for k, v in pq.items():
             duck_q[k] = min(duck_q.get(k, v), v)
     isolated = {
-        name: {"spark": s, "duck": duck_q.get(name)}
-        for name, s in isolated_spark.items()
+        name: {"spark": warm, "spark_cold": cold, "duck": duck_q.get(name)}
+        for name, (warm, cold) in isolated_spark.items()
     }
     headline = {
         "metric": "headline_queries_total_wall",
@@ -260,7 +277,16 @@ def main() -> None:
     # captures only a tail of stdout and a ~6 KB line gets truncated
     # mid-JSON (BENCH_r01 came back parsed:null). Keep the final line tiny.
     repo = os.path.dirname(os.path.abspath(__file__))
-    detail = {**headline, "queries": timings, "isolated": isolated}
+    # per-pass per-query walls (queue-inclusive): kept so a cold pass-1
+    # anomaly is attributable to its queries after the fact (round-5
+    # verdict #7 — the 209 s pass-1 could not be explained because only
+    # the min pass's timings were recorded)
+    detail = {
+        **headline,
+        "queries": timings,
+        "isolated": isolated,
+        "pass_timings": all_pass_timings,
+    }
 
     # Round-over-round history (VERDICT r4 #3): BENCH_DETAIL.json used to
     # be overwritten every round, so no verdict could name per-query
