@@ -1,0 +1,67 @@
+"""Seed-parametric differential guard (round-5 verdict #3).
+
+The full sweep (`python tools/difftest.py --seed S`) re-keys every
+fixture id by a seeded bijection and re-runs all 292 differentials —
+round 6 ran it green under seeds 7 and 13. Keeping THAT in CI would be
+minutes of wall, so this test pins the property on a third seed over the
+queries most dependent on the synthetic probe layout (planted clones,
+md5 keep-gates, modular probe selectors, unicode decorations): if
+someone reintroduces a constant overfit to the default fixture
+instantiation, one of these breaks here first.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+)
+
+from difftest import run_one, seeded_dir  # noqa: E402
+
+SEED = 3
+
+# One per probe family: paragraph boilerplate, spam/Gopher, WARC clones,
+# md5 sampling gates, unicode clones, minhash clones, preset snippets,
+# balanced-class md5 gate.
+PROBE_QUERIES = [
+    "dedup-paragraph",
+    "filter-repetition-gopher",
+    "pipeline-warc-corpus",
+    "sample-train-split",
+    "udf-normalize-nfc",
+    "dedup-minhash",
+    "score-page-preset",
+    "sample-balanced-classes",
+]
+
+
+@pytest.fixture(scope="module")
+def seeded(sf_dir):
+    return seeded_dir(sf_dir, SEED)
+
+
+@pytest.fixture(scope="module")
+def seeded_duck(seeded):
+    import duckdb
+
+    from ai_knowledge_etl_spark.sources.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        src = os.path.join(seeded, f"{t}.parquet")
+        if os.path.exists(src):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", PROBE_QUERIES)
+def test_probe_query_is_seed_independent(spark, seeded, seeded_duck, name):
+    ok, msg = run_one(spark, seeded_duck, name, seeded)
+    assert ok, f"{name} under seed {SEED}: {msg}"
