@@ -27,13 +27,16 @@ stdout line stays small enough for the driver's tail-capture to parse.
   sequential timings for EVERY registered query (same warmed session,
   alphabetical), each as {"spark": warm sec, "spark_cold": first-run
   sec, "duck": sec} with the DuckDB per-query wall (min of 2 runs)
-  beside it. Each query runs TWICE back-to-back and `spark` is the
-  best-of-2 (round-5 verdict #2): the old single-shot numbers were
-  cold-ordering noise — the same query read 1.74 s or 1.38 s depending
-  on what ran before it, and two rounds in a row the "top regressions"
-  evaporated under a 3-run warm probe. The warm number is the
-  reproducible one, so round-over-round deltas (computed on `spark`)
-  are signal; `spark_cold` is kept for first-touch diagnosis. These
+  beside it. Each query runs in TWO SEPARATED FULL SWEEPS and `spark`
+  is the best-of-2 (round-5 verdict #2): the old single-shot numbers
+  were cold-ordering noise — the same query read 1.74 s or 1.38 s
+  depending on what ran before it, and two rounds in a row the "top
+  regressions" evaporated under a 3-run warm probe. Sweeps are
+  separated (not back-to-back repeats) because this VM slows down in
+  multi-minute windows that would hit both adjacent runs at once. The
+  warm number is the reproducible one, so round-over-round deltas
+  (computed on `spark`) are signal; `spark_cold` is kept for
+  first-touch diagnosis. These
   are true isolated latencies — the per-round comparable numbers and
   the per-query 2x check — unlike the queue-inclusive concurrent
   timings. Disable with SPARK_GRAFT_BENCH_ISOLATED=0. Per-query ratio
@@ -235,18 +238,28 @@ def main() -> None:
     # these ARE isolated latencies, the round-over-round comparable set.
     # Best-of-2 per query (round-5 verdict #2): the single-shot number is
     # cold-ordering noise — JIT/codegen state, page cache, and what the
-    # previous query left behind swing a sub-3 s wall by 1.3-2x. Running
-    # the same query twice back-to-back and keeping the min gives the
-    # reproducible warm latency; the cold first run is kept as a separate
-    # field so first-touch costs stay visible without polluting deltas.
+    # previous query left behind swing a sub-3 s wall by 1.3-2x. The two
+    # runs are SEPARATED FULL SWEEPS (all queries once, then all again),
+    # not back-to-back repeats: this VM's slowdowns come in multi-minute
+    # windows, and back-to-back repeats share the window — measured, two
+    # same-day benches' top-10 delta lists overlapped 2/10 because each
+    # run's slow window painted a different alphabetical band. Separated
+    # sweeps decorrelate the window from the query; min is the warm
+    # number, sweep-1's value is kept as the cold field.
     isolated_spark: dict[str, tuple[float, float]] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
-        for i, name in enumerate(sorted(REGISTRY)):
-            if i % 50 == 0:
-                gc.collect()  # same pollution guard as the pass boundary
-            cold = run(name)[1]
-            warm = min(cold, run(name)[1])
-            isolated_spark[name] = (warm, cold)
+        sweeps: list[dict[str, float]] = []
+        for _ in range(2):
+            walls: dict[str, float] = {}
+            for i, name in enumerate(sorted(REGISTRY)):
+                if i % 50 == 0:
+                    gc.collect()  # same pollution guard as the pass boundary
+                walls[name] = run(name)[1]
+            sweeps.append(walls)
+        isolated_spark = {
+            n: (min(sweeps[0][n], sweeps[1][n]), sweeps[0][n])
+            for n in sweeps[0]
+        }
     # stop the JVM before the DuckDB phase so the baseline measurement does
     # not compete with a resident 16 GB heap; best-of-2 damps VM noise
     # (same direction for both engines: min-of-passes each).
@@ -321,15 +334,26 @@ def main() -> None:
                     }
                 )
         deltas.sort(key=lambda d: -d["delta_s"])
+        # Significance floor (measured, round 6): with separated-sweep
+        # best-of-2, consecutive same-code runs differ by median 0.038 s
+        # / p90 0.134 s per query — so only deltas >= 0.15 s AND >= 20%
+        # of the previous wall are real; below that, "top-10" is ranked
+        # noise and two runs will legitimately disagree on it.
+        for d in deltas:
+            d["significant"] = (
+                d["delta_s"] >= 0.15 and d["delta_s"] >= 0.2 * d["prev_s"]
+            )
+        n_sig = sum(1 for d in deltas if d["significant"])
         print(
             f"# top-10 isolated deltas vs r{prev_snap} "
-            "(positive = regression):",
+            f"(positive = regression; {n_sig} significant):",
             file=sys.stderr,
         )
         for d in deltas[:10]:
+            mark = "  <-- SIGNIFICANT" if d["significant"] else ""
             print(
                 f"#  {d['query']:40s} {d['prev_s']:7.3f}s -> "
-                f"{d['cur_s']:7.3f}s  ({d['delta_s']:+.3f}s)",
+                f"{d['cur_s']:7.3f}s  ({d['delta_s']:+.3f}s){mark}",
                 file=sys.stderr,
             )
         detail["deltas_vs_prev"] = {"prev_round": prev_snap, "top": deltas[:25]}
