@@ -279,13 +279,26 @@ def importance_weights(flagged_buckets: DataFrame) -> DataFrame:
     c = flagged_buckets.groupBy("bucket").agg(
         F.count("*").alias("c_n"), F.sum(tgt).alias("t_n")
     )
-    # totals as a 1-row broadcast scalar — keeps the whole weight table
-    # lazy (plan shows the inherent 1-row final combine + 1-row BNLJ;
-    # justified in the plan-audit allowlist)
-    tot = flagged_buckets.agg(
-        F.count("*").alias("c_tot"), F.sum(tgt).alias("t_tot")
+    # totals DERIVED FROM the bucket frame (c_tot = Σ c_n over ≤4096
+    # rows) via an unpartitioned window, not re-aggregated from the
+    # token stream: the old direct 1-row aggregate was a SECOND full
+    # corpus explode+scan (verified in the physical plan — Catalyst did
+    # not ReusedExchange the two bucket exchanges), where the window
+    # keeps exactly one instance of the bucket aggregate in the plan,
+    # so the corpus is tokenized once for the whole weight table.
+    # Values identical (integer sums are associative). The
+    # SinglePartition window runs on <= N_FEATURE_BUCKETS rows — the
+    # same allowlisted tiny-frame pattern as sample-balanced-classes'
+    # min-over-classes (tests/test_plans.py).
+    joined = c.select(
+        "bucket",
+        "c_n",
+        "t_n",
+        F.sum("c_n").over(Window.partitionBy()).cast("bigint")
+        .alias("c_tot"),
+        F.sum("t_n").over(Window.partitionBy()).cast("bigint")
+        .alias("t_tot"),
     )
-    joined = c.crossJoin(F.broadcast(tot))
     w = F.round(
         1_000_000.0
         * (
