@@ -84,7 +84,9 @@ PLAN_ALLOWLIST = {
     # unigram-logprob stage inside the composed WARC pipeline: the corpus
     # token total is a 1-row scalar agg (SinglePartition inherent)
     # broadcast back onto the token stream (1-row BNLJ) — same shape as
-    # udf-unigram-logprob's own allowlisted plan
+    # udf-unigram-logprob's own allowlisted plan. (The DSIR stage's old
+    # BNLJ went away in round 6 — its totals are now a window over the
+    # bucket frame — but the LM stage's 1-row BNLJ remains inherent.)
     "pipeline-warc-corpus": {"SinglePartition", "BroadcastNestedLoopJoin"},
     # CCNet bucketing: corpus token total is a 1-row scalar agg broadcast
     # back onto the token stream — same shape as udf-unigram-logprob
@@ -151,9 +153,10 @@ PLAN_ALLOWLIST = {
     # (1-row combines) joined as a 1-row broadcast — inherent to a
     # whole-table accuracy check
     "agg-hll-sketch-merge": {"SinglePartition", "BroadcastNestedLoopJoin"},
-    # end-to-end curation pipeline inherits DSIR's scalar token totals
-    # (1-row combine + 1-row broadcast onto the 4096-row weight dim)
-    "pipeline-curate-corpus": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    # end-to-end curation pipeline inherits DSIR's scalar token totals —
+    # since round 6 a SinglePartition window over the <=4096-row bucket
+    # frame (one corpus pass), no longer a 1-row BNLJ broadcast
+    "pipeline-curate-corpus": {"SinglePartition"},
     # temperature mixture: corpus total and weight-sum are global scalars
     # (1-row combines + 1-row broadcasts onto the 5-row lang dim); the
     # corpus itself sees only the threshold broadcast join
@@ -161,10 +164,11 @@ PLAN_ALLOWLIST = {
         "SinglePartition",
         "BroadcastNestedLoopJoin",
     },
-    # DSIR weight table: corpus/target token totals are global scalars
-    # (1-row combine + 1-row broadcast onto the 4096-row weight dim);
-    # the token stream itself only sees the broadcast equi-join
-    "sample-importance-reweight": {"SinglePartition", "BroadcastNestedLoopJoin"},
+    # DSIR weight table: corpus/target token totals attach via a
+    # SinglePartition window over the <=4096-row bucket frame (round 6 —
+    # one corpus tokenization; previously a second full pass + 1-row
+    # BNLJ); the token stream itself only sees the broadcast equi-join
+    "sample-importance-reweight": {"SinglePartition"},
     # partsupp synthesis (TPC-H wave 6) modulos supplier keys by the
     # supplier COUNT: a 1-row scalar agg broadcast-crossed into the part
     # scan — data-independent and tiny. Q11 additionally carries its
