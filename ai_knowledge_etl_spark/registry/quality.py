@@ -87,7 +87,8 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH probe AS (
   SELECT doc_id, {syn.REPEAT_TEXT_EXPR} AS text FROM documents
 ),
-words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM probe),
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM probe
+          WHERE text IS NOT NULL),
 tri AS (
   SELECT doc_id,
          greatest(len(ws) - 2, 1) AS t3,
@@ -126,7 +127,13 @@ def q_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = _docs(spark, sf_dir).select(
         "doc_id", F.expr(syn.REPEAT_TEXT_EXPR).alias("text")
     )
-    words = probe.select("doc_id", F.split("text", " ").alias("ws"))
+    # Drop NULL-text docs BEFORE the metric fold: the oracle's
+    # tri JOIN top shape drops them implicitly (unnest(NULL ws) emits no
+    # rows), so without this filter Spark would keep a NULL-metrics row
+    # the oracle never produces (round-6 ADVICE #2).
+    words = probe.where(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
     m = CU.gopher_metrics(words)
     dup3 = 1.0 - F.col("d3").cast("double") / F.col("t3")
     topw = F.col("mx").cast("double") / F.col("n_tokens")
@@ -668,7 +675,8 @@ def q_text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH probe AS (
   SELECT doc_id, {syn.REPEAT_TEXT_EXPR} AS text FROM documents
 ),
-words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM probe),
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM probe
+          WHERE text IS NOT NULL),
 tri AS (
   SELECT doc_id,
          greatest(len(ws) - 2, 1) AS t3,

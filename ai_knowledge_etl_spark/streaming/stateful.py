@@ -111,13 +111,17 @@ def prepare_session(spark) -> None:
 
     ensure_protobuf()  # driver-side import + os.environ export
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
+    # Same never-shadow ordering as compat.ensure_protobuf: repo root first,
+    # the inherited PYTHONPATH next, and the protobuf fallback dirs LAST —
+    # the App Engine platform dir ships other top-level packages that must
+    # never shadow a real install in the TWS pre-init runner.
     parts = [repo_root]
-    for p in _sys.path:
-        if os.path.isdir(os.path.join(p, "google", "protobuf")):
-            parts.append(p)
     prev = os.environ.get("PYTHONPATH", "")
     if prev:
         parts.append(prev)
+    for p in _sys.path:
+        if os.path.isdir(os.path.join(p, "google", "protobuf")):
+            parts.append(p)
     env = spark.sparkContext.environment
     env["PYTHONPATH"] = os.pathsep.join(dict.fromkeys(parts))
     check = os.environ.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK")

@@ -299,6 +299,11 @@ def main() -> None:
         "queries": timings,
         "isolated": isolated,
         "pass_timings": all_pass_timings,
+        # Methodology marker (round-6 ADVICE #5): snapshots before r6 were
+        # single-shot; r6+ are best-of-2 separated sweeps. Cross-round
+        # deltas are only warm-vs-warm comparable when BOTH snapshots
+        # carry the same spark_method — the delta code below checks it.
+        "spark_method": "best_of_2_separated_sweeps",
     }
 
     # Round-over-round history (VERDICT r4 #3): BENCH_DETAIL.json used to
@@ -321,7 +326,14 @@ def main() -> None:
     deltas = []
     if 0 < prev_snap < cur_round:
         with open(os.path.join(repo, f"BENCH_DETAIL_r{prev_snap:02d}.json")) as f:
-            prev_iso = json.load(f).get("isolated", {})
+            prev_detail = json.load(f)
+        prev_iso = prev_detail.get("isolated", {})
+        # warm-vs-warm only: a single-shot previous snapshot biases every
+        # delta toward "improvement" (round-6 ADVICE #5) — caveat it and
+        # suppress the significance flag.
+        methods_match = (
+            prev_detail.get("spark_method") == detail["spark_method"]
+        )
         for name, cur in isolated.items():
             old = prev_iso.get(name, {}).get("spark")
             if old is not None and cur["spark"] is not None:
@@ -340,13 +352,18 @@ def main() -> None:
         # of the previous wall are real; below that, "top-10" is ranked
         # noise and two runs will legitimately disagree on it.
         for d in deltas:
-            d["significant"] = (
+            d["significant"] = methods_match and (
                 d["delta_s"] >= 0.15 and d["delta_s"] >= 0.2 * d["prev_s"]
             )
         n_sig = sum(1 for d in deltas if d["significant"])
+        caveat = (
+            "" if methods_match
+            else " [METHOD MISMATCH: prev snapshot is single-shot — "
+            "deltas biased toward improvement, significance suppressed]"
+        )
         print(
             f"# top-10 isolated deltas vs r{prev_snap} "
-            f"(positive = regression; {n_sig} significant):",
+            f"(positive = regression; {n_sig} significant){caveat}:",
             file=sys.stderr,
         )
         for d in deltas[:10]:
@@ -356,7 +373,11 @@ def main() -> None:
                 f"{d['cur_s']:7.3f}s  ({d['delta_s']:+.3f}s){mark}",
                 file=sys.stderr,
             )
-        detail["deltas_vs_prev"] = {"prev_round": prev_snap, "top": deltas[:25]}
+        detail["deltas_vs_prev"] = {
+            "prev_round": prev_snap,
+            "methods_match": methods_match,
+            "top": deltas[:25],
+        }
 
     for path in ("BENCH_DETAIL.json", f"BENCH_DETAIL_r{cur_round:02d}.json"):
         with open(os.path.join(repo, path), "w") as f:

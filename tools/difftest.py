@@ -126,9 +126,27 @@ def seeded_dir(base_sf: str, seed: int) -> str:
         f"/tmp/spark_graft_seed{seed}_"
         f"{os.path.basename(base_sf.rstrip('/'))}"
     )
+    # The _DONE marker records a fingerprint (size:mtime_ns per table) of
+    # the BASE parquet files: if the fixture is ever regenerated, the
+    # cached twin is stale and must be rebuilt — a seed sweep silently
+    # reusing a twin of the OLD fixture would green-light against data
+    # nobody runs anymore (round-6 ADVICE #3).
+    def _fingerprint() -> str:
+        parts = []
+        for t in sorted(TABLES):
+            src = os.path.join(base_sf, f"{t}.parquet")
+            if os.path.exists(src):
+                st = os.stat(src)
+                parts.append(f"{t}={st.st_size}:{st.st_mtime_ns}")
+        return ";".join(parts)
+
+    fp = _fingerprint()
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
-        return out
+        with open(done) as f:
+            if f.read().strip() == fp:
+                return out
+        os.remove(done)  # stale twin: base fixture changed — rebuild
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
 
@@ -160,7 +178,7 @@ def seeded_dir(base_sf: str, seed: int) -> str:
         else:
             shutil.copyfile(src, dst)
     with open(done, "w") as f:
-        f.write("ok\n")
+        f.write(fp + "\n")
     return out
 
 

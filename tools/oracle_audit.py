@@ -61,7 +61,16 @@ def skeletonize(sql: str) -> str:
     # by '(' of a type name — simpler: rewrite all, types normalize too,
     # which is fine for a shape hash.
     s = re.sub(r"\b\d+(\.\d+)?([eE][+-]?\d+)?\b", "0", s)
-    s = re.sub(r"\bas\s+[a-z_][a-z0-9_]*", "as A", s)  # output aliases
+    # Output aliases -> 'as A', but NOT cast targets: CAST(x AS BIGINT)
+    # and CAST(x AS DOUBLE) differ semantically, and erasing the type
+    # would hash two type-distinct oracles as exact skeleton duplicates
+    # (round-6 ADVICE #4). Negative lookahead on the SQL type keywords.
+    _types = (
+        "bigint|int|integer|smallint|tinyint|hugeint|double|float|real|"
+        "decimal|numeric|varchar|text|string|char|boolean|bool|date|"
+        "timestamp|time|interval|blob|bytea|uuid|json|struct|row|map|array"
+    )
+    s = re.sub(rf"\bas\s+(?!(?:{_types})\b)[a-z_][a-z0-9_]*", "as A", s)
     s = re.sub(r"\s+", " ", s).strip()
     return s
 
