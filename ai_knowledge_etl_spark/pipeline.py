@@ -104,8 +104,13 @@ def extract(
         ),
     )
 
+    # local paths have no domain — group them under 'local' so the INDEX
+    # line is readable for directory/glob CLI sources
+    src_col = F.when(U.domain("url") == "", F.lit("local")).otherwise(
+        U.domain("url")
+    )
     index = (
-        pages.groupBy(U.domain("url").alias("source"))
+        pages.groupBy(src_col.alias("source"))
         .agg(
             F.count("*").alias("pages"),
             F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("chars"),
@@ -162,6 +167,53 @@ def extract(
         )
     elif pipe == "docs":
         output = sinks.pipe_docs(index, "INDEX")
+    elif pipe == "skill":
+        # SKILL.md-shaped doc per source (registry twin: sink-pipe-skill,
+        # reference: output-transformer.md:140-370)
+        nl = F.lit("\n")
+        output = (
+            pages.groupBy(src_col.alias("source"))
+            .agg(
+                F.concat(
+                    F.lit("---"), nl,
+                    F.lit("name: knowledge-"), F.col("source"), nl,
+                    F.lit("description: extracted corpus from "),
+                    F.col("source"),
+                    F.lit(" ("), F.count("*").cast("string"),
+                    F.lit(" pages)"), nl,
+                    F.lit("---"), nl,
+                    F.lit("# knowledge-"), F.col("source"),
+                ).alias("skill_doc")
+            )
+        )
+    elif pipe == "plugin":
+        # manifest JSON per source (registry twin: sink-pipe-plugin)
+        output = (
+            pages.groupBy(src_col.alias("source"))
+            .agg(
+                F.concat(
+                    F.lit('{"name":"knowledge-'), F.col("source"),
+                    F.lit('","pages":'), F.count("*").cast("string"),
+                    F.lit(',"chars":'),
+                    F.sum(
+                        F.length(F.coalesce(F.col("text"), F.lit("")))
+                    ).cast("string"),
+                    F.lit("}"),
+                ).alias("manifest")
+            )
+        )
+    elif pipe == "prompt":
+        # per-page prompt rendering (registry twin: sink-pipe-prompt)
+        nl = F.lit("\n")
+        output = pages.where(F.col("text").isNotNull()).select(
+            "url",
+            F.concat(
+                F.lit("You are given document "), F.col("url"),
+                F.lit(" from "), src_col, F.lit("."), nl,
+                F.substring("text", 1, 200), nl,
+                F.lit("Summarize the key points."),
+            ).alias("prompt"),
+        )
     elif pipe is not None:
         raise ValueError(f"unknown pipe format {pipe!r}")
 
