@@ -894,9 +894,59 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- text analysis wave 2: diversity + readability ------------------------------
 
 
+def _round_ratio_sql(num: str, den: str, digits: int, big: str, idiv: str) -> str:
+    """round-half-away-from-zero(num/den, digits) in EXACT integer
+    arithmetic, emitted as DOUBLE.
+
+    Engine round() of an integer ratio is tie-UNSAFE: the true value can
+    have a finite decimal expansion ending exactly in ...5 (e.g. the
+    flesch proxy at n_chars=745, n_words=96, n_sentences=1 is exactly
+    -109.44875), and Spark (shortest-string BigDecimal HALF_UP) vs
+    DuckDB (x*10^digits float nearbyint) resolve the tie from different
+    float representations — the wide-vocab differential
+    (tools/difftest.py --vocab wide) caught a 1-row divergence in
+    exactly this shape. Cross-multiplied integer rounding is
+    deterministic by construction; the rounded integer is small enough
+    (<= ~1e10 here) that the final int->double cast and /10^digits are
+    bit-identical in both engines.
+
+    num/den: integer-valued SQL expressions, den > 0. big/idiv: the
+    engine's wide-integer type and integral-division operator —
+    ('DECIMAL(38,0)', 'DIV') for Spark, ('HUGEINT', '//') for DuckDB.
+    """
+    p = 10 ** digits
+    n = f"CAST({num} AS {big})"
+    d = f"CAST({den} AS {big})"
+    s = f"({n} * {p})"
+    mag = f"((2 * abs({s}) + {d}) {idiv} (2 * {d}))"
+    return (
+        f"((CASE WHEN {s} < 0 THEN -1.0 ELSE 1.0 END) * "
+        f"CAST({mag} AS DOUBLE) / {p}.0)"
+    )
+
+
+def _rr_spark(num: str, den: str, digits: int) -> F.Column:
+    return F.expr(_round_ratio_sql(num, den, digits, "DECIMAL(38,0)", "DIV"))
+
+
+def _rr_duck(num: str, den: str, digits: int) -> str:
+    return _round_ratio_sql(num, den, digits, "HUGEINT", "//")
+
+
+# flesch proxy 206.835 - 1.015*(W/S) - 84.6*(C/W/3) as ONE exact ratio
+# over the common denominator 1000*S*W (shared verbatim by both engines;
+# the numerator fits 64 bits only for small docs, so _round_ratio_sql
+# widens it before scaling).
+_FLESCH_NUM = (
+    "206835 * n_sentences * n_words - 1015 * n_words * n_words"
+    " - 28200 * n_chars * n_sentences"
+)
+_FLESCH_DEN = "1000 * n_sentences * n_words"
+
+
 @register(
     "udf-lexical-diversity",
-    """
+    f"""
 WITH cnt AS (
   SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
@@ -909,16 +959,17 @@ tot AS (
   FROM cnt GROUP BY doc_id
 )
 SELECT doc_id, n_distinct, n_words,
-       round(CAST(n_distinct AS DOUBLE) / n_words, 6) AS ttr,
-       round(1 - CAST(sq AS DOUBLE) / (CAST(n_words AS DOUBLE) * n_words), 6)
+       {_rr_duck('n_distinct', 'n_words', 6)} AS ttr,
+       {_rr_duck('n_words * n_words - sq', 'n_words * n_words', 6)}
          AS gini_diversity
 FROM tot
 """.strip(),
     doc="Lexical diversity per doc: type-token ratio + Gini-Simpson "
     "diversity 1 - sum(c^2)/T^2. Deliberately entropy-free: every "
-    "intermediate is an exact integer (sum c, sum c^2), so cross-engine "
-    "parity is exact with no float-summation-order tolerance — the same "
-    "signal entropy gives for quality filtering, without log().",
+    "intermediate is an exact integer (sum c, sum c^2), and the 6-digit "
+    "rounding is cross-multiplied integer arithmetic (_round_ratio_sql) "
+    "so cross-engine parity is exact even at decimal rounding ties — "
+    "the same signal entropy gives for quality filtering, without log().",
 )
 def q_udf_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -936,20 +987,16 @@ def q_udf_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_distinct",
         "n_words",
-        F.round(F.col("n_distinct").cast("double") / F.col("n_words"), 6)
-        .alias("ttr"),
-        F.round(
-            F.lit(1)
-            - F.col("sq").cast("double")
-            / (F.col("n_words").cast("double") * F.col("n_words")),
-            6,
+        _rr_spark("n_distinct", "n_words", 6).alias("ttr"),
+        _rr_spark(
+            "n_words * n_words - sq", "n_words * n_words", 6
         ).alias("gini_diversity"),
     )
 
 
 @register(
     "udf-readability",
-    """
+    f"""
 WITH stats AS (
   SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
@@ -959,18 +1006,20 @@ WITH stats AS (
   FROM documents
 )
 SELECT doc_id, n_words, n_sentences,
-       round(CAST(n_words AS DOUBLE) / n_sentences, 4) AS words_per_sentence,
-       round(CAST(n_chars AS DOUBLE) / n_words, 4) AS chars_per_word,
-       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
-             - 84.6 * (CAST(n_chars AS DOUBLE) / n_words / 3.0), 4)
-         AS flesch_proxy
+       {_rr_duck('n_words', 'n_sentences', 4)} AS words_per_sentence,
+       {_rr_duck('n_chars', 'n_words', 4)} AS chars_per_word,
+       {_rr_duck(_FLESCH_NUM, _FLESCH_DEN, 4)} AS flesch_proxy
 FROM stats
 """.strip(),
     doc="Readability scoring per doc: words/sentence, chars/word, and a "
     "Flesch-style proxy (chars/word/3 standing in for syllables/word — "
     "a syllable counter is language-specific; the formula shape and the "
     "quality-gate use are identical). Narrow map over integer counts; "
-    "all ratios divide exact integers so parity is bit-stable.",
+    "the proxy 206.835 - 1.015*W/S - 28.2*C/W is cross-multiplied onto "
+    "the single exact ratio (206835*S*W - 1015*W^2 - 28200*C*S) / "
+    "(1000*S*W) and rounded in integer arithmetic (_round_ratio_sql), "
+    "so parity holds even at decimal rounding ties — the wide-vocab "
+    "sweep caught the engine-round() tie at exactly -109.44875.",
 )
 def q_udf_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -987,17 +1036,13 @@ def q_udf_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_sent.alias("n_sentences"),
         n_chars.alias("n_chars"),
     )
-    wps = F.col("n_words").cast("double") / F.col("n_sentences")
-    cpw = F.col("n_chars").cast("double") / F.col("n_words")
     return stats.select(
         "doc_id",
         "n_words",
         "n_sentences",
-        F.round(wps, 4).alias("words_per_sentence"),
-        F.round(cpw, 4).alias("chars_per_word"),
-        F.round(
-            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * (cpw / 3.0), 4
-        ).alias("flesch_proxy"),
+        _rr_spark("n_words", "n_sentences", 4).alias("words_per_sentence"),
+        _rr_spark("n_chars", "n_words", 4).alias("chars_per_word"),
+        _rr_spark(_FLESCH_NUM, _FLESCH_DEN, 4).alias("flesch_proxy"),
     )
 
 

@@ -9,6 +9,7 @@ CORRECTNESS gate should be green too.
 Usage:
     python tools/difftest.py [--sf /root/testdata/sf0.001] [name ...]
     python tools/difftest.py --seed 7 [name ...]
+    python tools/difftest.py --vocab wide [name ...]
 
 --seed S (round-5 verdict #3): every synthetic probe corpus (URLs,
 planted clones, spam probes, md5 gates, unicode decorations) derives
@@ -24,6 +25,19 @@ sees different hashes — any constant overfit to the default layout
 (hard-coded planted ids, probe counts, hash-tail assumptions) fails
 the sweep. Both engines read the same re-keyed files, so green means
 seed-independent, not merely fixture-reproducing.
+
+--vocab wide (round-6 verdict #5): the fixture text has only ~31 word
+types at any replication factor, so the text-quality family (LM gates,
+Gopher, BPE, vocab-topk, perplexity buckets, PMI, minhash) had only
+ever been differentially tested where vocabulary caps never bind,
+top-K ties are pervasive, and the OOV path barely fires. This mode
+materializes a WIDE-vocabulary twin of the documents table — each
+token at (doc, pos) is suffixed with md5(doc:pos) % V, except a
+deterministic 1/KEEP fraction kept verbatim so stopword/language
+heuristics stay non-degenerate — generalizing the probe corpus that
+tools/bench_lm_cap.py proved at K=2^15. Both engines read the SAME
+rewritten parquet, so the differential is exact; the default query set
+is WIDE_VOCAB_QUERIES (the vocabulary-sensitive family).
 """
 
 from __future__ import annotations
@@ -115,6 +129,35 @@ def run_one(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
     return True, f"OK ({len(s_rows)} rows, spark {t_spark:.1f}s, duck {t_duck:.2f}s)"
 
 
+def _base_fingerprint(base_sf: str) -> str:
+    """size:mtime_ns per base parquet — the staleness key for cached
+    twin corpora (round-6 ADVICE #3: a twin of a regenerated fixture
+    must be rebuilt, not silently reused)."""
+    parts = []
+    for t in sorted(TABLES):
+        src = os.path.join(base_sf, f"{t}.parquet")
+        if os.path.exists(src):
+            st = os.stat(src)
+            parts.append(f"{t}={st.st_size}:{st.st_mtime_ns}")
+    return ";".join(parts)
+
+
+def _twin_cached(out: str, fp: str) -> bool:
+    """True if `out` holds a fresh twin of the fingerprinted base."""
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        with open(done) as f:
+            if f.read().strip() == fp:
+                return True
+        os.remove(done)  # stale twin: base fixture changed — rebuild
+    return False
+
+
+def _twin_done(out: str, fp: str) -> None:
+    with open(os.path.join(out, "_DONE"), "w") as f:
+        f.write(fp + "\n")
+
+
 def seeded_dir(base_sf: str, seed: int) -> str:
     """Materialize the seed-S re-keyed twin of `base_sf` (cached): ids are
     replaced by their rank under md5('seed{S}:' || id) — a deterministic
@@ -126,27 +169,9 @@ def seeded_dir(base_sf: str, seed: int) -> str:
         f"/tmp/spark_graft_seed{seed}_"
         f"{os.path.basename(base_sf.rstrip('/'))}"
     )
-    # The _DONE marker records a fingerprint (size:mtime_ns per table) of
-    # the BASE parquet files: if the fixture is ever regenerated, the
-    # cached twin is stale and must be rebuilt — a seed sweep silently
-    # reusing a twin of the OLD fixture would green-light against data
-    # nobody runs anymore (round-6 ADVICE #3).
-    def _fingerprint() -> str:
-        parts = []
-        for t in sorted(TABLES):
-            src = os.path.join(base_sf, f"{t}.parquet")
-            if os.path.exists(src):
-                st = os.stat(src)
-                parts.append(f"{t}={st.st_size}:{st.st_mtime_ns}")
-        return ";".join(parts)
-
-    fp = _fingerprint()
-    done = os.path.join(out, "_DONE")
-    if os.path.exists(done):
-        with open(done) as f:
-            if f.read().strip() == fp:
-                return out
-        os.remove(done)  # stale twin: base fixture changed — rebuild
+    fp = _base_fingerprint(base_sf)
+    if _twin_cached(out, fp):
+        return out
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
 
@@ -177,8 +202,95 @@ def seeded_dir(base_sf: str, seed: int) -> str:
             )
         else:
             shutil.copyfile(src, dst)
-    with open(done, "w") as f:
-        f.write(fp + "\n")
+    _twin_done(out, fp)
+    return out
+
+
+# The vocabulary-sensitive family: every query whose semantics depend on
+# token identity statistics (cap binding, top-K ties, OOV mass, n-gram
+# uniqueness) rather than just text length/shape.
+WIDE_VOCAB_QUERIES = [
+    # unigram/bigram LM + perplexity
+    "udf-unigram-logprob", "sample-perplexity-buckets",
+    "text-bigram-perplexity",
+    # BPE train/tokenize/pack
+    "agg-bpe-merges", "agg-bpe-merges-n", "udf-bpe-tokenize",
+    "pipeline-tokenize-pack", "pack-sequences",
+    # vocabulary statistics / term weighting
+    "agg-vocab-topk", "udf-token-count", "udf-tfidf-keywords",
+    "text-bm25-rank", "text-collocations-pmi", "udf-lexical-diversity",
+    # quality gates over the token stream
+    "filter-quality-docs", "filter-repetition-gopher", "udf-readability",
+    "udf-lang-detect", "filter-contamination-ngram",
+    # shingle / signature dedup over the widened stream
+    "dedup-ngram-jaccard", "dedup-minhash", "dedup-minhash-verified",
+    "dedup-simhash", "dedup-containment",
+    # DSIR + composed curation
+    "sample-importance-reweight", "pipeline-curate-corpus",
+]
+
+
+def widevocab_dir(base_sf: str, v: int = 512, keep_mod: int = 4) -> str:
+    """Materialize the wide-vocabulary twin of `base_sf` (cached): each
+    token at (doc, pos) becomes `w || '_' || md5(doc:pos) % v`, except
+    tokens where md5 % keep_mod == 0 which stay verbatim (so stopword /
+    language heuristics keep firing on real words). Whitespace layout
+    (including newlines embedded in 'tokens') survives the split/rejoin,
+    so paragraph- and line-based metrics still see structure. n_chars is
+    recomputed from the rewritten text so derived stats stay
+    self-consistent. All other tables are copied verbatim. Built ONCE in
+    DuckDB; both engines read the same output parquet."""
+    import shutil
+
+    out = (
+        f"/tmp/spark_graft_widevocab_v{v}k{keep_mod}_"
+        f"{os.path.basename(base_sf.rstrip('/'))}"
+    )
+    fp = _base_fingerprint(base_sf)
+    if _twin_cached(out, fp):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    src = os.path.join(base_sf, "documents.parquet")
+    h = (
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+        "CAST(i AS VARCHAR)), 1, 8))::BIGINT"
+    )
+    con.execute(
+        f"""
+        COPY (
+          WITH toks AS (
+            SELECT doc_id, i,
+                   CASE WHEN {h} % {keep_mod} = 0 THEN w
+                        ELSE w || '_' || CAST({h} % {v} AS VARCHAR)
+                   END AS w
+            FROM (
+              SELECT doc_id, ws[i] AS w, i
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM '{src}' WHERE text IS NOT NULL AND text <> ''),
+                   unnest(generate_series(1, len(ws))) t(i)
+            )
+          ),
+          rebuilt AS (
+            SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text
+            FROM toks GROUP BY doc_id
+          )
+          SELECT d.doc_id,
+                 coalesce(r.text, d.text) AS text,
+                 d.lang, d.source,
+                 CASE WHEN r.text IS NULL THEN d.n_chars
+                      ELSE length(r.text) END AS n_chars
+          FROM '{src}' d LEFT JOIN rebuilt r USING (doc_id)
+        ) TO '{os.path.join(out, "documents.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    for t in TABLES:
+        if t == "documents":
+            continue
+        s = os.path.join(base_sf, f"{t}.parquet")
+        if os.path.exists(s):
+            shutil.copyfile(s, os.path.join(out, f"{t}.parquet"))
+    _twin_done(out, fp)
     return out
 
 
@@ -188,11 +300,26 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=None,
                     help="re-key fixture ids under this seed and run the "
                     "differential against the re-keyed corpus")
+    ap.add_argument("--vocab", choices=["wide"], default=None,
+                    help="rewrite documents.text to a wide vocabulary "
+                    "(md5 token suffixing) and run the text-quality "
+                    "family against the rewritten corpus")
+    ap.add_argument("--vocab-mult", type=int, default=512,
+                    help="suffix modulus V for --vocab wide")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
     if args.seed is not None:
         args.sf = seeded_dir(args.sf, args.seed)
         print(f"# seed {args.seed}: differential against {args.sf}")
+    if args.vocab == "wide":
+        args.sf = widevocab_dir(args.sf, v=args.vocab_mult)
+        if not args.names:
+            args.names = [n for n in WIDE_VOCAB_QUERIES if n in REGISTRY]
+            missing = [n for n in WIDE_VOCAB_QUERIES if n not in REGISTRY]
+            if missing:
+                print(f"# WARN: not in REGISTRY: {' '.join(missing)}")
+        print(f"# vocab wide (V={args.vocab_mult}): differential "
+              f"against {args.sf}")
 
     con = duckdb.connect()
     # cap DuckDB: its default memory_limit is 80 percent of RAM with no
