@@ -3333,12 +3333,6 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("grp"),
         F.col("l_extendedprice").cast("decimal(12,2)").alias("v"),
     )
-    # NOT checkpointed, deliberately: downstream consumers replay the
-    # histogram lineage, but the replays dedupe to ReusedExchange nodes
-    # (computed once) and a localCheckpoint would turn the histogram into
-    # a LogicalRDD scan that blinds the windows-run-over-histograms plan
-    # audit — measured (r5 profiling pass): checkpointing does not beat
-    # the plain warm wall here.
     hist = x.groupBy("grp", "v").agg(F.count("*").cast("long").alias("c"))
     wv = (
         Window.partitionBy("grp")
@@ -3352,9 +3346,26 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 23 -> 16 exchanges, 3.36 -> 2.96 s isolated at sf0.1, ~2.0x the
     # DuckDB twin; rows verified identical).
     wall = Window.partitionBy("grp")
-    cum = hist.select(
-        "grp", "v", "c", F.sum("c").over(wv).cast("long").alias("cm")
-    ).withColumn("cnt", F.max("cm").over(wall))
+    # localCheckpoint AFTER the cumulative windows (round-6 verdict #2,
+    # reversing the r5 "not checkpointed" decision with new measurement):
+    # cum is consumed by THREE downstream chains (med, dev, and the final
+    # census), and the r6 separated-sweep protocol showed the replays are
+    # real work, not ReusedExchange dedupe — the initial plan scans
+    # lineitem 4x and rebuilds the histogram 4x, and the barrier cuts
+    # (tools/bench_mad_cut.py) read full 3.05 s vs med-chain 1.52 s: the
+    # second half of the wall IS the replay. Materializing the
+    # histogram-sized cum (O(distinct prices), never corpus-sized) cuts
+    # warm 4.41 -> ~1.9 s and restores <=2x the DuckDB twin. The d2
+    # window chain downstream still runs over a hash aggregate (dhist),
+    # so the windows-run-over-histograms plan audit still sees the
+    # histogram discipline (tests/test_plans.py).
+    cum = (
+        hist.select(
+            "grp", "v", "c", F.sum("c").over(wv).cast("long").alias("cm")
+        )
+        .withColumn("cnt", F.max("cm").over(wall))
+        .localCheckpoint()
+    )
     lo = F.expr("(cnt + 1) div 2")
     hi = F.expr("(cnt + 2) div 2")
 
