@@ -3349,13 +3349,18 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint AFTER the cumulative windows (round-6 verdict #2,
     # reversing the r5 "not checkpointed" decision with new measurement):
     # cum is consumed by THREE downstream chains (med, dev, and the final
-    # census), and the r6 separated-sweep protocol showed the replays are
-    # real work, not ReusedExchange dedupe — the initial plan scans
-    # lineitem 4x and rebuilds the histogram 4x, and the barrier cuts
-    # (tools/bench_mad_cut.py) read full 3.05 s vs med-chain 1.52 s: the
-    # second half of the wall IS the replay. Materializing the
-    # histogram-sized cum (O(distinct prices), never corpus-sized) cuts
-    # warm 4.41 -> ~1.9 s and restores <=2x the DuckDB twin. The d2
+    # census); the initial plan scans lineitem 4x and rebuilds the
+    # histogram 4x with no ReusedExchange (the median broadcast is built
+    # once WITH cnt and once without, breaking canonical-plan equality).
+    # A/B warm curves (5 runs each, docs/PERF.md r7 section): checkpoint
+    # ~3.3 s vs ~3.9-4.9 s without — materializing the histogram-sized
+    # cum (O(distinct prices): replication-INVARIANT, flat wall at 300x)
+    # nets ~0.6 s by deleting the replays. The remaining wall is measured
+    # work on the 594k-row value domain (prices are ~99% unique at
+    # sf0.1), attributed stage by stage in tools/bench_mad_cut.py; a
+    # same-box DuckDB runs the identical CTE chain in-process in ~1.3 s,
+    # so the local ratio floor is ~2.5x — but the Spark wall is
+    # DOMAIN-bound, not corpus-bound (300x data, 1.06x wall). The d2
     # window chain downstream still runs over a hash aggregate (dhist),
     # so the windows-run-over-histograms plan audit still sees the
     # histogram discipline (tests/test_plans.py).
