@@ -375,8 +375,15 @@ FROM links
     "Oracled as a bound check (VERDICT r1 #5): the query emits the EXACT "
     "distinct count plus a boolean asserting the HLL estimate landed "
     "within ±5%; the oracle computes the exact count and expects TRUE — "
-    "so an HLL regression breaks the hash match. tests/test_functions.py "
-    "keeps the direct tolerance assertion.",
+    "so an HLL regression breaks the hash match. The estimate runs at "
+    "rsd=0.01, NOT the 0.05 default: rsd is a STANDARD deviation, so a "
+    "±5% gate over a 5%-rsd sketch is a 1-sigma assertion that fails a "
+    "third of fixture re-instantiations — the seed-17 sweep caught "
+    "exactly that (estimate outside the gate on a re-keyed corpus that "
+    "default layout and seeds 3/7/13 had passed by luck). At rsd=0.01 "
+    "the gate is a 5-sigma margin: a real accuracy property, "
+    "seed-robust. tests/test_functions.py keeps the direct tolerance "
+    "assertion.",
 )
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_knowledge_etl_spark.functions import urls as U
@@ -385,7 +392,7 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     links = syn2.with_links_columns(_docs(spark, sf_dir))
     return links.agg(
         F.countDistinct(U.normalize("url")).cast("bigint").alias("exact_urls"),
-        F.approx_count_distinct(U.normalize("url")).alias("__approx"),
+        F.approx_count_distinct(U.normalize("url"), 0.01).alias("__approx"),
     ).select(
         "exact_urls",
         (
@@ -413,8 +420,11 @@ SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
 )
 def q_agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    # lgConfigK=16 (not the 12 default): default rsd ~1.6% makes the ±5%
+    # gate a ~3-sigma assertion; 16 gives rsd ~0.4% → ~12 sigma. Same
+    # rsd-vs-gate reasoning as agg-approx-distinct (seed-17 lesson).
     per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id", F.lit(16)).alias("sk")
     )
     merged = per_type.agg(
         F.count("*").cast("bigint").alias("n_types"),
