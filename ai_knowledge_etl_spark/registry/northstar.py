@@ -17,6 +17,45 @@ from ai_knowledge_etl_spark.operators import dedup, similarity
 from ai_knowledge_etl_spark.registry import register
 from ai_knowledge_etl_spark.sources.catalog import cache_get_or_fill, load_table
 
+def _round_ratio_sql(num: str, den: str, digits: int, big: str, idiv: str) -> str:
+    """round-half-away-from-zero(num/den, digits) in EXACT integer
+    arithmetic, emitted as DOUBLE.
+
+    Engine round() of an integer ratio is tie-UNSAFE: the true value can
+    have a finite decimal expansion ending exactly in ...5 (e.g. the
+    flesch proxy at n_chars=745, n_words=96, n_sentences=1 is exactly
+    -109.44875), and Spark (shortest-string BigDecimal HALF_UP) vs
+    DuckDB (x*10^digits float nearbyint) resolve the tie from different
+    float representations — the wide-vocab differential
+    (tools/difftest.py --vocab wide) caught a 1-row divergence in
+    exactly this shape. Cross-multiplied integer rounding is
+    deterministic by construction; the rounded integer is small enough
+    (<= ~1e10 here) that the final int->double cast and /10^digits are
+    bit-identical in both engines.
+
+    num/den: integer-valued SQL expressions, den > 0. big/idiv: the
+    engine's wide-integer type and integral-division operator —
+    ('DECIMAL(38,0)', 'DIV') for Spark, ('HUGEINT', '//') for DuckDB.
+    """
+    p = 10 ** digits
+    n = f"CAST({num} AS {big})"
+    d = f"CAST({den} AS {big})"
+    s = f"({n} * {p})"
+    mag = f"((2 * abs({s}) + {d}) {idiv} (2 * {d}))"
+    return (
+        f"((CASE WHEN {s} < 0 THEN -1.0 ELSE 1.0 END) * "
+        f"CAST({mag} AS DOUBLE) / {p}.0)"
+    )
+
+
+def _rr_spark(num: str, den: str, digits: int) -> F.Column:
+    return F.expr(_round_ratio_sql(num, den, digits, "DECIMAL(38,0)", "DIV"))
+
+
+def _rr_duck(num: str, den: str, digits: int) -> str:
+    return _round_ratio_sql(num, den, digits, "HUGEINT", "//")
+
+
 DUP_CORPUS_CTE = """
 dup_corpus AS (
   SELECT doc_id, source, text FROM documents
@@ -721,13 +760,17 @@ d2 AS (
                             ORDER BY {_L2_E_C_SQL} ASC, c.cent_id ASC) AS rn
   FROM embeddings e CROSS JOIN c1 c
 ),
-a2 AS (SELECT vec_id, cent_id, dist FROM d2 WHERE rn = 1)
-SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs,
-       CAST(min(vec_id) AS BIGINT) AS rep_vec,
-       CAST(round(sum(CAST(dist AS DECIMAL(18,4))) / count(*), 4) AS DOUBLE)
-         AS avg_dist
-FROM a2 GROUP BY cent_id
-""".strip(),
+a2 AS (SELECT vec_id, cent_id, dist FROM d2 WHERE rn = 1),
+agg AS (
+  SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(min(vec_id) AS BIGINT) AS rep_vec,
+         CAST(sum(CAST(dist AS DECIMAL(18,4))) * 10000 AS BIGINT) AS s4
+  FROM a2 GROUP BY cent_id
+)
+SELECT cent_id, n_vecs, rep_vec,
+       ({{RR_S4}} / 10000.0) AS avg_dist
+FROM agg
+""".strip().replace("{RR_S4}", _rr_duck("s4", "n_vecs", 0)),
     doc="Real k-means coarse quantizer for IVF-ANN: two Lloyd iterations "
     "(assign to nearest-L2 centroid; recompute element-wise means) run as "
     "pure DataFrame ops — no driver-side loop over vectors. Centroid "
@@ -783,12 +826,24 @@ def q_similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a2 = assign(c1).select(
         "vec_id", "cent_id", F.round("__d", 4).alias("dist")
     )
-    return a2.groupBy("cent_id").agg(
-        F.count("*").alias("n_vecs"),
+    # avg_dist is an EXACT finite-decimal ratio (sum of 4dp decimals /
+    # count), so engine round() is tie-UNSAFE across engines — the
+    # seed-23 sweep caught a 1-cell divergence at exactly 0.93735.
+    # Cross-multiplied integer rounding (_round_ratio_sql), same repair
+    # as udf-readability: s4 = sum in 1e-4 units (exact BIGINT), then
+    # round_half_away(s4/n)/1e4 — deterministic in both engines.
+    agg = a2.groupBy("cent_id").agg(
+        F.count("*").cast("long").alias("n_vecs"),
         F.min("vec_id").cast("bigint").alias("rep_vec"),
-        (F.round(F.sum(F.col("dist").cast("decimal(18,4)")) / F.count("*"), 4))
-        .cast("double")
-        .alias("avg_dist"),
+        (F.sum(F.col("dist").cast("decimal(18,4)")) * 10000)
+        .cast("long")
+        .alias("s4"),
+    )
+    return agg.select(
+        "cent_id",
+        "n_vecs",
+        "rep_vec",
+        (_rr_spark("s4", "n_vecs", 0) / F.lit(10000.0)).alias("avg_dist"),
     )
 
 
@@ -892,45 +947,6 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- text analysis wave 2: diversity + readability ------------------------------
-
-
-def _round_ratio_sql(num: str, den: str, digits: int, big: str, idiv: str) -> str:
-    """round-half-away-from-zero(num/den, digits) in EXACT integer
-    arithmetic, emitted as DOUBLE.
-
-    Engine round() of an integer ratio is tie-UNSAFE: the true value can
-    have a finite decimal expansion ending exactly in ...5 (e.g. the
-    flesch proxy at n_chars=745, n_words=96, n_sentences=1 is exactly
-    -109.44875), and Spark (shortest-string BigDecimal HALF_UP) vs
-    DuckDB (x*10^digits float nearbyint) resolve the tie from different
-    float representations — the wide-vocab differential
-    (tools/difftest.py --vocab wide) caught a 1-row divergence in
-    exactly this shape. Cross-multiplied integer rounding is
-    deterministic by construction; the rounded integer is small enough
-    (<= ~1e10 here) that the final int->double cast and /10^digits are
-    bit-identical in both engines.
-
-    num/den: integer-valued SQL expressions, den > 0. big/idiv: the
-    engine's wide-integer type and integral-division operator —
-    ('DECIMAL(38,0)', 'DIV') for Spark, ('HUGEINT', '//') for DuckDB.
-    """
-    p = 10 ** digits
-    n = f"CAST({num} AS {big})"
-    d = f"CAST({den} AS {big})"
-    s = f"({n} * {p})"
-    mag = f"((2 * abs({s}) + {d}) {idiv} (2 * {d}))"
-    return (
-        f"((CASE WHEN {s} < 0 THEN -1.0 ELSE 1.0 END) * "
-        f"CAST({mag} AS DOUBLE) / {p}.0)"
-    )
-
-
-def _rr_spark(num: str, den: str, digits: int) -> F.Column:
-    return F.expr(_round_ratio_sql(num, den, digits, "DECIMAL(38,0)", "DIV"))
-
-
-def _rr_duck(num: str, den: str, digits: int) -> str:
-    return _round_ratio_sql(num, den, digits, "HUGEINT", "//")
 
 
 # flesch proxy 206.835 - 1.015*(W/S) - 84.6*(C/W/3) as ONE exact ratio
