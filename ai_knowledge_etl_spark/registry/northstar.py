@@ -17,43 +17,14 @@ from ai_knowledge_etl_spark.operators import dedup, similarity
 from ai_knowledge_etl_spark.registry import register
 from ai_knowledge_etl_spark.sources.catalog import cache_get_or_fill, load_table
 
-def _round_ratio_sql(num: str, den: str, digits: int, big: str, idiv: str) -> str:
-    """round-half-away-from-zero(num/den, digits) in EXACT integer
-    arithmetic, emitted as DOUBLE.
-
-    Engine round() of an integer ratio is tie-UNSAFE: the true value can
-    have a finite decimal expansion ending exactly in ...5 (e.g. the
-    flesch proxy at n_chars=745, n_words=96, n_sentences=1 is exactly
-    -109.44875), and Spark (shortest-string BigDecimal HALF_UP) vs
-    DuckDB (x*10^digits float nearbyint) resolve the tie from different
-    float representations — the wide-vocab differential
-    (tools/difftest.py --vocab wide) caught a 1-row divergence in
-    exactly this shape. Cross-multiplied integer rounding is
-    deterministic by construction; the rounded integer is small enough
-    (<= ~1e10 here) that the final int->double cast and /10^digits are
-    bit-identical in both engines.
-
-    num/den: integer-valued SQL expressions, den > 0. big/idiv: the
-    engine's wide-integer type and integral-division operator —
-    ('DECIMAL(38,0)', 'DIV') for Spark, ('HUGEINT', '//') for DuckDB.
-    """
-    p = 10 ** digits
-    n = f"CAST({num} AS {big})"
-    d = f"CAST({den} AS {big})"
-    s = f"({n} * {p})"
-    mag = f"((2 * abs({s}) + {d}) {idiv} (2 * {d}))"
-    return (
-        f"((CASE WHEN {s} < 0 THEN -1.0 ELSE 1.0 END) * "
-        f"CAST({mag} AS DOUBLE) / {p}.0)"
-    )
-
-
-def _rr_spark(num: str, den: str, digits: int) -> F.Column:
-    return F.expr(_round_ratio_sql(num, den, digits, "DECIMAL(38,0)", "DIV"))
-
-
-def _rr_duck(num: str, den: str, digits: int) -> str:
-    return _round_ratio_sql(num, den, digits, "HUGEINT", "//")
+# Cross-engine exact rounding (functions/parity.py): _rr_spark/_rr_duck
+# are the shared round-half-away-from-zero-over-integer-ratio helpers —
+# see parity.round_ratio_sql for the tie-class rationale and the three
+# observed instances.
+from ai_knowledge_etl_spark.functions.parity import (  # noqa: E402
+    round_ratio_duck as _rr_duck,
+    round_ratio_spark as _rr_spark,
+)
 
 
 DUP_CORPUS_CTE = """
@@ -983,7 +954,7 @@ FROM tot
     doc="Lexical diversity per doc: type-token ratio + Gini-Simpson "
     "diversity 1 - sum(c^2)/T^2. Deliberately entropy-free: every "
     "intermediate is an exact integer (sum c, sum c^2), and the 6-digit "
-    "rounding is cross-multiplied integer arithmetic (_round_ratio_sql) "
+    "rounding is cross-multiplied integer arithmetic (functions/parity) "
     "so cross-engine parity is exact even at decimal rounding ties — "
     "the same signal entropy gives for quality filtering, without log().",
 )
@@ -1033,7 +1004,7 @@ FROM stats
     "quality-gate use are identical). Narrow map over integer counts; "
     "the proxy 206.835 - 1.015*W/S - 28.2*C/W is cross-multiplied onto "
     "the single exact ratio (206835*S*W - 1015*W^2 - 28200*C*S) / "
-    "(1000*S*W) and rounded in integer arithmetic (_round_ratio_sql), "
+    "(1000*S*W) and rounded in integer arithmetic (functions/parity), "
     "so parity holds even at decimal rounding ties — the wide-vocab "
     "sweep caught the engine-round() tie at exactly -109.44875.",
 )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_knowledge_etl_spark import config
+from ai_knowledge_etl_spark.functions import parity
 from ai_knowledge_etl_spark.operators import batching, ids, topk
 from ai_knowledge_etl_spark.registry import register
 from ai_knowledge_etl_spark.registry.crawl import LINK_SCORE_SQL, PAGE_SCORE_SQL
@@ -1457,13 +1458,7 @@ def q_join_global_avg_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg-market-share",
     """
 SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
-       round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
-                  THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
-                       * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
-                  ELSE 0 END) AS DOUBLE)
-             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
-             4) AS mkt_share
+       {RR_SHARE} AS mkt_share
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1474,12 +1469,27 @@ JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
 JOIN region r ON n2.n_regionkey = r.r_regionkey
 WHERE r.r_name = 'ASIA' AND p.p_name LIKE '%widget%'
 GROUP BY year(o.o_orderdate)
-""".strip(),
+""".strip().replace(
+        "{RR_SHARE}",
+        parity.round_ratio_duck(
+            """sum(CASE WHEN n1.n_name = 'NATION_3'
+                  THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                  ELSE 0 END) * 10000""",
+            """sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000""",
+            4,
+        ),
+    ),
     doc="TPC-H-Q8 shape (market share): one supplier nation's revenue "
     "share among one region's customers for one part family, per order "
     "year. Five of the seven joins broadcast (part/supplier/nation x2/"
     "customer/region dims); only lineitem JOIN orders shuffles. The "
-    "share is a conditional-sum / sum ratio in one aggregate pass.",
+    "share is a conditional-sum / sum ratio in one aggregate pass — "
+    "rounded in cross-multiplied integer arithmetic (functions/parity): "
+    "the ratio of two exact 4dp-decimal sums is a finite decimal, so "
+    "engine round() is tie-unsafe across engines (the round-7 tie class; "
+    "residual risk here was ~1e-5 per group, closed for free).",
 )
 def q_agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -1506,15 +1516,15 @@ def q_agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
         F.lit(0).cast("decimal(18,2)")
     )
-    return (
-        joined.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
-        .agg(
-            F.round(
-                F.sum(nation_rev).cast("double")
-                / F.sum(rev).cast("double"),
-                4,
-            ).alias("mkt_share")
-        )
+    g = joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(
+        (F.sum(nation_rev) * 10000).cast("decimal(38,0)").alias("num4"),
+        (F.sum(rev) * 10000).cast("decimal(38,0)").alias("den4"),
+    )
+    return g.select(
+        "order_year",
+        parity.round_ratio_spark("num4", "den4", 4).alias("mkt_share"),
     )
 
 
@@ -1600,21 +1610,29 @@ def q_agg_ship_latency_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg-promo-revenue",
     """
 SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
-       round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                  THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
-                       * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
-                  ELSE 0 END) AS DOUBLE)
-             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
-             4) AS promo_revenue_pct
+       {RR_PROMO} AS promo_revenue_pct
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY year(l_shipdate)
-""".strip(),
+""".strip().replace(
+        "{RR_PROMO}",
+        parity.round_ratio_duck(
+            """sum(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                  ELSE 0 END) * 1000000""",
+            """sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000""",
+            4,
+        ),
+    ),
     doc="TPC-H-Q14 shape (promo revenue share, per ship year instead of "
     "one month so every year contributes a row): conditional-sum ratio "
     "over a single broadcast join — no shuffle except the 200-row dim "
-    "broadcast and the tiny final agg.",
+    "broadcast and the tiny final agg. The 100*promo/total percentage "
+    "is rounded in cross-multiplied integer arithmetic (functions/"
+    "parity, round-7 tie class): numerator scaled 100x extra so the "
+    "exact ratio already carries the percent factor.",
 )
 def q_agg_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -1623,16 +1641,19 @@ def q_agg_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
         F.lit(0).cast("decimal(18,2)")
     )
-    return (
+    g = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
         .agg(
-            F.round(
-                F.lit(100.0) * F.sum(promo).cast("double")
-                / F.sum(rev).cast("double"),
-                4,
-            ).alias("promo_revenue_pct")
+            (F.sum(promo) * 1000000).cast("decimal(38,0)").alias("num6"),
+            (F.sum(rev) * 10000).cast("decimal(38,0)").alias("den4"),
         )
+    )
+    return g.select(
+        "ship_year",
+        parity.round_ratio_spark("num6", "den4", 4).alias(
+            "promo_revenue_pct"
+        ),
     )
 
 
