@@ -29,6 +29,17 @@ def round_ratio_sql(num: str, den: str, digits: int, big: str, idiv: str) -> str
     num/den: integer-valued SQL expressions, den > 0. big/idiv: the
     engine's wide-integer type and integral-division operator —
     ('DECIMAL(38,0)', 'DIV') for Spark, ('HUGEINT', '//') for DuckDB.
+
+    IMPORTANT: the CAST to the wide type happens AFTER the num/den
+    expressions have already been evaluated in the engine's native
+    integer width (BIGINT). Any arithmetic INSIDE num/den must itself
+    fit in signed 64 bits, or it silently wraps (Spark non-ANSI)
+    before this helper ever sees it. If a caller's numerator is a
+    product that can approach 2^63 (e.g. big_count * big_count), the
+    caller must pre-widen an operand inside the expression, e.g.
+    ``CAST(n_sentences AS DECIMAL(38,0)) * n_words`` — this helper
+    only widens the *result* of num/den for the scale-by-10^digits
+    step that follows.
     """
     p = 10 ** digits
     n = f"CAST({num} AS {big})"

@@ -114,16 +114,17 @@ def _prev_detail() -> dict | None:
     """Newest BENCH_DETAIL_r{N}.json, or None — the snapshot the delta
     list (and the in-session regression re-probe) compares against."""
     repo = os.path.dirname(os.path.abspath(__file__))
-    rounds = [
-        int(m.group(1))
+    # Keep the matched filename next to the parsed round: reconstructing
+    # the name from the number (f"r{N:02d}") breaks on unpadded files
+    # like BENCH_DETAIL_r7.json, which match the regex but then miss.
+    candidates = [
+        (int(m.group(1)), f)
         for f in os.listdir(repo)
         if (m := re.match(r"BENCH_DETAIL_r(\d+)\.json$", f))
     ]
-    if not rounds:
+    if not candidates:
         return None
-    with open(
-        os.path.join(repo, f"BENCH_DETAIL_r{max(rounds):02d}.json")
-    ) as f:
+    with open(os.path.join(repo, max(candidates)[1])) as f:
         return json.load(f)
 
 

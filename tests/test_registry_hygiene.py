@@ -57,3 +57,17 @@ def test_no_unexplained_oracle_skeleton_duplicates():
     assert not stale, (
         f"allowlist entries no longer duplicated — remove: {sorted(stale)}"
     )
+
+
+def test_registry_docs_in_sync():
+    """docs/REGISTRY.md is generated from the live QueryDef registry
+    (round-7 verdict #8); any registry edit that moves a definition,
+    changes a doc line, or adds/removes a query must regenerate it
+    (`python tools/gen_registry_docs.py`)."""
+    from gen_registry_docs import OUT, render
+
+    with open(OUT) as f:
+        on_disk = f.read()
+    assert on_disk == render(), (
+        "docs/REGISTRY.md is stale — rerun tools/gen_registry_docs.py"
+    )

@@ -8,7 +8,7 @@ each (doc, pos) token carries an md5 suffix modulo V — ~V*31 types —
 and re-runs the family; its first sf0.01 run caught a real divergence
 (udf-readability's engine-level round() at the exact decimal tie
 -109.44875, fixed via cross-multiplied integer rounding in
-registry/northstar._round_ratio_sql). This test pins the property in CI
+functions/parity.round_ratio_sql). This test pins the property in CI
 on the queries most sensitive to vocabulary width: cap/top-K binding
 (LM, vocab-topk, BPE), OOV mass, and the tie-prone rounded ratios.
 """

@@ -132,8 +132,9 @@ def run_one(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
 def _base_fingerprint(base_sf: str) -> str:
     """size:mtime_ns per base parquet — the staleness key for cached
     twin corpora (round-6 ADVICE #3: a twin of a regenerated fixture
-    must be rebuilt, not silently reused)."""
-    parts = []
+    must be rebuilt, not silently reused). A generator version is
+    folded in so edits to the rewrite SQL itself also invalidate."""
+    parts = ["gen=2"]  # v2: empty tokens kept verbatim (r7 ADVICE #4)
     for t in sorted(TABLES):
         src = os.path.join(base_sf, f"{t}.parquet")
         if os.path.exists(src):
@@ -261,7 +262,8 @@ def widevocab_dir(base_sf: str, v: int = 512, keep_mod: int = 4) -> str:
         COPY (
           WITH toks AS (
             SELECT doc_id, i,
-                   CASE WHEN {h} % {keep_mod} = 0 THEN w
+                   CASE WHEN w = '' THEN w  -- runs of spaces stay runs
+                        WHEN {h} % {keep_mod} = 0 THEN w
                         ELSE w || '_' || CAST({h} % {v} AS VARCHAR)
                    END AS w
             FROM (
