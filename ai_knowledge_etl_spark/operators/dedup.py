@@ -76,9 +76,17 @@ def shingles(
         *[F.col(c) for c in keep],
         F.split(F.col(text_col), " ").alias("__words"),
     )
+    # per-position try_element_at instead of slice(): the slice form
+    # allocates an n-element array per window; direct element access is
+    # ~30% faster on the corpus fold (round-8 A/B, identical rows —
+    # try_element_at past the end is null and concat_ws skips nulls,
+    # exactly slice's short-tail behavior)
+    cells = ", ".join(
+        f"try_element_at(__words, i + {j})" for j in range(n)
+    )
     sh = F.expr(
         f"array_distinct(transform(sequence(1, greatest(size(__words) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(__words, i, {n}))))"
+        f" i -> concat_ws(' ', {cells})))"
     )
     return words.select(
         F.col(id_col), *[F.col(c) for c in keep], F.explode(sh).alias("shingle")
@@ -232,7 +240,12 @@ def minhash_candidates(
     sigs: DataFrame, id_col: str, k: int = 8, rows_per_band: int = 2
 ) -> DataFrame:
     """Band the k signatures (rows_per_band each) and bucket-join: docs
-    sharing any full band become candidate near-duplicate pairs."""
+    sharing any full band become candidate near-duplicate pairs.
+
+    Long-form (id, seed, sig) entry point, kept for composability with a
+    stored signature table; when the caller holds the shingle stream,
+    minhash_lsh_candidates fuses the signature aggregate and the banding
+    into one pass and is the faster path."""
     n_bands = k // rows_per_band
     band_cols = []
     for band in range(n_bands):
@@ -244,23 +257,87 @@ def minhash_candidates(
         ]
         band_cols.append(F.concat(*parts).alias(f"band{band}"))
     banded = sigs.groupBy(id_col).agg(*band_cols)
-    # one row per doc, scanned 2× per band — persist instead of recomputing
-    # the whole shingle→md5→min pipeline 2·n_bands times
-    banded = banded.persist()
+    return _band_pairs(banded, id_col, n_bands)
 
-    pairs = None
-    for band in range(n_bands):
-        a = banded.select(
-            F.col(id_col).alias("doc_a"), F.col(f"band{band}").alias("bv")
+
+def _band_pairs(
+    banded: DataFrame, id_col: str, n_bands: int, distinct: bool = True
+) -> DataFrame:
+    """(doc_a, doc_b) candidates from a wide banded frame (one row per
+    doc, band0..band{n-1} columns).
+
+    ONE self-join on the composite (band, bv) key instead of one join
+    per band: the old per-band loop ran n_bands separate joins + a
+    union + the distinct — 3·n_bands stages where the band-tagged long
+    form pays one explode (n_bands× a doc-count-sized frame, trivial)
+    and a single equi-join whose key space is the union of all bands'
+    buckets. Same pairs by construction (the band id rides in the key,
+    so cross-band collisions can't pair). At 100 TB: one shuffle of
+    n_bands·|docs| constant-width rows replaces n_bands shuffles of
+    |docs| rows — same volume, a quarter of the stage/barrier count."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"), F.col(f"band{b}").alias("bv")
+            )
+            for b in range(n_bands)
+        ]
+    )
+    long = banded.select(
+        F.col(id_col), F.explode(entries).alias("e")
+    ).select(F.col(id_col), F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
+    # scanned by both join sides — persist the doc-count-sized frame
+    # instead of recomputing the whole shingle→md5→min pipeline twice
+    long = long.persist()
+    a = long.select(F.col(id_col).alias("doc_a"), "band", "bv")
+    b = long.select(F.col(id_col).alias("doc_b"), "band", "bv")
+    pairs = (
+        a.join(b, ["band", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    # distinct=False skips the pair dedup shuffle for consumers that
+    # only SET-consume the pairs (e.g. an anti-join on doc_b, where a
+    # doc paired in two bands drops the same rows either way).
+    return pairs.distinct() if distinct else pairs
+
+
+def minhash_lsh_candidates(
+    sh: DataFrame,
+    id_col: str,
+    k: int = 8,
+    rows_per_band: int = 2,
+    distinct: bool = True,
+) -> DataFrame:
+    """Shingles → candidate pairs in ONE aggregate pass: the k min-md5
+    signatures AND the band concatenations are computed in a single
+    groupBy over the shingle stream, skipping minhash_signatures' long
+    (id, seed, sig) unpivot and minhash_candidates' re-widening groupBy —
+    two doc-keyed shuffles and a corpus-stream round trip that existed
+    only because of the API seam (round-7 verdict #1, the warc-corpus
+    barrier cuts indicted the signature stage). Identical pairs to the
+    two-step form: same seeds, same mins, same banding."""
+    n_bands = k // rows_per_band
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(
+            f"__s{j}"
         )
-        b = banded.select(
-            F.col(id_col).alias("doc_b"), F.col(f"band{band}").alias("bv")
-        )
-        p = a.join(b, "bv").where(F.col("doc_a") < F.col("doc_b")).select(
-            "doc_a", "doc_b"
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+        for j in range(k)
+    ]
+    wide = sh.groupBy(id_col).agg(*mins)
+    banded = wide.select(
+        F.col(id_col),
+        *[
+            F.concat(
+                *[
+                    F.col(f"__s{band * rows_per_band + j}")
+                    for j in range(rows_per_band)
+                ]
+            ).alias(f"band{band}")
+            for band in range(n_bands)
+        ],
+    )
+    return _band_pairs(banded, id_col, n_bands, distinct=distinct)
 
 
 def simhash16(sh: DataFrame, id_col: str) -> DataFrame:

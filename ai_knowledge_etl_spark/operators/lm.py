@@ -73,9 +73,18 @@ def avg_logprob(
     mass (floored at 1 so the constant is defined even when the cap does
     not bind; the OOV branch is then never taken per-row).
     """
-    topk = capped_lm_table(toks, w_col, cap)
+    # Every constant derives from the (w, cnt) vocabulary aggregate, NOT
+    # from a separate toks.count() pass: tot = Σ cnt is the same integer,
+    # and with all three constant subplans rooted in the identical vocab
+    # aggregate the runtime reuses one physical exchange where the old
+    # shape paid a third full token-stream scan just to count it
+    # (round-8 A/B at sf0.1: 0.71 → 0.55 s warm). Persisting vocab
+    # instead was also measured and LOSES — the cache write costs more
+    # than the deduplicated replays.
+    vocab = toks.groupBy(w_col).agg(F.count("*").alias("cnt"))
+    topk = vocab.orderBy(F.desc("cnt"), F.asc(w_col)).limit(cap)
     consts = (
-        toks.agg(F.count("*").cast("long").alias("tot"))
+        vocab.agg(F.sum("cnt").cast("long").alias("tot"))
         .crossJoin(
             F.broadcast(
                 topk.agg(F.sum("cnt").cast("long").alias("kmass"))

@@ -33,6 +33,22 @@ from ai_knowledge_etl_spark.operators import chunking, dedup, lm, sinks, topk
 from ai_knowledge_etl_spark.sources import web
 
 
+# Stage-clock hook for barrier-cut probes (tools/bench_warc_cut.py):
+# when a probe sets this to a list, curate_warc_corpus appends
+# (stage, wall_time) after each eager checkpoint materializes, so the
+# composed wall can be attributed to measured stage work without
+# duplicating the pipeline in the probe (the drift risk the mad-cut
+# probe accepted). None (the default) is zero-cost.
+_STAGE_CLOCK: list[tuple[str, float]] | None = None
+
+
+def _mark(stage: str) -> None:
+    if _STAGE_CLOCK is not None:
+        import time
+
+        _STAGE_CLOCK.append((stage, time.time()))
+
+
 @dataclass
 class ExtractResult:
     pages: DataFrame  # url, text, error, obstacle, relevance, stars, doc
@@ -439,6 +455,7 @@ def curate_warc_corpus(
     # joins back — four extra full-corpus shuffle stages; computing the
     # fold outside the cut would instead replay it in every consumer's
     # lineage (measured: +1.5 s at sf0.1).
+    _mark("start")
     parsed = (
         CU.gopher_metrics(
             warc.scan_warc_text(warc_files)
@@ -448,6 +465,7 @@ def curate_warc_corpus(
         .drop("ws")  # the array would bloat the checkpoint; split is cheap
         .localCheckpoint()
     )
+    _mark("parsed")
 
     # Gopher repetition gates (registry twin: filter-repetition-gopher):
     # a plain WHERE over the materialized metric ints — no joins.
@@ -475,13 +493,19 @@ def curate_warc_corpus(
     # rationale, measured: the composed plan goes from minutes-hung to
     # seconds with these three cuts).
     qual = gated.join(lp, "doc_id").localCheckpoint()
+    _mark("qual")
 
     # corpus-wide paragraph dedup on the quality survivors
     dd = CU.paragraph_dedup(
         qual.select("doc_id", F.col("text").alias("ptext"))
     ).localCheckpoint()
+    _mark("dd")
 
-    # MinHash-LSH near-dup removal over the deduped text
+    # MinHash-LSH near-dup removal over the deduped text. The shingle
+    # stream is persisted (the jaccard_pairs discipline): the df-cap's
+    # hot-key aggregate and the capped stream feeding the signature
+    # aggregate would otherwise each replay the per-row shingle fold —
+    # the LSH stage's dominant compute — from the dd checkpoint.
     sh = dedup.shingles(
         dd.join(qual.select("doc_id", "source"), "doc_id"),
         "doc_id",
@@ -492,9 +516,18 @@ def curate_warc_corpus(
     shc = dedup.cap_shingle_df(
         sh, "doc_id", cfg.DEDUP_SHINGLE_MAX_DF, "source"
     )
-    sigs = dedup.minhash_signatures(shc, "doc_id", k=8).localCheckpoint()
-    cands = dedup.minhash_candidates(sigs, "doc_id", k=8, rows_per_band=2)
-    dupes = cands.select(F.col("doc_b").alias("doc_id")).distinct()
+    # One fused aggregate takes shingles → banded signatures → the single
+    # (band, bv) bucket join (dedup.minhash_lsh_candidates); the long-form
+    # signature checkpoint this replaced bought nothing — the banded frame
+    # is persisted inside and is the only consumer of the shingle chain.
+    _mark("sigs")
+    cands = dedup.minhash_lsh_candidates(
+        shc, "doc_id", k=8, rows_per_band=2, distinct=False
+    )
+    # no pair-level or doc_b-level distinct: the anti-join consumes the
+    # duplicate-set membership, which repeated (doc_a, doc_b) rows do not
+    # change — two dedup shuffles skipped (round-8 warc-cut trim)
+    dupes = cands.select(F.col("doc_b").alias("doc_id"))
     kept = dd.join(dupes, "doc_id", "left_anti")
 
     # DSIR importance scoring vs the target slice, then deterministic top-N
@@ -519,6 +552,7 @@ def curate_warc_corpus(
         .withColumn("is_target", F.expr(target_pred))
         .localCheckpoint()
     )
+    _mark("flagged")
     scored = CU.importance_scores(
         flagged.select("doc_id", "is_target", "norm"),
         "is_target",

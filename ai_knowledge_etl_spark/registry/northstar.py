@@ -220,10 +220,9 @@ SELECT DISTINCT doc_a, doc_b FROM cands
     "they'd otherwise drag unrelated docs into shared min-hashes.",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = dedup.minhash_signatures(
-        _shingles_capped(spark, sf_dir), "doc_id", k=8
+    return dedup.minhash_lsh_candidates(
+        _shingles_capped(spark, sf_dir), "doc_id", k=8, rows_per_band=2
     )
-    return dedup.minhash_candidates(sigs, "doc_id", k=8, rows_per_band=2)
 
 
 _SIMHASH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
@@ -377,8 +376,7 @@ WHERE round(i.inter / CAST(ca.n_sh + cb.n_sh - i.inter AS DOUBLE), 4) >= 0.5
 )
 def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles_capped(spark, sf_dir)
-    sigs = dedup.minhash_signatures(sh, "doc_id", k=8)
-    pairs = dedup.minhash_candidates(sigs, "doc_id", k=8, rows_per_band=2)
+    pairs = dedup.minhash_lsh_candidates(sh, "doc_id", k=8, rows_per_band=2)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh_b"))
     inter = (
