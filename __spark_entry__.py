@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ai_knowledge_etl_spark.registry import REGISTRY  # noqa: E402
+from ai_knowledge_etl_spark.registry import REGISTRY, oracle_of  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -43,7 +43,7 @@ def oracle_sql() -> dict[str, str]:
     {SF_DIR} placeholder (filesystem-scan manifest oracles) is resolved to
     the driver's sf0.01 compare dir."""
     return {
-        name: qd.oracle.replace("{SF_DIR}", ORACLE_SF_DIR)
+        name: sql.replace("{SF_DIR}", ORACLE_SF_DIR)
         for name, qd in REGISTRY.items()
-        if qd.oracle is not None
+        if (sql := oracle_of(qd)) is not None
     }

@@ -98,17 +98,17 @@ def resize_nearest(
     width: int, height: int, rgb: bytes | bytearray, new_width: int
 ) -> tuple[int, int, bytes]:
     """Nearest-neighbor downscale preserving aspect ratio (the resize step
-    of the tier walk; PIL's resampling quality is a drop-in upgrade)."""
+    of the tier walk; PIL's resampling quality is a drop-in upgrade).
+    Vectorized index-gather — same sy/sx = (n*src)//new arithmetic as the
+    original per-pixel loop, bit-identical output (round-8, the real-JPEG
+    tier walk made this a hot path)."""
+    import numpy as np
+
     new_height = max(1, (height * new_width) // width)
-    stride = 3 * width
-    out = bytearray(3 * new_width * new_height)
-    for ny in range(new_height):
-        sy = min(height - 1, (ny * height) // new_height)
-        src_row = sy * stride
-        dst = ny * 3 * new_width
-        for nx in range(new_width):
-            sx = min(width - 1, (nx * width) // new_width)
-            s = src_row + 3 * sx
-            d = dst + 3 * nx
-            out[d : d + 3] = rgb[s : s + 3]
-    return new_width, new_height, bytes(out)
+    px = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(height, width, 3)
+    sy = np.minimum(
+        height - 1, (np.arange(new_height) * height) // new_height
+    )
+    sx = np.minimum(width - 1, (np.arange(new_width) * width) // new_width)
+    out = px[sy[:, None], sx[None, :], :]
+    return new_width, new_height, out.tobytes()

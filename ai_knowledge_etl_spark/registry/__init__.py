@@ -35,18 +35,45 @@ class QueryDef:
     spark: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL twin; None -> driver rows-only check
     doc: str = ""
+    # Lazy oracle builder: for oracles whose expected values must be
+    # COMPUTED (e.g. udf-compress-image-real bakes driver-side JPEG
+    # encode sizes into a VALUES table), building at import time would
+    # tax every session. Resolve through oracle_of(), never read
+    # .oracle directly when this may be set.
+    oracle_fn: Callable[[], str] | None = None
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
+_ORACLE_CACHE: dict[str, str] = {}
 
-def register(name: str, oracle: str | None, doc: str = ""):
+
+def oracle_of(qd: QueryDef) -> str | None:
+    """The query's oracle SQL: the static string, or the lazily built
+    (and process-cached) one. None → driver rows-only check."""
+    if qd.oracle is not None:
+        return qd.oracle
+    if qd.oracle_fn is None:
+        return None
+    if qd.name not in _ORACLE_CACHE:
+        _ORACLE_CACHE[qd.name] = qd.oracle_fn()
+    return _ORACLE_CACHE[qd.name]
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    oracle_fn: Callable[[], str] | None = None,
+):
     """Decorator: register a (spark, sf_dir) -> DataFrame callable."""
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             raise ValueError(f"duplicate query id {name!r}")
-        REGISTRY[name] = QueryDef(name=name, spark=fn, oracle=oracle, doc=doc)
+        REGISTRY[name] = QueryDef(
+            name=name, spark=fn, oracle=oracle, doc=doc, oracle_fn=oracle_fn
+        )
         return fn
 
     return wrap

@@ -430,6 +430,66 @@ def q_udf_compress_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imgs.select("img_id", IM.compress_tier("length").alias("tier"))
 
 
+def _compress_real_oracle() -> str:
+    """Expected table for udf-compress-image-real, computed by replaying
+    the SAME pure walk (images.walk_tiers over images.render_compress_card)
+    sequentially in the driver and baking the results into a VALUES
+    oracle. Lazy (registry.oracle_fn): the replay runs the real JPEG
+    encoder over every card (~seconds), so it must not tax registry
+    import; it is process-cached after first resolution. The differential
+    therefore proves the DISTRIBUTED path — binary columns through Arrow
+    batches, per-executor numpy/codec determinism, partitioning — equals
+    the sequential ground truth byte-for-byte (sizes AND magic bytes)."""
+    from ai_knowledge_etl_spark.multimodal import images as IM
+
+    rows = []
+    for i in range(IM.N_COMPRESS_CARDS):
+        tier, best, err = IM.walk_tiers(IM.render_compress_card(i))
+        rows.append(
+            "(%d, %s, %s, %s, %s)"
+            % (
+                i,
+                "NULL" if tier is None else tier,
+                "NULL" if best is None else len(best),
+                "NULL" if best is None else "'%s'" % best[:3].hex(),
+                "NULL" if err is None else "'%s'" % err.replace("'", "''"),
+            )
+        )
+    return (
+        "SELECT CAST(img_id AS BIGINT) AS img_id, "
+        "CAST(tier AS INTEGER) AS tier, "
+        "CAST(out_bytes AS INTEGER) AS out_bytes, "
+        "CAST(magic_hex AS VARCHAR) AS magic_hex, "
+        "CAST(error AS VARCHAR) AS error "
+        f"FROM (VALUES {', '.join(rows)}) "
+        "t(img_id, tier, out_bytes, magic_hex, error)"
+    )
+
+
+@register(
+    "udf-compress-image-real",
+    None,
+    doc="The compression fallback chain over REAL LOSSY BYTES (round-7 "
+    "verdict #4; reference: compress-image.mjs:49-97 — sharp resize → "
+    "jpeg q80): deterministic probe PNGs (noise/gradient/small/garbage "
+    "classes) are decoded, resized and re-encoded through the vendored "
+    "baseline-JPEG codec (multimodal/minijpeg, ITU-T T.81 subset) inside "
+    "an Arrow mapInPandas kernel, walking 800→640→480→400 until the "
+    "encode fits 100 KB (300 KB last-chance); garbage bytes become E003 "
+    "rows. The oracle is the driver-side sequential replay of the same "
+    "walk baked into a VALUES table (lazy oracle_fn) — real encoded "
+    "sizes and JPEG magic bytes, hash-compared. Complements "
+    "udf-compress-image, which oracles the metadata-only tier-model "
+    "arithmetic at corpus scale.",
+    oracle_fn=_compress_real_oracle,
+)
+def q_udf_compress_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = spark.range(IM.N_COMPRESS_CARDS).select(
+        F.col("id").cast("long").alias("img_id")
+    )
+    return IM.compress_cards_real(ids)
+
+
 def _fake_binaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic binary column: PNG magic + utf8 text bytes for most
     rows, garbage for doc_id % 7 = 0 (drives the error-as-data paths)."""

@@ -25,7 +25,7 @@ stdout line stays small enough for the driver's tail-capture to parse.
   oracle SQLs, sequential, 32 threads).
 - BENCH_DETAIL.json additionally carries `isolated`: one-at-a-time
   sequential timings for EVERY registered query (same warmed session,
-  alphabetical), each as {"spark": warm sec, "spark_cold": first-run
+  per-sweep seeded shuffled order), each as {"spark": warm sec, "spark_cold": first-run
   sec, "duck": sec} with the DuckDB per-query wall (min of 2 runs)
   beside it. Each query runs in TWO SEPARATED FULL SWEEPS and `spark`
   is the best-of-2 (round-5 verdict #2): the old single-shot numbers
@@ -57,7 +57,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ai_knowledge_etl_spark.registry import REGISTRY
+from ai_knowledge_etl_spark.registry import REGISTRY, oracle_of
 from ai_knowledge_etl_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -93,14 +93,20 @@ def duckdb_oracle_wall() -> tuple[float, int, dict[str, float]]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
+    # Resolve every oracle BEFORE the timer: a lazy oracle (oracle_fn)
+    # may compute expected values in Python at first access, and that
+    # build cost must not inflate the DuckDB wall it is compared against.
+    sqls = {
+        name: sql.replace("{SF_DIR}", SF_DIR)
+        for name in sorted(REGISTRY)
+        if (sql := oracle_of(REGISTRY[name])) is not None
+    }
     t0 = time.time()
     per_query: dict[str, float] = {}
-    for name in sorted(REGISTRY):
-        sql = REGISTRY[name].oracle
-        if sql:
-            q0 = time.time()
-            con.execute(sql.replace("{SF_DIR}", SF_DIR)).fetchall()
-            per_query[name] = round(time.time() - q0, 4)
+    for name, sql in sqls.items():
+        q0 = time.time()
+        con.execute(sql).fetchall()
+        per_query[name] = round(time.time() - q0, 4)
     return round(time.time() - t0, 3), len(per_query), per_query
 
 
@@ -252,7 +258,8 @@ def main() -> None:
     # Isolated sequential pass over the heavy set (VERDICT r2 #5): the
     # concurrent per-query numbers above are queue-inclusive (Σ per-query
     # ≈ workers × wall by construction) and cannot be compared across
-    # rounds. One query at a time, alphabetical, same warmed session —
+    # rounds. One query at a time, per-sweep shuffled order (seeded),
+    # same warmed session —
     # these ARE isolated latencies, the round-over-round comparable set.
     # Best-of-2 per query (round-5 verdict #2): the single-shot number is
     # cold-ordering noise — JIT/codegen state, page cache, and what the
@@ -265,18 +272,33 @@ def main() -> None:
     # sweeps decorrelate the window from the query; min is the warm
     # number, sweep-1's value is kept as the cold field.
     isolated_spark: dict[str, tuple[float, float]] = {}
+    sweep_best: dict[str, float] = {}
+    solo_vals: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
+        import random
+
         sweeps: list[dict[str, float]] = []
-        for _ in range(2):
+        for sweep_no in range(2):
+            # Each sweep runs in its own DETERMINISTIC shuffled order
+            # (round-7 verdict #7): alphabetical order put every VM slow
+            # window onto an alphabetically adjacent band, so the same
+            # neighbors polluted each other in BOTH sweeps and min()
+            # couldn't damp it (the r7 text-family mirage). Distinct
+            # per-sweep orders decorrelate a query's neighbors across
+            # sweeps; seeds are fixed so reruns are comparable.
+            order_iso = sorted(REGISTRY)
+            random.Random(sweep_no + 1).shuffle(order_iso)
             walls: dict[str, float] = {}
-            for i, name in enumerate(sorted(REGISTRY)):
+            for i, name in enumerate(order_iso):
                 if i % 50 == 0:
                     gc.collect()  # same pollution guard as the pass boundary
                 walls[name] = run(name)[1]
             sweeps.append(walls)
+        sweep_best = {
+            n: min(sweeps[0][n], sweeps[1][n]) for n in sweeps[0]
+        }
         isolated_spark = {
-            n: (min(sweeps[0][n], sweeps[1][n]), sweeps[0][n])
-            for n in sweeps[0]
+            n: (sweep_best[n], sweeps[0][n]) for n in sweeps[0]
         }
         # Targeted re-probe of provisional regressions (round 7): the r7
         # delta list flagged six queries significant and ALL six were
@@ -296,9 +318,9 @@ def main() -> None:
                 and warm - old >= 0.2 * old
             ]
             for n in flagged:
-                solo = min(run(n)[1], run(n)[1])
+                solo_vals[n] = min(run(n)[1], run(n)[1])
                 warm, cold = isolated_spark[n]
-                isolated_spark[n] = (min(warm, solo), cold)
+                isolated_spark[n] = (min(warm, solo_vals[n]), cold)
             if flagged:
                 print(
                     f"# re-probed {len(flagged)} provisional regressions "
@@ -375,9 +397,11 @@ def main() -> None:
         prev_iso = prev_detail.get("isolated", {})
         # warm-vs-warm only: a single-shot previous snapshot biases every
         # delta toward "improvement" (round-6 ADVICE #5) — caveat it and
-        # suppress the significance flag.
+        # suppress the significance flag. Same guard for a scale-factor
+        # mismatch: a stray sf0.01 snapshot would read as a 10× "win".
         methods_match = (
             prev_detail.get("spark_method") == detail["spark_method"]
+            and prev_detail.get("sf") == headline["sf"]
         )
         for name, cur in isolated.items():
             old = prev_iso.get(name, {}).get("spark")
@@ -387,6 +411,8 @@ def main() -> None:
                         "query": name,
                         "prev_s": old,
                         "cur_s": cur["spark"],
+                        "sweep_s": sweep_best.get(name),
+                        "solo_s": solo_vals.get(name),
                         "delta_s": round(cur["spark"] - old, 3),
                     }
                 )
@@ -423,6 +449,38 @@ def main() -> None:
             "methods_match": methods_match,
             "top": deltas[:25],
         }
+        # Machine-readable delta report (round-7 verdict #6): the full
+        # per-query sweep/solo/prev/verdict table, so a judge can
+        # separate VM noise from real movement without re-deriving the
+        # re-probe protocol from PERF.md prose. verdicts: "regression"
+        # (significant after the solo re-probe), "noise" (provisionally
+        # flagged, solo-disproven), "ok" (never flagged).
+        for d in deltas:
+            if d["significant"]:
+                d["verdict"] = "regression"
+            elif d["solo_s"] is not None:
+                d["verdict"] = "noise"
+            else:
+                d["verdict"] = "ok"
+        with open(
+            os.path.join(repo, f"BENCH_DELTA_r{cur_round:02d}.json"), "w"
+        ) as f:
+            json.dump(
+                {
+                    "prev_round": prev_snap,
+                    "cur_round": cur_round,
+                    "sf": headline["sf"],
+                    "methods_match": methods_match,
+                    "n_flagged": len(solo_vals),
+                    "n_regressions": sum(
+                        1 for d in deltas if d["verdict"] == "regression"
+                    ),
+                    "queries": deltas,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
 
     for path in ("BENCH_DETAIL.json", f"BENCH_DETAIL_r{cur_round:02d}.json"):
         with open(os.path.join(repo, path), "w") as f:

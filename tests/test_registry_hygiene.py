@@ -20,7 +20,7 @@ sys.path.insert(
 
 from oracle_audit import skeletonize  # noqa: E402
 
-from ai_knowledge_etl_spark.registry import REGISTRY  # noqa: E402
+from ai_knowledge_etl_spark.registry import REGISTRY, oracle_of  # noqa: E402
 
 # Every group of queries whose oracle SQLs share a structural skeleton
 # (literals/aliases normalized) must be listed here with a reason. These
@@ -43,7 +43,7 @@ ALLOWED_SKELETON_GROUPS = {
 def test_no_unexplained_oracle_skeleton_duplicates():
     by_hash = defaultdict(list)
     for name in sorted(REGISTRY):
-        sql = REGISTRY[name].oracle
+        sql = oracle_of(REGISTRY[name])
         if sql:
             sk = skeletonize(sql)
             by_hash[hashlib.sha256(sk.encode()).hexdigest()].append(name)

@@ -76,7 +76,8 @@ def main() -> None:
         p = os.path.join(args.sf, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    sql = qd.oracle.replace("{SF_DIR}", args.sf)
+    from ai_knowledge_etl_spark.registry import oracle_of
+    sql = oracle_of(qd).replace("{SF_DIR}", args.sf)
     con.execute(sql).fetchall()  # warm
     duck = min(
         (lambda t0: (con.execute(sql).fetchall(), time.time() - t0)[1])(

@@ -52,7 +52,7 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from ai_knowledge_etl_spark.registry import REGISTRY
+from ai_knowledge_etl_spark.registry import REGISTRY, oracle_of
 from ai_knowledge_etl_spark.session import get_spark
 from ai_knowledge_etl_spark.sources.catalog import TABLES
 
@@ -83,9 +83,10 @@ def _norm_rows(cols, rows):
 
 def run_one(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
     qd = REGISTRY[name]
+    oracle = oracle_of(qd)
     t0 = time.time()
     sdf = qd.spark(spark, sf_dir)
-    if qd.oracle is not None:
+    if oracle is not None:
         # Driver-canonicalizer contract (registry/__init__ parity notes):
         # pandas-based row sorting crashes on list/dict cells, so oracled
         # queries must emit scalar-only top-level columns.
@@ -104,12 +105,12 @@ def run_one(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
     t_spark = time.time() - t0
-    if qd.oracle is None:
+    if oracle is None:
         return True, f"rows-only ({len(s_rows)} rows, {t_spark:.1f}s)"
     t0 = time.time()
     # {SF_DIR} lets filesystem-scan oracles (read_blob manifests) target
     # the same fixture dir the Spark side reads
-    res = con.execute(qd.oracle.replace("{SF_DIR}", sf_dir))
+    res = con.execute(oracle.replace("{SF_DIR}", sf_dir))
     d_cols = [d[0] for d in res.description]
     d_rows = [tuple(r) for r in res.fetchall()]
     t_duck = time.time() - t0

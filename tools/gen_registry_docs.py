@@ -43,7 +43,7 @@ def render() -> str:
         rel, site = _site(q.spark)
         by_module.setdefault(rel, []).append((q, site))
 
-    n_sql = sum(1 for q in REGISTRY.values() if q.oracle)
+    n_sql = sum(1 for q in REGISTRY.values() if q.oracle or q.oracle_fn)
     lines = [
         "# Registry index (generated — do not edit)",
         "",
@@ -63,7 +63,7 @@ def render() -> str:
         lines.append("| id | oracle | source | doc |")
         lines.append("|---|---|---|---|")
         for q, site in entries:
-            kind = "sql" if q.oracle else "rows-only"
+            kind = ("sql" if q.oracle else "sql (lazy)" if q.oracle_fn else "rows-only")
             doc = _first_line(q.doc).replace("|", "\\|")
             lines.append(f"| `{q.name}` | {kind} | {site} | {doc} |")
         lines.append("")

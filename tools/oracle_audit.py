@@ -42,7 +42,7 @@ from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from ai_knowledge_etl_spark.registry import REGISTRY
+from ai_knowledge_etl_spark.registry import REGISTRY, oracle_of
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -103,7 +103,7 @@ def main() -> None:
 
     skels: dict[str, str] = {}
     for name in sorted(REGISTRY):
-        sql = REGISTRY[name].oracle
+        sql = oracle_of(REGISTRY[name])
         if sql:
             skels[name] = skeletonize(sql)
 
@@ -119,7 +119,7 @@ def main() -> None:
     # keeps the report about substitutable queries, not generic lookalikes
     by_tables: dict[tuple[str, ...], list[str]] = defaultdict(list)
     for name in skels:
-        by_tables[tables_of(REGISTRY[name].oracle)].append(name)
+        by_tables[tables_of(oracle_of(REGISTRY[name]))].append(name)
     flat_exact = {n for g in exact_groups for n in g}
     near = []
     for group in by_tables.values():

@@ -36,7 +36,7 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from ai_knowledge_etl_spark.registry import REGISTRY
+from ai_knowledge_etl_spark.registry import REGISTRY, oracle_of
 from ai_knowledge_etl_spark.session import get_spark
 from ai_knowledge_etl_spark.sources.catalog import TABLES
 
@@ -353,7 +353,7 @@ def main() -> None:
         # IS the product; linearity timing is the plain sweep's job.
         for name in names:
             t0 = time.time()
-            if REGISTRY[name].oracle:
+            if oracle_of(REGISTRY[name]):
                 ok, msg = run_one(spark, con, name, args.out)
             else:
                 ok, msg = True, "rows-only (no oracle)"
@@ -382,7 +382,7 @@ def main() -> None:
         t0 = time.time()
         REGISTRY[name].spark(spark, args.out).collect()
         t_big = time.time() - t0
-        if REGISTRY[name].oracle and not args.no_diff:
+        if oracle_of(REGISTRY[name]) and not args.no_diff:
             ok, msg = run_one(spark, con, name, args.out)
         else:
             ok, msg = True, "rows-only"
