@@ -584,10 +584,19 @@ def crawl(
 
     State discipline: the visited set is localCheckpoint'ed per wave —
     lineage stays O(1) deep across iterations (the clustering-loop rule),
-    and each wave's fetch is a fresh bounded job. At scale the frontier
-    is naturally partitioned by domain inside fetch_pipeline; the anti-
-    join is the only cross-wave shuffle.
+    and each wave's fetch is a fresh bounded job — and wave N-1's
+    checkpointed RDD is RELEASED once wave N's checkpoint exists (also
+    the clustering-loop rule: localCheckpoint pins its blocks until GC,
+    so a long crawl would otherwise hold every superseded visited table
+    in storage — the 50-wave longevity test in tests/test_scale_slice.py
+    pins both the flat wave-time slope and the O(1) pinned-RDD count).
+    At scale the frontier is naturally partitioned by domain inside
+    fetch_pipeline; the anti-join is the only cross-wave shuffle.
     """
+    from ai_knowledge_etl_spark.operators.clustering import (
+        _checkpointed_rdd_id,
+        _release_rdds,
+    )
     from ai_knowledge_etl_spark.sources import synthetic as syn
 
     frontier = seeds.select("url").distinct().withColumn("depth", F.lit(0))
@@ -624,5 +633,11 @@ def crawl(
         new = cand.join(visited.select("url"), "url", "left_anti").withColumn(
             "depth", F.lit(depth)
         )
+        prev_id = _checkpointed_rdd_id(visited)
         visited = visited.unionByName(new).localCheckpoint(eager=True)
+        # the new checkpoint fully contains the old one — release wave
+        # N-1's pinned blocks or max_depth superseded visited tables
+        # accumulate in executor storage over a long crawl
+        _release_rdds(spark.sparkContext, {prev_id})
+        _mark(f"wave{depth}")  # probe hook: per-wave wall for slope tests
     return visited

@@ -131,3 +131,91 @@ def test_gate_slices_about_one_in_div(sliced, sf_dir):
     ).fetchone()[0]
     frac = got / (base * MULT)
     assert 0.5 / DIV < frac < 2.0 / DIV, frac
+
+
+# --- crawl-loop longevity (round-7 verdict #5) -----------------------------
+
+_LONG_WAVES = 50
+_LONG_WIDTH = 200  # pages per wave -> 10k pages over the whole crawl
+
+
+def _make_long_web_fetcher(width: int):
+    """Synthetic 50-wave web: page w{i}/p{j} links to wave i+1's pages j
+    and (j+1) % width, so the frontier stays exactly width pages per wave
+    and the visited set grows linearly to WAVES*width. Returned as a
+    CLOSURE so cloudpickle ships it by value — a module-level function
+    would pickle by reference and the executors don't import test
+    modules."""
+
+    def fetch(url: str, _w: int = width) -> str:
+        import re
+
+        m = re.search(r"/w(\d+)/p(\d+)$", url)
+        i, j = int(m.group(1)), int(m.group(2))
+        links = " ".join(
+            f"[spark page](http://web.test/w{i + 1}/p{k})"
+            for k in (j, (j + 1) % _w)
+        )
+        return f"# wave {i} page {j}\n\nspark content here. {links}\n"
+
+    return fetch
+
+
+def test_long_crawl_flat_slope_and_released_checkpoints(spark):
+    """50-wave/10k-page crawl longevity (round-7 verdict #5): the BFS
+    loop localCheckpoints visited per wave; without releasing wave N-1's
+    pinned RDD, 50 superseded visited tables accumulate in executor
+    storage, and driver-side plan growth would show as a rising per-wave
+    wall. Pins both: (a) per-wave wall-time slope stays flat — the mean
+    of the last 10 waves is bounded by a small multiple of the
+    mid-crawl mean (not of the first waves, which pay JIT/codegen); (b)
+    the persistent-RDD count returns to its pre-crawl level + exactly
+    one (the final visited checkpoint)."""
+    from ai_knowledge_etl_spark import pipeline as P
+
+    sc = spark.sparkContext
+    pinned_before = len(sc._jsc.getPersistentRDDs())
+
+    seeds = spark.createDataFrame(
+        [(f"http://web.test/w0/p{j}",) for j in range(_LONG_WIDTH)],
+        "url string",
+    )
+    P._STAGE_CLOCK = []
+    try:
+        visited = P.crawl(
+            spark,
+            seeds,
+            _make_long_web_fetcher(_LONG_WIDTH),
+            "spark",
+            max_depth=_LONG_WAVES,
+        )
+        n = visited.count()
+        marks = list(P._STAGE_CLOCK)
+    finally:
+        P._STAGE_CLOCK = None
+
+    # every wave discovered: WAVES+1 depths x WIDTH pages
+    assert n == (_LONG_WAVES + 1) * _LONG_WIDTH
+
+    waves = [b - a for (_, a), (_, b) in zip(marks, marks[1:])]
+    assert len(waves) == _LONG_WAVES - 1
+    mid = sorted(waves[5:15])
+    tail = sorted(waves[-10:])
+    mid_mean = sum(mid) / len(mid)
+    tail_mean = sum(tail) / len(tail)
+    # flat slope: linear visited growth (anti-join input) is expected to
+    # cost a little; lineage/checkpoint accumulation would blow this up
+    # (pre-release, superseded checkpoints grew storage linearly and the
+    # driver replayed ever-deeper plans)
+    assert tail_mean <= 2.0 * mid_mean + 0.25, (
+        f"wave wall slope not flat: mid {mid_mean:.3f}s -> "
+        f"tail {tail_mean:.3f}s over {_LONG_WAVES} waves"
+    )
+
+    # superseded per-wave checkpoints were released: at most the final
+    # visited table (plus nothing else from this test) stays pinned
+    pinned_after = len(sc._jsc.getPersistentRDDs())
+    assert pinned_after <= pinned_before + 1, (
+        f"pinned RDDs grew {pinned_before} -> {pinned_after}: "
+        "superseded crawl checkpoints are accumulating"
+    )
