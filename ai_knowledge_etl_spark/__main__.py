@@ -340,12 +340,31 @@ def run_extract(spark: SparkSession, args) -> dict:
         if kind in ("directory", "glob", "file"):
             from ai_knowledge_etl_spark import models
 
+            # Kernel knob (round-7 verdict #3): SPARK_GRAFT_MODEL_KERNEL
+            # = 'module:attr' swaps a batched vision ModelKernel into the
+            # SAME composed path (binaryFile scan → Arrow mapInPandas →
+            # error-as-data → parquet sink); unset → the extractive
+            # stubs. models.demo_kernel is the in-package demo target.
+            kernel = models.resolve_kernel(
+                os.environ.get("SPARK_GRAFT_MODEL_KERNEL")
+            )
+            if kernel is not None:
+                log(f"image kernel: {type(kernel).__name__}")
             imgs = _scan_images(spark, args.source, kind)
-            classified = models.classify_images(
-                imgs.select("path", "content")
+            # describe side drives the join: it carries EVERY scanned
+            # file (error rows included — the anti-fabrication E003
+            # records), while classify only emits valid-magic rows; the
+            # old inner join silently dropped the error rows from the
+            # sink, which is exactly the error-as-data contract breach
+            # the composed path exists to prevent
+            classified = models.describe_images(
+                imgs.select("path", "content"), kernel=kernel
             ).join(
-                models.describe_images(imgs.select("path", "content")),
+                models.classify_images(
+                    imgs.select("path", "content"), kernel=kernel
+                ),
                 "path",
+                "left",
             )
             classified.write.mode("overwrite").parquet(
                 os.path.join(out_dir, "images_parquet")

@@ -65,6 +65,100 @@ class ModelKernel(Protocol):
         ...
 
 
+class DemoKernel:
+    """Deterministic in-package ModelKernel — the CLI's `--with-images`
+    kernel knob resolves to this by default name (see resolve_kernel).
+    It is a STAND-IN for a batched inference client, not a model: every
+    method is a pure function of its batch, so the composed CLI path
+    (binaryFile scan → Arrow batch → kernel → error-as-data → parquet
+    sink) is testable end-to-end in-container. Being package-level makes
+    it importable on executors through the same addPyFile shipping as
+    the rest of the engine — exactly where a user's client wrapper would
+    live. It upholds the anti-fabrication contract: undecodable bytes
+    yield E003 rows, never a made-up description."""
+
+    def summarize_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        texts = pdf["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "summary": "MODEL: " + texts.str.slice(0, 200),
+                "headline": texts.str.split().str[:8].str.join(" "),
+                "n_words": texts.str.split().str.len().astype("int32"),
+            }
+        )
+
+    def classify_image_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        cats = [
+            IM.IMAGE_CATEGORIES[
+                int(hashlib.md5(bytes(b).hex().upper().encode()).hexdigest()[:2], 16)
+                % len(IM.IMAGE_CATEGORIES)
+            ]
+            for b in pdf["content"]
+        ]
+        return pd.DataFrame({"path": pdf["path"], "category": cats})
+
+    def describe_image_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        desc, err = [], []
+        for b in pdf["content"]:
+            raw = bytes(b)
+            fmt = next(
+                (
+                    f
+                    for f, m in IM.MAGIC.items()
+                    if raw[:4].hex().upper().startswith(m[:8])
+                ),
+                None,
+            )
+            if fmt is None:
+                desc.append(None)
+                err.append("E003: unreadable image (bad magic)")
+            else:
+                desc.append(f"MODEL: {fmt} image, {len(raw)} bytes")
+                err.append(None)
+        return pd.DataFrame(
+            {"path": pdf["path"], "description": desc, "error": err}
+        )
+
+
+def demo_kernel() -> ModelKernel:
+    """Factory for the demo kernel (the env knob points at factories so a
+    real client can read its endpoint config at construction time)."""
+    return DemoKernel()
+
+
+def resolve_kernel(spec: str | None) -> ModelKernel | None:
+    """Resolve the CLI kernel knob (env SPARK_GRAFT_MODEL_KERNEL) to a
+    ModelKernel: 'package.module:attr' where attr is a ModelKernel or a
+    zero-arg factory returning one; empty/None → None (extractive
+    fallback). The module must be importable on executors — ship a user
+    kernel inside a package the session's addPyFile covers (DemoKernel
+    demonstrates the shape)."""
+    if not spec:
+        return None
+    import importlib
+
+    mod_name, _, attr = spec.partition(":")
+    if not attr:
+        raise ValueError(
+            f"kernel spec {spec!r} must be 'module:attr' (factory or instance)"
+        )
+    obj = getattr(importlib.import_module(mod_name), attr)
+    if isinstance(obj, type):  # a class: instantiate (classes satisfy the
+        kernel = obj()  # runtime Protocol check via their unbound methods)
+    elif isinstance(obj, ModelKernel):
+        kernel = obj
+    elif callable(obj):  # zero-arg factory
+        kernel = obj()
+    else:
+        kernel = obj
+    if not isinstance(kernel, ModelKernel):
+        raise TypeError(f"{spec!r} did not resolve to a ModelKernel")
+    return kernel
+
+
 def summarize_pages(
     docs: DataFrame, kernel: ModelKernel | None = None
 ) -> DataFrame:

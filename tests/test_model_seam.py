@@ -6,6 +6,8 @@ replaces FakeModel with a batched inference client — no query changes."""
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
 
@@ -144,3 +146,120 @@ def test_registered_queries_still_use_fallback(spark, sf_dir):
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     plan = _plan(REGISTRY["udf-classify-image"].spark(spark, sf_dir))
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+# --- round-7 verdict #3: the composed CLI-with-kernel path ------------------
+
+
+def _png_dir(tmp_path_factory):
+    """Directory of REAL PNGs (minipng test cards) + one garbage file —
+    the binaryFile-scan fixture for the composed kernel path."""
+    from ai_knowledge_etl_spark.multimodal import images as IM
+
+    d = tmp_path_factory.mktemp("kernel_pngs")
+    for i in range(12):
+        raw = IM.render_compress_card(i)  # i % 5 == 4 → garbage bytes
+        # garbage bytes get a .png name too: a MISLABELED image must
+        # flow through the scan and land as an E003 row, not be skipped
+        (d / f"img_{i:02d}.png").write_bytes(raw)
+    return str(d)
+
+
+def test_one_kernel_call_per_arrow_batch(spark, docs):
+    """Batch-boundary invariant: the kernel is invoked once per Arrow
+    record batch, never per row. With maxRecordsPerBatch=B over a
+    single-partition N-row input, that is exactly ceil(N/B) calls —
+    counted with an accumulator the closure-shipped kernel increments."""
+    acc = spark.sparkContext.accumulator(0)
+    inner = make_fake_model()
+
+    class CountingKernel:
+        def summarize_batch(self, pdf):
+            acc.add(1)
+            return inner.summarize_batch(pdf)
+
+        def classify_image_batch(self, pdf):  # pragma: no cover - protocol
+            return inner.classify_image_batch(pdf)
+
+        def describe_image_batch(self, pdf):  # pragma: no cover - protocol
+            return inner.describe_image_batch(pdf)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        one_part = docs.coalesce(1)  # 50 rows, one partition
+        n = models.summarize_pages(one_part, kernel=CountingKernel()).count()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert n == 50
+    assert acc.value == (50 + 7) // 8, (
+        f"expected ceil(50/8)=7 kernel calls, saw {acc.value} — the seam "
+        "is not one-call-per-Arrow-batch"
+    )
+
+
+def test_cli_with_images_kernel_end_to_end(spark, tmp_path_factory, monkeypatch):
+    """The PRODUCTION composed path as ONE CLI run (round-7 verdict #3,
+    reference: agents/image-analyzer.md:113-240): a directory of real
+    PNGs through `extract --with-images` with the kernel env knob set —
+    binaryFile scan → Arrow mapInPandas ModelKernel → error-as-data →
+    parquet sink. Asserts: the knob routed to the kernel (MODEL-prefixed
+    descriptions), garbage bytes landed as E003 ROWS in the sink (not
+    exceptions, not dropped), and the sunk schema equals the extractive
+    path's output schema exactly."""
+    import json
+
+    from ai_knowledge_etl_spark import __main__ as CLI
+
+    src = _png_dir(tmp_path_factory)
+    out_dir = str(tmp_path_factory.mktemp("cli_out"))
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_MODEL_KERNEL", "ai_knowledge_etl_spark.models:demo_kernel"
+    )
+    rc = CLI.main(
+        [
+            "extract", src, "--with-images", "--output-dir", out_dir,
+            "--max-pages", "3",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    kern_rows = {
+        os.path.basename(r["path"]): r
+        for r in spark.read.parquet(os.path.join(out_dir, "images_parquet")).collect()
+    }
+
+    # extractive twin of the same run, for schema + row-set comparison
+    monkeypatch.delenv("SPARK_GRAFT_MODEL_KERNEL")
+    out_dir2 = str(tmp_path_factory.mktemp("cli_out_stub"))
+    rc = CLI.main(
+        [
+            "extract", src, "--with-images", "--output-dir", out_dir2,
+            "--max-pages", "3",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    stub = spark.read.parquet(os.path.join(out_dir2, "images_parquet"))
+
+    kdf = spark.read.parquet(os.path.join(out_dir, "images_parquet"))
+    assert [(f.name, f.dataType) for f in kdf.schema.fields] == [
+        (f.name, f.dataType) for f in stub.schema.fields
+    ]
+    assert set(kern_rows) == {
+        os.path.basename(r["path"]) for r in stub.collect()
+    }
+
+    # 12 scanned files: 10 valid PNGs described by the MODEL kernel with
+    # a category; 2 garbage files as E003 rows with null category
+    assert len(kern_rows) == 12
+    errors = [r for r in kern_rows.values() if r["error"] is not None]
+    assert len(errors) == 2
+    for r in errors:
+        assert r["error"].startswith("E003")
+        assert r["description"] is None and r["category"] is None
+    for name, r in kern_rows.items():
+        if r["error"] is None:
+            assert r["description"].startswith("MODEL: png image")
+            assert r["category"] in IM.IMAGE_CATEGORIES
