@@ -145,7 +145,12 @@ def _gate(expr: str, divisor: int) -> str:
     )
 
 
-def generate(mult: int, out_dir: str, slice_div: int | None = None) -> None:
+def generate(
+    mult: int,
+    out_dir: str,
+    slice_div: int | None = None,
+    distinct: bool = False,
+) -> None:
     """Synthesize the mult× corpus; with slice_div, keep only a
     deterministic md5-gated 1/slice_div slice (VERDICT r6 #1: lets the
     DuckDB oracle value-verify queries whose full-mult oracle OOMs).
@@ -158,14 +163,52 @@ def generate(mult: int, out_dir: str, slice_div: int | None = None) -> None:
         dimension for the streaming family — is NOT thinned);
       - documents / embeddings gate on their scaled ids, keeping the
         full mult× id-band diversity of the synthetic derivations.
-    """
-    con = duckdb.connect()
-    # cap DuckDB: its default memory_limit is 80 percent of RAM with no
-    # temp dir, which at the 100x sweep OOM-killed the whole process
-    # (kernel SIGKILL at ~113 GB). Capped + spillable, heavy oracles
-    # spill to /tmp instead of dying.
-    con.execute("SET memory_limit='24GB'")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+
+    distinct=True (round-7 verdict #2) switches from row REPLICATION to
+    DISTINCT-ENTITY synthesis — the replica mode measured two artifacts
+    instead of the operators (PERF.md round-7): cloned users make every
+    stream-stream join's emitted-pair count grow mult² (the ~780 s 300×
+    streaming walls measured the synthesizer's quadratic fan-out), and
+    cloned value domains make histogram/domain-bound plans look
+    artificially flat (agg-mad-outliers read 1.06× at 300× because no
+    new distinct prices appear). Distinct mode, all seeded-md5/offset
+    deterministic:
+      - events: each replica gets FRESH user_ids (offset by the user
+        span) on a FRESH month (ts shifted by replica × 31 days) — a
+        production feed's shape: more users over more time, per-user
+        density constant;
+      - lineitem: l_extendedprice perturbed per replica by
+        (i % 100) cents — the distinct-price domain grows with the
+        corpus instead of freezing at the sf0.1 domain;
+      - documents: replica > 0 texts are token-rewritten through the
+        wide-vocab md5 machinery (suffix md5(i:doc:pos) % 64, 1/4 of
+        tokens kept verbatim) — fresh vocabulary and fresh paragraphs,
+        so dedup stages cannot collapse replicas early.
+    Orders and embeddings keep the replica shape (their consumers are
+    key-join / cluster-cap structured, not domain-bound)."""
+    def connect():
+        # cap DuckDB: its default memory_limit is 80 percent of RAM with
+        # no temp dir, which at the 100x sweep OOM-killed the whole
+        # process (kernel SIGKILL at ~113 GB). Capped + spillable, heavy
+        # oracles spill to /tmp instead of dying.
+        c = duckdb.connect()
+        c.execute("SET memory_limit='24GB'")
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
+        return c
+
+    con = connect()
+
+    def copy(sql: str) -> None:
+        # FRESH connection per table COPY: at mult=300 each multi-GB COPY
+        # leaves the buffer pool fragmented enough that the NEXT one dies
+        # allocating kilobytes (observed twice: embeddings after the doc
+        # rewrite, events after lineitem). A connection per COPY resets
+        # the pool; generation is sequential so this costs nothing.
+        nonlocal con
+        con.close()
+        con = connect()
+        con.execute(sql)
+
     os.makedirs(out_dir, exist_ok=True)
     # fixed tables: verbatim copy (cheap, keeps load_table paths uniform)
     for t in TABLES:
@@ -187,7 +230,7 @@ def generate(mult: int, out_dir: str, slice_div: int | None = None) -> None:
             return ""
         return f"WHERE {_gate(key_expr, slice_div)}"
 
-    con.execute(
+    copy(
         f"""
         COPY (
           SELECT o_orderkey + r.i * {okey_span} AS o_orderkey,
@@ -198,25 +241,38 @@ def generate(mult: int, out_dir: str, slice_div: int | None = None) -> None:
         ) TO '{out_dir}/orders.parquet' (FORMAT PARQUET)
         """
     )
-    con.execute(
+    price = (
+        "l_extendedprice + (r.i % 100) * 0.01" if distinct
+        else "l_extendedprice"
+    )
+    copy(
         f"""
         COPY (
           SELECT l_orderkey + r.i * {okey_span} AS l_orderkey,
                  l_partkey, l_suppkey, l_linenumber, l_quantity,
-                 l_extendedprice, l_discount, l_tax, l_returnflag,
-                 l_linestatus, l_shipdate
+                 {price} AS l_extendedprice, l_discount, l_tax,
+                 l_returnflag, l_linestatus, l_shipdate
           FROM '{BASE}/lineitem.parquet', (SELECT unnest([{reps}]) AS i) r
           {where(f"l_orderkey + r.i * {okey_span}")}
         ) TO '{out_dir}/lineitem.parquet' (FORMAT PARQUET)
         """
     )
-    con.execute(
+    if distinct:
+        ukey_span = con.execute(
+            f"SELECT max(user_id) + 1 FROM '{BASE}/events.parquet'"
+        ).fetchone()[0]
+        ev_user = f"user_id + r.i * {ukey_span}"
+        ev_ts = "ts + r.i * (INTERVAL 31 DAY)"
+    else:
+        ev_user, ev_ts = "user_id", "ts"
+    copy(
         f"""
         COPY (
           SELECT event_id + r.i * {ekey_span} AS event_id,
-                 ts, user_id, event_type, value, props
+                 {ev_ts} AS ts, {ev_user} AS user_id,
+                 event_type, value, props
           FROM '{BASE}/events.parquet', (SELECT unnest([{reps}]) AS i) r
-          {where("user_id")}
+          {where(ev_user)}
         ) TO '{out_dir}/events.parquet' (FORMAT PARQUET)
         """
     )
@@ -227,16 +283,57 @@ def generate(mult: int, out_dir: str, slice_div: int | None = None) -> None:
     dkey_span = con.execute(
         f"SELECT max(doc_id) + 1 FROM '{BASE}/documents.parquet'"
     ).fetchone()[0]
-    con.execute(
-        f"""
-        COPY (
-          SELECT doc_id + r.i * {dkey_span} AS doc_id,
-                 text, lang, source, n_chars
-          FROM '{BASE}/documents.parquet', (SELECT unnest([{reps}]) AS i) r
-          {where(f"doc_id + r.i * {dkey_span}")}
-        ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)
-        """
-    )
+    if distinct:
+        # replica 0 verbatim; replicas > 0 token-rewritten through the
+        # wide-vocab md5 machinery (tools/difftest.widevocab_dir's
+        # suffixing, with the replica index folded into the hash): fresh
+        # vocabulary, fresh paragraphs — dedup cannot collapse replicas.
+        # Empty tokens stay verbatim so whitespace layout survives.
+        # ROW-WISE list_transform, not unnest+reaggregate: the lateral
+        # generate_series form copies each doc's token list once per
+        # position (O(tokens²) memory at 300× — OOM'd even at an 80 GB
+        # cap), where the per-row lambda streams in O(row).
+        h = (
+            "('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || "
+            "CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), "
+            "1, 8))::BIGINT"
+        )
+        rewrite = f"""
+            array_to_string(
+              list_transform(
+                string_split(text, ' '),
+                (w, pos) -> CASE
+                  WHEN w = '' THEN w
+                  WHEN {h} % 4 = 0 THEN w
+                  ELSE w || '_' || CAST({h} % 64 AS VARCHAR)
+                END),
+              ' ')"""
+        copy(
+            f"""
+            COPY (
+              SELECT doc_id + r.i * {dkey_span} AS doc_id,
+                     CASE WHEN r.i = 0 OR text IS NULL THEN text
+                          ELSE {rewrite} END AS text,
+                     lang, source,
+                     CASE WHEN r.i = 0 OR text IS NULL THEN n_chars
+                          ELSE length({rewrite}) END AS n_chars
+              FROM '{BASE}/documents.parquet',
+                   (SELECT unnest([{reps}]) AS i) r
+              {where(f"doc_id + r.i * {dkey_span}")}
+            ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)
+            """
+        )
+    else:
+        copy(
+            f"""
+            COPY (
+              SELECT doc_id + r.i * {dkey_span} AS doc_id,
+                     text, lang, source, n_chars
+              FROM '{BASE}/documents.parquet', (SELECT unnest([{reps}]) AS i) r
+              {where(f"doc_id + r.i * {dkey_span}")}
+            ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)
+            """
+        )
     # embeddings ×mult with offset vec_ids: replicas share the exact vector,
     # so SemDeDup clusters inflate ×mult past the cluster cap and cosine
     # pairs go clique-shaped — the stress the cap exists for. The clone
@@ -244,7 +341,7 @@ def generate(mult: int, out_dir: str, slice_div: int | None = None) -> None:
     vkey_span = con.execute(
         f"SELECT max(vec_id) + 1 FROM '{BASE}/embeddings.parquet'"
     ).fetchone()[0]
-    con.execute(
+    copy(
         f"""
         COPY (
           SELECT vec_id + r.i * {vkey_span} AS vec_id, embedding, label
@@ -264,6 +361,17 @@ def main() -> None:
                     help="linearity timing only, skip the differential")
     ap.add_argument("--heavy", action="store_true",
                     help="run the HEAVY_QUERIES 100x family")
+    ap.add_argument("--entities", choices=["replica", "distinct"],
+                    default="replica",
+                    help="corpus synthesis mode (round-7 verdict #2): "
+                    "'replica' clones rows with key offsets (join "
+                    "structure preserved, but cloned users make "
+                    "stream-join pairs quadratic and cloned domains "
+                    "make histogram plans artificially flat); "
+                    "'distinct' synthesizes fresh entities — new "
+                    "user_ids on fresh months, perturbed prices, "
+                    "md5-rewritten doc texts — the shape a production "
+                    "feed actually has at scale.")
     ap.add_argument("--slice", type=int, default=None, metavar="DIV",
                     help="differential-only mode over a deterministic "
                     "md5-gated 1/DIV slice of the mult x corpus "
@@ -283,11 +391,20 @@ def main() -> None:
 
     if args.slice is not None and args.out == "/tmp/spark_graft_sf1":
         args.out = f"/tmp/spark_graft_slice{args.slice}_m{args.mult}"
+    if (
+        args.entities == "distinct"
+        and args.out.startswith("/tmp/spark_graft_")
+        # batch child re-exec passes the already-suffixed dir back in
+        # together with --entities distinct — don't suffix twice
+        and not args.out.endswith("_distinct")
+    ):
+        args.out += "_distinct"
 
     if not args.skip_gen:
         t0 = time.time()
-        generate(args.mult, args.out, slice_div=args.slice)
-        print(f"# generated {args.mult}x fact tables"
+        generate(args.mult, args.out, slice_div=args.slice,
+                 distinct=args.entities == "distinct")
+        print(f"# generated {args.mult}x {args.entities} fact tables"
               f"{f' (1/{args.slice} md5 slice)' if args.slice else ''}"
               f" in {time.time()-t0:.1f}s",
               file=sys.stderr)
@@ -308,6 +425,7 @@ def main() -> None:
                 sys.executable, os.path.abspath(__file__),
                 "--skip-gen", "--mult", str(args.mult),
                 "--out", args.out, "--batch", "0",
+                "--entities", args.entities,
             ] + (["--no-diff"] if args.no_diff else []) \
               + (["--slice", str(args.slice)] if args.slice else []) + chunk
             proc = subprocess.run(cmd, capture_output=True, text=True)
@@ -324,7 +442,8 @@ def main() -> None:
         ratios = sorted(v["ratio"] for v in merged.values() if "ratio" in v)
         med = ratios[len(ratios) // 2] if ratios else None
         summary = {"mult": args.mult, "n": len(merged),
-                   "fails": fails, "median_ratio": med}
+                   "fails": fails, "median_ratio": med,
+                   "entities": args.entities}
         if args.slice:
             summary["slice"] = args.slice
         print(json.dumps({"scale_sweep": summary, "queries": merged}))
@@ -403,6 +522,7 @@ def main() -> None:
         "mult": args.mult,
         "n": len(names),
         "fails": fails,
+        "entities": args.entities,
         "median_ratio": sorted(r["ratio"] for r in results.values())[
             len(results) // 2
         ],
