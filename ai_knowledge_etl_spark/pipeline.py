@@ -389,8 +389,16 @@ def curate_corpus(
     normalized = deduped.select(
         id_col, "n_kept", norm.alias("norm")
     ).where(F.length("norm") >= min_norm_chars)
-    flagged = normalized.join(lang_lookup, id_col).withColumn(
-        "is_target", F.expr(target_pred)
+    # The warc-pipeline checkpoint discipline applies here too: `flagged`
+    # feeds DSIR's two tokenize passes plus the final projection join,
+    # and each replay re-runs paragraph dedup (the fingerprint window
+    # chain — the pipeline's dominant stage) from the source. One
+    # dedup-output-sized cut replaces three replays (round-8 A/B at
+    # sf0.1: 1.53 → 0.95 s warm).
+    flagged = (
+        normalized.join(lang_lookup, id_col)
+        .withColumn("is_target", F.expr(target_pred))
+        .localCheckpoint()
     )
     scored = CU.importance_scores(
         flagged.select(id_col, "n_kept", "is_target", "norm"),
@@ -399,7 +407,7 @@ def curate_corpus(
         text_col="norm",
     )
     out = scored.join(
-        normalized.select(id_col, "n_kept"), id_col
+        flagged.select(id_col, "n_kept"), id_col
     ).select(id_col, "n_kept", "n_toks", "score_millinats")
     return topk.top_k(
         out, top_n, F.desc("score_millinats"), F.asc(id_col)

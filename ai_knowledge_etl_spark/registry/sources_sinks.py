@@ -1767,7 +1767,13 @@ SELECT img_a, img_b, hamming FROM scored WHERE hamming <= 8
 def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_knowledge_etl_spark.multimodal import images as IM
 
-    hs = IM.phash_images(_phash_ids(spark, sf_dir))
+    # eager cut (the warc-corpus discipline, and what the composed
+    # pipeline-image-curate twin already does): the hash table feeds SIX
+    # subtrees inside phash_pairs (4 band selects + both scored-join
+    # sides), and mapInPandas is not an exchange the runtime can reuse —
+    # uncut, the Python render+codec kernel re-ran per subtree
+    # (round-8 A/B at sf0.1: 2.72 → 0.41 s warm)
+    hs = IM.phash_images(_phash_ids(spark, sf_dir)).localCheckpoint()
     return IM.phash_pairs(hs, max_hamming=8)
 
 
