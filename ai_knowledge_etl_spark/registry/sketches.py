@@ -489,9 +489,14 @@ def q_agg_quantile_sample_merge(
         "o_orderkey",
         F.col("o_totalprice").cast("decimal(12,2)").alias("v"),
     )
+    # persisted: the sample feeds both the k_used aggregate and the
+    # value-rank window — unpersisted, the bottom-k md5-rank window over
+    # the full orders table replays twice. The cached frame is k rows
+    # per group (the sketch artifact, constant at any corpus size).
+    # Round-8 A/B at sf0.1: 1.56 → 0.60 s warm.
     sample = SK.bottomk_sample(
         orders, "o_orderpriority", "o_orderkey", keep=("v",), k=_QS_K
-    )
+    ).persist()
     counts = orders.groupBy(
         F.col("o_orderpriority").alias("grp")
     ).agg(F.count("*").cast("long").alias("n_rows"))
