@@ -1051,7 +1051,12 @@ FROM ranked GROUP BY g
     "t-digest — a full sort per group is the exactness price.",
 )
 def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    # through the CACHED view registry, not a private
+    # createOrReplaceTempView: a private writer would leave the shared
+    # cache's last-registered bookkeeping stale across sf_dir switches
+    from ai_knowledge_etl_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
     return spark.sql(PCTL_SQL)
 
 

@@ -178,9 +178,25 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+_VIEWS_REGISTERED: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every fixture table as a temp view (for spark.sql queries)."""
+    """Register every fixture table as a temp view (for spark.sql
+    queries). Idempotent per (session, sf_dir) and CACHED: re-resolving
+    ten parquet schemas costs ~1 s per call (measured round-8 — it was
+    the larger half of every pure-SQL registry query's wall), and the
+    views are deterministic functions of the fixture dir. The key
+    includes applicationId so a fresh session re-registers, and a
+    DIFFERENT sf_dir in the same session re-points the views (last
+    writer wins, matching createOrReplaceTempView semantics)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    last = getattr(register_views, "_last", None)
+    if key in _VIEWS_REGISTERED and last == key:
+        return _VIEWS_REGISTERED[key]
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
+    _VIEWS_REGISTERED[key] = dfs
+    register_views._last = key  # the views currently pointed at
     return dfs
