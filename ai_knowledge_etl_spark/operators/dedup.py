@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ai_knowledge_etl_spark.session import track_persist
+
 
 def normalize_text(text: Column | str) -> Column:
     """Whitespace-collapsed, lowercased, trimmed — the canonical dedup form."""
@@ -129,8 +131,11 @@ def jaccard_pairs(
 
     The shingle table feeds three subplans (both join sides + the size
     counts); Spark does not reuse the exchange across a self-join's sides,
-    so persist it rather than exploding the corpus three times."""
-    sh = sh.persist()
+    so persist it rather than exploding the corpus three times.
+    (tracked: session.release_persisted() drops it at batch boundaries —
+    per-call persists otherwise accumulate until ContextCleaner GC,
+    r8 ADVICE)."""
+    sh = track_persist(sh)
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -174,7 +179,7 @@ def containment_pairs(
     because the union is dominated by the longer side. Same blocked
     equi-join + df-cap bounds as jaccard_pairs; the score is exact
     integer division in ppm (no float comparison in the gate)."""
-    sh = sh.persist()
+    sh = track_persist(sh)
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -288,7 +293,8 @@ def _band_pairs(
     ).select(F.col(id_col), F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
     # scanned by both join sides — persist the doc-count-sized frame
     # instead of recomputing the whole shingle→md5→min pipeline twice
-    long = long.persist()
+    # (tracked: released at batch boundaries, r8 ADVICE)
+    long = track_persist(long)
     a = long.select(F.col(id_col).alias("doc_a"), "band", "bv")
     b = long.select(F.col(id_col).alias("doc_b"), "band", "bv")
     pairs = (

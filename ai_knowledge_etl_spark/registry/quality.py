@@ -573,9 +573,11 @@ def q_text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regex tokenize + bigram fold; the cached frame is distinct-bigram
     # sized (Heaps-sublinear — the artifact caching exists for), never
     # the corpus stream. Round-8 A/B at sf0.1: 2.39 → 0.46 s warm.
-    cab = bigr.groupBy("a", "b").agg(
+    from ai_knowledge_etl_spark.session import track_persist
+
+    cab = track_persist(bigr.groupBy("a", "b").agg(
         F.count("*").cast("long").alias("n_pair")
-    ).persist()
+    ))
     ca = cab.groupBy("a").agg(F.sum("n_pair").cast("long").alias("n_a"))
     cb = cab.groupBy("b").agg(F.sum("n_pair").cast("long").alias("n_b"))
     tot = cab.agg(F.sum("n_pair").cast("long").alias("n"))

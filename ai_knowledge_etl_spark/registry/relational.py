@@ -198,12 +198,14 @@ SELECT l_returnflag, l_linestatus,
          / 100.0 AS sum_qty,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
          / 100.0 AS sum_base_price,
-       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-            AS DOUBLE) / 10000.0 AS sum_disc_price,
-       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                AS DECIMAL(38,0)))
+            AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                * (100 + CAST(round(l_tax * 100) AS BIGINT))
+                AS DECIMAL(38,0)))
             AS DOUBLE) / 1000000.0 AS sum_charge,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
@@ -214,10 +216,16 @@ GROUP BY l_returnflag, l_linestatus
     "(the reference's hierarchical summarize-then-combine, SURVEY §2.E). "
     "Arithmetic in EXACT BIGINT cents (the agg-mad-outliers lesson): the "
     "2-decimal columns reconstruct to integers via round(x*100) — no tie "
-    "risk, the product chain peaks ≈6e16 « 2^63 — and both engines "
-    "convert the identical exact sum to DOUBLE once, so values are "
-    "bit-identical while skipping Spark's 128-bit decimal sum machinery "
-    "per row (measured 1.23 → 0.50 s warm at sf0.1).",
+    "risk — the per-row PRODUCT chain stays BIGINT (peaks ≈1.1e11 « 2^63 "
+    "at any corpus size), but the two at-risk ACCUMULATORS are pre-widened "
+    "to DECIMAL(38,0) in BOTH engines (r8 ADVICE): a plain-BIGINT "
+    "sum_charge wraps silently around sf~14 (≈8e7 rows/group × 1.1e11) in "
+    "Spark's non-ANSI mode while DuckDB promotes to HUGEINT — a silent "
+    "scale divergence. sum_qty/sum_base_price keep the BIGINT accumulator: "
+    "per-row ≤ 5e5 / 1.05e7 cents bounds the sum under 2^63 even if a "
+    "single group held ALL ~6e11 lineitem rows of a 100 TB corpus "
+    "(3e17 / 6.3e18 < 9.2e18). Widening costs ~+0.2 s at sf0.1 vs "
+    "all-BIGINT (0.5→0.7); all-DECIMAL was 1.23 s.",
 )
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -230,16 +238,18 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents("l_discount"),
         cents("l_tax"),
     )
+    # per-row products in BIGINT (exact, bounded); the two accumulators
+    # whose group sums can cross 2^63 below 100 TB scale are widened to
+    # DECIMAL(38,0) BEFORE the sum — see the register() doc.
+    disc = (pc * (F.lit(100) - dc)).cast("decimal(38,0)")
+    charge = (pc * (F.lit(100) - dc) * (F.lit(100) + tc)).cast(
+        "decimal(38,0)"
+    )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         (F.sum(cents("l_quantity")).cast("double") / 100.0).alias("sum_qty"),
         (F.sum(pc).cast("double") / 100.0).alias("sum_base_price"),
-        (F.sum(pc * (F.lit(100) - dc)).cast("double") / 10000.0).alias(
-            "sum_disc_price"
-        ),
-        (
-            F.sum(pc * (F.lit(100) - dc) * (F.lit(100) + tc)).cast("double")
-            / 1000000.0
-        ).alias("sum_charge"),
+        (F.sum(disc).cast("double") / 10000.0).alias("sum_disc_price"),
+        (F.sum(charge).cast("double") / 1000000.0).alias("sum_charge"),
         F.count("*").alias("count_order"),
     )
 
@@ -1877,11 +1887,17 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # error of an integer, never near .5). The DECIMAL(18,2) form this
 # replaced paid Spark's 128-bit decimal sum machinery per row — the
 # BIGINT-cents rewrite (the mad-outliers lesson) reads 1.48 → 0.87 s
-# warm at sf0.1 with values identical at display precision.
+# warm at sf0.1 with values identical at display precision. The per-row
+# PRODUCT stays BIGINT (≤1e9, exact at any scale) but the ACCUMULATOR is
+# pre-widened to DECIMAL(38,0) (r8 ADVICE): a plain-BIGINT sum wraps
+# silently in Spark around sf~9000 (9.2e18/1e9 ≈ 9e9 rows/group) while
+# DuckDB promotes sum(BIGINT) to HUGEINT — same string, both engines,
+# both exact.
 _REVENUE_BY_REGION_SQL = """
 SELECT r.r_name AS region, CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
-       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+       CAST(sum(CAST(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                AS DECIMAL(38,0)))
             AS DOUBLE) / 10000.0 AS revenue,
        CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
 FROM lineitem l
@@ -2050,15 +2066,15 @@ WITH g AS (
     CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS na,
     CAST(sum(CAST(round(value * 100) AS BIGINT))
          FILTER (WHERE event_type = 'purchase') AS BIGINT) AS sa,
-    CAST(sum(CAST(round(value * 100) AS BIGINT)
-             * CAST(round(value * 100) AS BIGINT))
-         FILTER (WHERE event_type = 'purchase') AS BIGINT) AS ssa,
+    sum(CAST(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0)))
+         FILTER (WHERE event_type = 'purchase') AS ssa,
     CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS nb,
     CAST(sum(CAST(round(value * 100) AS BIGINT))
          FILTER (WHERE event_type = 'click') AS BIGINT) AS sb,
-    CAST(sum(CAST(round(value * 100) AS BIGINT)
-             * CAST(round(value * 100) AS BIGINT))
-         FILTER (WHERE event_type = 'click') AS BIGINT) AS ssb
+    sum(CAST(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0)))
+         FILTER (WHERE event_type = 'click') AS ssb
   FROM events
 )
 SELECT {_WELCH_FINAL}
@@ -2089,14 +2105,19 @@ def q_agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ev.agg(
         F.count(F.when(is_a, 1)).cast("long").alias("na"),
         F.sum(F.when(is_a, F.col("cents"))).cast("long").alias("sa"),
-        F.sum(F.when(is_a, F.col("cents") * F.col("cents")))
-        .cast("long")
-        .alias("ssa"),
+        # squared-cents accumulator widened to DECIMAL(38,0) (r9 overflow
+        # audit): the two arms are GLOBAL groups, so a BIGINT sum wraps
+        # around 2.9e9 rows/arm (value≤560 → cents²≤3.2e9) — and value is
+        # unbounded in principle. Per-row product stays BIGINT (exact for
+        # value ≤ 3e7).
+        F.sum(F.when(is_a, (F.col("cents") * F.col("cents")).cast(
+            "decimal(38,0)"
+        ))).alias("ssa"),
         F.count(F.when(is_b, 1)).cast("long").alias("nb"),
         F.sum(F.when(is_b, F.col("cents"))).cast("long").alias("sb"),
-        F.sum(F.when(is_b, F.col("cents") * F.col("cents")))
-        .cast("long")
-        .alias("ssb"),
+        F.sum(F.when(is_b, (F.col("cents") * F.col("cents")).cast(
+            "decimal(38,0)"
+        ))).alias("ssb"),
     )
     return g.where(F.expr(_WELCH_GUARD)).selectExpr(
         *_split_top_level(_WELCH_FINAL)
@@ -4259,21 +4280,27 @@ vals AS (
   GROUP BY ps_partkey
 ),
 tot AS (
-  SELECT CAST(sum(value_c) AS BIGINT) AS total_c,
+  SELECT sum(CAST(value_c AS DECIMAL(38,0))) AS total_c,
          CAST(count(*) AS BIGINT) AS n_parts
   FROM vals
 )
 SELECT ps_partkey, value_c
 FROM vals, tot
-WHERE value_c * n_parts > 2 * total_c
+WHERE CAST(value_c AS DOUBLE) * CAST(n_parts AS DOUBLE)
+      > 2.0 * CAST(total_c AS DOUBLE)
 """.strip(),
     doc="TPC-H Q11 shape: inventory value per part held by ASIA-region "
     "suppliers, keeping parts worth more than 2x the mean part value. "
     "The global-fraction threshold is definitionally a global scalar "
-    "(1-row broadcast); the comparison value_c * n_parts > 2 * total_c "
-    "is pure integer cross-multiplication — no division, no float, no "
-    "cross-engine ulp edge. Scale: one hash agg on ps_partkey, one "
-    "1-row rollup of its output.",
+    "(1-row broadcast). The r9 overflow audit rewrote the comparison: "
+    "the old pure-BIGINT cross-multiplication value_c * n_parts wraps "
+    "at ~2.3e7 parts (~sf115, value_c~4e11), so the threshold test is "
+    "now a DOUBLE expression shared verbatim by both engines over "
+    "identical exact integers — bit-identical floats, engines agree at "
+    "every boundary — and the global total accumulates in DECIMAL(38,0) "
+    "(a BIGINT total wraps ~sf2e4). Per-part value_c stays BIGINT: "
+    "bounded by suppliers-per-part x 1e11, not corpus size. Scale: one "
+    "hash agg on ps_partkey, one 1-row rollup of its output.",
 )
 def q_agg_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = _partsupp(spark, sf_dir)
@@ -4295,12 +4322,15 @@ def q_agg_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = vals.agg(
-        F.sum("value_c").cast("long").alias("total_c"),
+        F.sum(F.col("value_c").cast("decimal(38,0)")).alias("total_c"),
         F.count("*").cast("long").alias("n_parts"),
     )
     return (
         vals.crossJoin(F.broadcast(tot))
-        .where(F.col("value_c") * F.col("n_parts") > 2 * F.col("total_c"))
+        .where(
+            F.col("value_c").cast("double") * F.col("n_parts").cast("double")
+            > 2.0 * F.col("total_c").cast("double")
+        )
         .select("ps_partkey", "value_c")
     )
 
@@ -5355,16 +5385,23 @@ WITH rev AS (
   GROUP BY n_name
 )
 SELECT n_name, rev_c,
-       CAST(rev_c * 1000000 // sum(rev_c) OVER () AS BIGINT) AS share_ppm
+       CAST(floor(CAST(rev_c AS DOUBLE) * 1000000.0
+                  / CAST(sum(rev_c) OVER () AS DOUBLE)) AS BIGINT)
+         AS share_ppm
 FROM rev
 """.strip(),
     doc="Ratio-to-report (percent-of-total window): each nation's revenue "
-    "share of the global total, expressed in integer parts-per-million "
-    "via cross-multiplied floor division — no float ratio for engines "
-    "to disagree on. The unpartitioned window runs over the NATION "
+    "share of the global total in integer parts-per-million. The ppm is "
+    "floor() of a DOUBLE ratio whose expression is shared VERBATIM by "
+    "both engines over identical exact BIGINT inputs — bit-identical "
+    "doubles, so the engines agree at every boundary. (The r9 overflow "
+    "audit killed the old cross-multiplied BIGINT form: rev_c*1e6 wraps "
+    "at rev_c>9.2e12, i.e. ~sf10, and DuckDB's DECIMAL // rounds instead "
+    "of flooring, so no shared integer form survives at scale. The "
+    "BIGINT rev_c sum itself is safe: 6e11 rows x 3.8e6 avg cents = "
+    "2.3e18 < 2^63.) The unpartitioned window runs over the NATION "
     "rollup (25 rows, bounded by dim cardinality, never event volume); "
-    "the heavy input is reduced by a map-side-combining hash agg first. "
-    "Revenue in integer cents end to end.",
+    "the heavy input is reduced by a map-side-combining hash agg first.",
 )
 def q_window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -5386,9 +5423,10 @@ def q_window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.select(
         "n_name",
         "rev_c",
-        F.expr("rev_c * 1000000 div sum(rev_c) OVER ()")
-        .cast("long")
-        .alias("share_ppm"),
+        F.expr(
+            "CAST(floor(CAST(rev_c AS DOUBLE) * 1000000.0"
+            " / CAST(sum(rev_c) OVER () AS DOUBLE)) AS BIGINT)"
+        ).alias("share_ppm"),
     )
 
 

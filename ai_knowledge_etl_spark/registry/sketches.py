@@ -494,9 +494,11 @@ def q_agg_quantile_sample_merge(
     # the full orders table replays twice. The cached frame is k rows
     # per group (the sketch artifact, constant at any corpus size).
     # Round-8 A/B at sf0.1: 1.56 → 0.60 s warm.
-    sample = SK.bottomk_sample(
+    from ai_knowledge_etl_spark.session import track_persist
+
+    sample = track_persist(SK.bottomk_sample(
         orders, "o_orderpriority", "o_orderkey", keep=("v",), k=_QS_K
-    ).persist()
+    ))
     counts = orders.groupBy(
         F.col("o_orderpriority").alias("grp")
     ).agg(F.count("*").cast("long").alias("n_rows"))

@@ -64,3 +64,36 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# --- tracked persist accounting ---------------------------------------------
+# Several operators persist() an intermediate whose consumers are LAZY (the
+# LSH band frame, the PMI pair aggregate, the KMV sample): the cache must
+# outlive the function, so in-function unpersist is impossible, and Spark's
+# ContextCleaner only drops the blocks once the JVM-side DataFrame is GC'd —
+# which a long benchmark session (4+ sweeps x 293 queries) reaches late, so
+# pinned storage grows across sweeps (r8 ADVICE). Operators route those
+# persists through track_persist(); batch drivers (bench.py's pass/sweep
+# boundaries) call release_persisted() to drop every tracked block
+# deterministically. Unpersist is always CORRECT (a released frame just
+# recomputes), so releasing at a boundary can never break a concurrent plan.
+_TRACKED_PERSISTS: list = []
+
+
+def track_persist(df):
+    """df.persist() + register the frame for release_persisted()."""
+    df = df.persist()
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked frame (non-blocking); returns the count."""
+    n = len(_TRACKED_PERSISTS)
+    for df in _TRACKED_PERSISTS:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing left to release
+    _TRACKED_PERSISTS.clear()
+    return n

@@ -186,13 +186,22 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     queries). Idempotent per (session, sf_dir) and CACHED: re-resolving
     ten parquet schemas costs ~1 s per call (measured round-8 — it was
     the larger half of every pure-SQL registry query's wall), and the
-    views are deterministic functions of the fixture dir. The key
-    includes applicationId so a fresh session re-registers, and a
-    DIFFERENT sf_dir in the same session re-points the views (last
-    writer wins, matching createOrReplaceTempView semantics)."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    views are deterministic functions of the fixture dir. The key is the
+    SESSION OBJECT's identity, not applicationId (r8 ADVICE: temp views
+    are per-SparkSession, and spark.newSession() shares the
+    applicationId — an id-keyed cache would short-circuit for a sibling
+    session that never registered anything). A DIFFERENT sf_dir in the
+    same session re-points the views (last writer wins, matching
+    createOrReplaceTempView semantics), and a dropped/overwritten
+    sentinel view defeats the short-circuit via the tableExists check
+    (~1 ms, vs ~1 s for the full re-resolve)."""
+    key = (id(spark), os.path.abspath(sf_dir))
     last = getattr(register_views, "_last", None)
-    if key in _VIEWS_REGISTERED and last == key:
+    if (
+        key in _VIEWS_REGISTERED
+        and last == key
+        and spark.catalog.tableExists("lineitem")
+    ):
         return _VIEWS_REGISTERED[key]
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():

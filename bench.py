@@ -58,7 +58,7 @@ from concurrent.futures import ThreadPoolExecutor
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ai_knowledge_etl_spark.registry import REGISTRY, oracle_of
-from ai_knowledge_etl_spark.session import get_spark
+from ai_knowledge_etl_spark.session import get_spark, release_persisted
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # 8 submitter threads, not 16: measured on the round-2 VM (32 cores),
@@ -252,7 +252,11 @@ def main() -> None:
         # pattern). Collecting at the pass boundary moves that work out
         # of the measured window: passes stabilize at the warm floor.
         # (gc.disable() during the pass is WORSE — 40-44 s/pass — the
-        # uncollected objects pin JVM-side references.)
+        # uncollected objects pin JVM-side references.) release_persisted
+        # drops the operators' tracked persist() blocks deterministically
+        # (r8 ADVICE: per-call persists otherwise pin storage across
+        # sweeps until ContextCleaner happens to GC them).
+        release_persisted()
         gc.collect()
     total = min(totals)
     # Isolated sequential pass over the heavy set (VERDICT r2 #5): the
@@ -291,7 +295,11 @@ def main() -> None:
             walls: dict[str, float] = {}
             for i, name in enumerate(order_iso):
                 if i % 50 == 0:
-                    gc.collect()  # same pollution guard as the pass boundary
+                    # same pollution guard as the pass boundary (sweeps
+                    # are sequential, so releasing mid-sweep is safe —
+                    # an unpersisted frame just recomputes)
+                    release_persisted()
+                    gc.collect()
                 walls[name] = run(name)[1]
             sweeps.append(walls)
         sweep_best = {

@@ -338,7 +338,13 @@ def main() -> int:
     spark = get_spark("difftest")
     names = args.names or sorted(REGISTRY)
     failed = []
-    for name in names:
+    for i, name in enumerate(names):
+        if i % 50 == 49:
+            # drop the operators' tracked per-call persist() blocks so a
+            # full 293-query run doesn't accumulate pinned storage
+            from ai_knowledge_etl_spark.session import release_persisted
+
+            release_persisted()
         try:
             ok, msg = run_one(spark, con, name, args.sf)
         except Exception as e:  # noqa: BLE001
