@@ -164,3 +164,52 @@ BM25_TOPK = 20
 # common-neighbor candidate generation (a hub of degree d fans the
 # neighbor-join out d² — same hygiene as DEDUP_SHINGLE_MAX_DF).
 GRAPH_MAX_DEGREE = 1000
+
+# --- streaming state-store profile (round-8 verdict #6) ---------------------
+# The r7/r8 A/B series (tools/bench_ssj_state.py, docs/PERF.md, SCALE.md)
+# measured both backends on the stream-stream interval join. The call is
+# workload- AND deployment-shaped: in ONE big-heap local JVM the HDFS
+# provider's on-heap maps win the outer-join flush outright and the inner
+# join narrowly loses to RocksDB on honest distinct keys (17.1 vs 19.9 s,
+# r8 re-run); on a real cluster — many small executors, state larger than
+# any one heap, restart recovery from changelogs — RocksDB is the right
+# default. Encode that decision as a PROFILE, not prose:
+#   local-jvm : Spark's default HDFSBackedStateStoreProvider, no changelog
+#               (what local[32] correctness runs and bench use).
+#   cluster   : RocksDB provider + changelog checkpointing (incremental
+#               state uploads; restart cost ~ delta, not full snapshot).
+# Resolution order: explicit function arg > $SPARK_GRAFT_STATE_PROFILE >
+# "local-jvm". The legacy SPARK_GRAFT_SSJ_STATE_PROVIDER=rocksdb knob maps
+# onto profile "cluster".
+STATE_STORE_PROFILES: dict[str, dict[str, str]] = {
+    "local-jvm": {},
+    "cluster": {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    },
+}
+
+
+def state_store_conf(profile: str | None = None) -> dict[str, str]:
+    """Session conf for the given state-store profile (see
+    STATE_STORE_PROFILES). Raises on an unknown profile name so a typo'd
+    env var fails loudly instead of silently running the wrong backend."""
+    import os as _os
+
+    if profile is None:
+        if _os.environ.get("SPARK_GRAFT_SSJ_STATE_PROVIDER") == "rocksdb":
+            profile = "cluster"  # legacy knob
+        else:
+            profile = _os.environ.get(
+                "SPARK_GRAFT_STATE_PROFILE", "local-jvm"
+            )
+    if profile not in STATE_STORE_PROFILES:
+        raise ValueError(
+            f"unknown state-store profile {profile!r}; "
+            f"expected one of {sorted(STATE_STORE_PROFILES)}"
+        )
+    return dict(STATE_STORE_PROFILES[profile])

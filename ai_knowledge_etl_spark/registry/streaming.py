@@ -618,31 +618,22 @@ def _stream_join_session(spark: SparkSession, ev: DataFrame) -> SparkSession:
     ss.conf.set(
         "spark.sql.shuffle.partitions", "4" if n < 1_000_000 else "32"
     )
-    # State-store backend (round-6 verdict #4), measured head-to-head at
-    # 100x by tools/bench_ssj_state.py (docs/PERF.md): RocksDB +
-    # changelog checkpointing is 3.8-4.6x SLOWER here (inner 65 -> 248 s,
-    # outer 69 -> 317 s, sinks bit-identical) — in one large-heap local
-    # JVM the HDFS provider's on-heap maps fit trivially and RocksDB
-    # only adds per-op JNI + compaction + changelog I/O. The A/B also
-    # disproved the "state-store bound" reading of the 300x walls: they
-    # track EMITTED-PAIR count, which grows quadratically under replica
-    # synthesis (same users + timestamps duplicated mult x), so the
-    # store is not the lever. On a real cluster (many small executors,
-    # unbounded stream, restart recovery) RocksDB remains the right
-    # backend — flip via SPARK_GRAFT_SSJ_STATE_PROVIDER=rocksdb, same
-    # code path the probe exercises.
-    provider = os.environ.get("SPARK_GRAFT_SSJ_STATE_PROVIDER", "hdfs")
-    if provider == "rocksdb":
-        from ai_knowledge_etl_spark.streaming.stateful import ROCKSDB_PROVIDER
+    # State-store backend: the documented PROFILE knob
+    # (config.state_store_conf, round-8 verdict #6) replaces the ad-hoc
+    # provider env var. Measured history (tools/bench_ssj_state.py,
+    # docs/PERF.md): under r7's replica-key fixture RocksDB + changelog
+    # read 3.8-4.6x slower (inner 65 -> 248 s) — but the r8 re-run on
+    # honest DISTINCT keys showed RocksDB winning the inner join (17.1
+    # vs 19.9 s) and losing only the outer flush, so the local-JVM
+    # default is a deployment call, not a universal one. Profile
+    # "local-jvm" (default here) keeps the HDFS provider's on-heap maps;
+    # "cluster" (the production default posture, SCALE.md) sets RocksDB
+    # + changelog checkpointing. Same code path either way — the
+    # interval-join tests pin BOTH profiles green.
+    from ai_knowledge_etl_spark import config as cfg
 
-        ss.conf.set(
-            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
-        )
-        ss.conf.set(
-            "spark.sql.streaming.stateStore.rocksdb."
-            "changelogCheckpointing.enabled",
-            "true",
-        )
+    for k, v in cfg.state_store_conf().items():
+        ss.conf.set(k, v)
     return ss
 
 

@@ -532,3 +532,79 @@ def test_incremental_mv_version_chain(spark, sf_dir):
     assert len(versions) >= 4, versions
     mv = spark.read.parquet(final)
     assert mv.count() == mv.select("user_id").distinct().count()
+
+
+@pytest.mark.parametrize("profile", ["local-jvm", "cluster"])
+def test_state_store_profile_both_paths_green(
+    spark, sf_dir, tmp_path, profile
+):
+    """The state-store decision as config, not prose (round-8 verdict #6):
+    config.state_store_conf('local-jvm') keeps the on-heap HDFS provider,
+    'cluster' sets RocksDB + changelog checkpointing. Both profiles must
+    run the stream-stream interval join green with identical results —
+    the backend changes durability/latency economics, never answers."""
+    from ai_knowledge_etl_spark import config as cfg
+    from ai_knowledge_etl_spark.sources.catalog import load_table
+    from ai_knowledge_etl_spark.streaming import events as EV
+
+    conf = cfg.state_store_conf(profile)
+    if profile == "cluster":
+        assert "RocksDBStateStoreProvider" in conf.get(
+            "spark.sql.streaming.stateStore.providerClass", ""
+        )
+        assert (
+            conf[
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled"
+            ]
+            == "true"
+        )
+    else:
+        assert conf == {}
+
+    batch = load_table(spark, sf_dir, "events").limit(2000)
+    src = str(tmp_path / "events_src")
+    batch.write.mode("overwrite").parquet(src)
+    ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    for k, v in conf.items():
+        ss.conf.set(k, v)
+    sbatch = ss.read.parquet(src)
+    stream = ss.readStream.schema(sbatch.schema).parquet(src)
+    out = EV.streaming_interval_join(
+        stream.where("event_type = 'click'"),
+        stream.where("event_type = 'error'"),
+        window_s=3600,
+    )
+    name = f"t_profile_{profile.replace('-', '_')}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = ss.sql(f"SELECT count(*) AS n FROM {name}").collect()[0]["n"]
+    b_err = EV.with_event_time(sbatch.where("event_type = 'error'")).select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("u"),
+        F.col("event_time").alias("et"),
+    )
+    b_clk = EV.with_event_time(sbatch.where("event_type = 'click'")).select(
+        F.col("user_id").alias("cu"), F.col("event_time").alias("ct")
+    )
+    want = b_err.join(
+        b_clk,
+        (F.col("u") == F.col("cu"))
+        & (F.col("ct") >= F.col("et"))
+        & (F.col("ct") < F.col("et") + F.expr("INTERVAL 3600 seconds")),
+    ).count()
+    assert got == want and want > 0
+
+
+def test_state_store_profile_rejects_unknown():
+    from ai_knowledge_etl_spark import config as cfg
+
+    with pytest.raises(ValueError, match="unknown state-store profile"):
+        cfg.state_store_conf("no-such-profile")
