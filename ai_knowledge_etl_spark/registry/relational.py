@@ -508,25 +508,39 @@ def q_join_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH part_avg AS (
   SELECT l_partkey,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-           / count(*) AS avg_qty
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+           / (100.0 * count(*)) AS avg_qty
   FROM lineitem GROUP BY l_partkey
 )
 SELECT l.l_partkey,
        CAST(count(*) AS BIGINT) AS n_small,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS small_revenue
 FROM lineitem l JOIN part_avg p ON l.l_partkey = p.l_partkey
 WHERE l.l_quantity < 0.5 * p.avg_qty
 GROUP BY l.l_partkey
 """.strip(),
     doc="TPC-H-Q17 shape: filter a fact table against a per-key aggregate of "
-    "itself (small-quantity revenue). The threshold avg is computed over "
-    "DECIMAL so the < comparison can't flip on summation order.",
+    "itself (small-quantity revenue). The threshold avg is exact BIGINT "
+    "cents (order-invariant like the DECIMAL form it replaces, r9 — the "
+    "only solo-confirmed r8 regression; the plan audit found the "
+    "broadcast and join-condition placement intact, so the lever was "
+    "the two 128-bit decimal sums: cents reads 0.6 vs 1.0 s warm at "
+    "sf0.1). Overflow-safe at ANY corpus size: lineitems-per-partkey is "
+    "~30 (both tables scale together), so group sums peak ~1.5e5 qty / "
+    "~3e8 price cents — never corpus-sized. Both engines convert the "
+    "identical exact sums to DOUBLE via the same expression, so the < "
+    "threshold and small_revenue are bit-identical.",
 )
 def q_join_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+
+    def cents(c: str) -> F.Column:
+        return F.round(F.col(c) * 100).cast("long")
+
     avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty")
+        (F.sum(cents("l_quantity")).cast("double") / (100.0 * F.count("*")))
+        .alias("avg_qty")
     )
     return (
         li.join(F.broadcast(avg), li.l_partkey == avg.pk)
@@ -534,7 +548,8 @@ def q_join_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(
             F.count("*").alias("n_small"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("small_revenue"),
+            (F.sum(cents("l_extendedprice")).cast("double") / 100.0)
+            .alias("small_revenue"),
         )
     )
 
