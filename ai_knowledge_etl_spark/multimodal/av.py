@@ -180,3 +180,122 @@ def extract_frame(content: bytes, ts_ms: int) -> "object":
             "frame decode needs PyAV/opencv (not in this container); "
             "frame-sample scheduling works without it"
         ) from e
+
+
+# --- real RIFF/WAVE container path (miniwav.py, VERDICT r8 #5) ---------------
+
+
+def synth_wav_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL media blobs from the documents fixture — the
+    av-family twin of the minipng/minijpeg realism upgrade: most doc_ids
+    become canonical PCM WAVE files (every byte written by the public-spec
+    encoder; parameters are pure functions of (doc_id, n_chars) so a SQL
+    oracle can predict the parsed metadata), with three deliberate
+    hard-path classes mixed in:
+      doc_id % 5 == 0 → ISO-BMFF-style 'ftyp' bytes (magic-sniff path:
+                        classified mp4, never parsed as WAV)
+      doc_id % 4 == 1 → an extra LIST chunk before data (chunk-walk path)
+      doc_id % 7 == 3 → data chunk truncated 10 bytes short of its
+                        declared size (error-as-data path)
+    Parameters: channels = 1 + doc_id%2, rate ∈ {8000,16000,44100} by
+    doc_id%3, n_samples = 100 + n_chars%900, 16-bit PCM ramp samples."""
+    from ai_knowledge_etl_spark.sources.catalog import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers(docs.sparkSession)
+    schema = "media_id long, content binary"
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ai_knowledge_etl_spark.multimodal import miniwav
+
+        rates = (8000, 16000, 44100)
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                did = int(doc_id)
+                if did % 5 == 0:
+                    blob = b"ftyp" + str(text).encode("utf-8")
+                else:
+                    ch = 1 + did % 2
+                    n_samp = 100 + int(n_chars) % 900
+                    extra = (
+                        ((b"LIST", b"INFOminiwav synthetic"),)
+                        if did % 4 == 1
+                        else ()
+                    )
+                    blob = miniwav.encode_wav(
+                        miniwav.pcm_ramp(n_samp, seed=did, channels=ch),
+                        sample_rate=rates[did % 3],
+                        channels=ch,
+                        extra_chunks=extra,
+                    )
+                    if did % 7 == 3:
+                        blob = blob[:-10]  # declared > actual: truncated
+                ids.append(did)
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return docs.select("doc_id", "text", "n_chars").mapInPandas(gen, schema)
+
+
+def scan_av_meta_real(media: DataFrame) -> DataFrame:
+    """REAL container metadata scan: Arrow-batched mapInPandas walks each
+    blob's RIFF chunks (multimodal/miniwav.parse_wav_header) — format from
+    actual magic bytes, channels/rate/duration from the actual fmt/data
+    chunk fields, truncation detected by declared-vs-present size. Non-WAV
+    bytes classify (mp4/NULL) with NULL audio fields instead of erroring:
+    a 100 TB media lake scan must never die on one odd file."""
+    from ai_knowledge_etl_spark.sources.catalog import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers(media.sparkSession)
+    schema = (
+        "media_id long, fmt string, channels int, sample_rate int, "
+        "data_bytes long, dur_ms long, truncated boolean"
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ai_knowledge_etl_spark.multimodal import miniwav
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(blob) if blob is not None else b""
+                meta = miniwav.parse_wav_header(raw)
+                if meta is not None:
+                    rows.append(
+                        (
+                            int(mid),
+                            "wav",
+                            meta["channels"],
+                            meta["sample_rate"],
+                            meta["data_bytes"],
+                            meta["dur_ms"],
+                            meta["truncated"],
+                        )
+                    )
+                else:
+                    fmt = "mp4" if raw[4:8] == b"ftyp" or raw[:4] == b"ftyp" else None
+                    rows.append((int(mid), fmt, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "fmt",
+                    "channels",
+                    "sample_rate",
+                    "data_bytes",
+                    "dur_ms",
+                    "truncated",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(gen, schema)

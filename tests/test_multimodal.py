@@ -284,3 +284,59 @@ def test_compress_cards_real_walk_classes(spark):
             assert 400 < r["tier"] < 800  # fits mid-ladder after real resizes
         else:
             assert r["tier"] == 800  # fits at the first tier
+
+
+def test_miniwav_roundtrip_chunk_walk_and_errors():
+    """RIFF/WAVE codec (public spec, multimodal/miniwav.py): encode →
+    parse recovers the exact header facts; the parser WALKS chunks (a
+    LIST chunk between fmt and data must be skipped by declared size,
+    odd-sized bodies padded per the RIFF even-offset rule); truncation
+    and non-WAV bytes are error-as-data, never raises."""
+    from ai_knowledge_etl_spark.multimodal import miniwav
+
+    samples = miniwav.pcm_ramp(441, seed=9, channels=2)
+    assert len(samples) == 441 * 2 * 2  # 16-bit stereo frames
+    # odd-sized extra chunk body exercises the padding rule
+    blob = miniwav.encode_wav(
+        samples, 44100, channels=2,
+        extra_chunks=((b"LIST", b"INFOodd"),),
+    )
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    m = miniwav.parse_wav_header(blob)
+    assert m == {
+        "channels": 2, "sample_rate": 44100, "bits": 16,
+        "byte_rate": 44100 * 4, "data_bytes": 441 * 4,
+        "dur_ms": 441 * 4 * 1000 // (44100 * 4), "truncated": False,
+    }
+    # determinism: same inputs → identical bytes
+    assert blob == miniwav.encode_wav(
+        samples, 44100, channels=2, extra_chunks=((b"LIST", b"INFOodd"),)
+    )
+    # truncation: declared size survives, flag flips
+    t = miniwav.parse_wav_header(blob[:-10])
+    assert t["truncated"] and t["data_bytes"] == 441 * 4
+    assert t["dur_ms"] == m["dur_ms"]  # header promise, defect flagged
+    # magic-sniff path: not-RIFF and RIFF-but-not-WAVE return None
+    assert miniwav.parse_wav_header(b"ftypisom....") is None
+    assert miniwav.parse_wav_header(b"RIFF\x10\x00\x00\x00AVI ....") is None
+    assert miniwav.parse_wav_header(b"") is None
+
+
+def test_scan_av_meta_real_classes(spark, sf_dir):
+    """The real-container scan over the synthetic lake: wav rows carry
+    chunk-walked header facts, ftyp rows classify mp4 with NULL audio
+    fields, truncated rows flag without dying."""
+    from ai_knowledge_etl_spark.multimodal import av
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    out = av.scan_av_meta_real(av.synth_wav_corpus(docs)).collect()
+    assert len(out) == 80
+    by_id = {r["media_id"]: r for r in out}
+    for mid, r in by_id.items():
+        if mid % 5 == 0:
+            assert r["fmt"] == "mp4" and r["channels"] is None
+        else:
+            assert r["fmt"] == "wav"
+            assert r["channels"] == 1 + mid % 2
+            assert r["sample_rate"] in (8000, 16000, 44100)
+            assert r["truncated"] == (mid % 7 == 3)
