@@ -349,6 +349,50 @@ def compress_images_real(
     return images.select(path_col, content_col).mapInPandas(gen, schema)
 
 
+def curate_cards_real(
+    ids: DataFrame, id_col: str = "img_id", n_cards: int = N_COMPRESS_CARDS
+) -> DataFrame:
+    """The per-image stage of pipeline-image-curate-real: each img_id maps
+    onto probe card `img_id % n_cards` (so the population carries planted
+    EXACT duplicates — every card appears once per n_cards ids), renders
+    it, and walks the REAL 800→640→480→400 JPEG ladder (walk_tiers, the
+    same pure function the driver-side oracle replays). Emits the
+    encoded output's md5 so downstream exact dedup runs on genuine lossy
+    bytes, not a size model: (img_id, tier, out_bytes, out_md5, error).
+    Scale: embarrassingly parallel per image, no shuffle; the dedup that
+    consumes out_md5 is one hash aggregate."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "img_id": [], "tier": [], "out_bytes": [],
+                "out_md5": [], "error": [],
+            }
+            for i in pdf[id_col]:
+                i = int(i)
+                tier, best, err = walk_tiers(
+                    render_compress_card(i % n_cards)
+                )
+                out["img_id"].append(i)
+                out["tier"].append(tier)
+                out["out_bytes"].append(
+                    len(best) if best is not None else None
+                )
+                out["out_md5"].append(
+                    hashlib.md5(best).hexdigest() if best is not None
+                    else None
+                )
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return ids.select(id_col).mapInPandas(
+        gen,
+        "img_id long, tier int, out_bytes int, out_md5 string, "
+        "error string",
+    )
+
+
 def phash_images(ids: DataFrame, id_col: str = "img_id") -> DataFrame:
     """Perceptual (average) hash over REAL PNG bytes: for each id, build
     the deterministic 8x8 RGB test card (the arithmetic the oracle

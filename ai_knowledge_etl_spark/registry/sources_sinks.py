@@ -490,6 +490,140 @@ def q_udf_compress_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IM.compress_cards_real(ids)
 
 
+_PIPE_IMG_REAL_N = 20  # 2 ids per probe card: planted exact twins
+
+
+def _image_curate_real_oracle() -> str:
+    """Expected rollup for pipeline-image-curate-real: sequential driver
+    replay of the SAME composition — per-card real-JPEG ladder walk
+    (walk_tiers over render_compress_card, each unique card walked once),
+    fan-out to the img_id population, exact dedup on encoded-output md5
+    (keep lowest img_id), bucket rollup — baked into a VALUES oracle.
+    Lazy (oracle_fn) because the replay runs the real codec (~seconds);
+    process-cached after first resolution."""
+    import hashlib
+
+    from ai_knowledge_etl_spark.multimodal import images as IM
+
+    per_card = {
+        c: IM.walk_tiers(IM.render_compress_card(c))
+        for c in range(IM.N_COMPRESS_CARDS)
+    }
+    rows = []
+    for i in range(_PIPE_IMG_REAL_N):
+        tier, best, err = per_card[i % IM.N_COMPRESS_CARDS]
+        rows.append(
+            (
+                i,
+                tier,
+                None if best is None else len(best),
+                None if best is None else hashlib.md5(best).hexdigest(),
+                err,
+            )
+        )
+    keeper: dict[str, int] = {}
+    for i, _t, _nb, md5, _e in rows:
+        if md5 is not None and (md5 not in keeper or i < keeper[md5]):
+            keeper[md5] = i
+    buckets: dict[str, list[int]] = {}
+    for i, tier, nb, md5, err in rows:
+        if err is not None:
+            b = "rejected:invalid" if err.startswith("E003") else (
+                "rejected:oversize"
+            )
+            nb = 0
+        elif keeper[md5] != i:
+            b = "rejected:duplicate"
+        else:
+            b = f"tier:{tier}"
+        acc = buckets.setdefault(b, [0, 0])
+        acc[0] += 1
+        acc[1] += nb or 0
+    values = ", ".join(
+        f"('{b}', {n}, {tb})" for b, (n, tb) in sorted(buckets.items())
+    )
+    return (
+        "SELECT CAST(bucket AS VARCHAR) AS bucket, CAST(n AS BIGINT) AS n, "
+        "CAST(total_bytes AS BIGINT) AS total_bytes "
+        f"FROM (VALUES {values}) t(bucket, n, total_bytes)"
+    )
+
+
+@register(
+    "pipeline-image-curate-real",
+    None,
+    doc="Image curation with the REAL LOSSY TIER CHAIN composed in "
+    "(round-8 verdict #4; reference: compress-image.mjs:49-97 + "
+    "commands/extract.md:519-554): the population maps 2 img_ids onto "
+    "each deterministic probe card (planted exact twins), every image "
+    "renders and walks the genuine minijpeg 800→640→480→400 q80 ladder "
+    "in an Arrow mapInPandas kernel (garbage cards → E003 error rows, "
+    "error-as-data), EXACT dedup then runs over the md5 of the ACTUAL "
+    "encoded bytes (keep-lowest-id, one hash aggregate + one broadcast "
+    "join back), and the rollup buckets by kept-tier / duplicate / "
+    "invalid with real encoded byte totals. The oracle is the "
+    "sequential driver replay of the same composition (lazy VALUES "
+    "table): matching proves the distributed codec walk AND the "
+    "byte-level dedup agree with ground truth — the composed twin of "
+    "udf-compress-image-real, closing the gap where the curate "
+    "pipeline rode lossless-PNG hashing while the JPEG ladder existed "
+    "only standalone. Sibling pipeline-image-curate keeps the "
+    "corpus-scale phash/LSH arithmetic oracle.",
+    oracle_fn=_image_curate_real_oracle,
+)
+def q_pipeline_image_curate_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ids = spark.range(_PIPE_IMG_REAL_N).select(
+        F.col("id").cast("long").alias("img_id")
+    )
+    # eager cut (the warc-corpus discipline): the codec walk feeds the
+    # keeper aggregate, the kept join, and both rejection rollups —
+    # uncut, each consumer re-runs the whole render+ladder kernel
+    res = IM.curate_cards_real(ids).localCheckpoint()
+    ok = res.where(F.col("error").isNull())
+    keepers = ok.groupBy("out_md5").agg(F.min("img_id").alias("keep_id"))
+    kept = ok.join(
+        F.broadcast(keepers),
+        (ok.out_md5 == keepers.out_md5) & (ok.img_id == keepers.keep_id),
+    ).select(ok.tier, ok.out_bytes)
+    tiers = kept.groupBy(
+        F.concat(F.lit("tier:"), F.col("tier").cast("string")).alias(
+            "bucket"
+        )
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("out_bytes").cast("long").alias("total_bytes"),
+    )
+    dupes = (
+        ok.join(
+            F.broadcast(keepers),
+            (ok.out_md5 == keepers.out_md5) & (ok.img_id == keepers.keep_id),
+            "left_anti",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(F.sum("out_bytes").cast("long"), F.lit(0)).alias(
+                "total_bytes"
+            ),
+        )
+        .select(F.lit("rejected:duplicate").alias("bucket"), "n", "total_bytes")
+    )
+    invalid = (
+        res.where(F.col("error").isNotNull())
+        .groupBy(
+            F.when(
+                F.col("error").startswith("E003"), "rejected:invalid"
+            ).otherwise("rejected:oversize").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.lit(0).cast("long").alias("total_bytes"),
+        )
+    )
+    return tiers.unionByName(dupes).unionByName(invalid)
+
+
 def _fake_binaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic binary column: PNG magic + utf8 text bytes for most
     rows, garbage for doc_id % 7 = 0 (drives the error-as-data paths)."""

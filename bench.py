@@ -159,6 +159,8 @@ HEAVY_FIRST = {
     "dedup-substring-span": 3,
     "scan-warc": 5,
     "pipeline-image-curate": 6,
+    "pipeline-image-curate-real": 8,  # real JPEG ladder x20 cards
+    "scan-av-meta-real": 5,  # WAV encode kernel over documents
     "dedup-image-phash": 4,
     "dedup-cluster-cc": 13,
     "scan-custom-datasource": 12,

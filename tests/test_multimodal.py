@@ -340,3 +340,28 @@ def test_scan_av_meta_real_classes(spark, sf_dir):
             assert r["channels"] == 1 + mid % 2
             assert r["sample_rate"] in (8000, 16000, 44100)
             assert r["truncated"] == (mid % 7 == 3)
+
+
+def test_pipeline_image_curate_real_dedups_actual_bytes(spark):
+    """The composed real-JPEG curate pipeline: planted twin ids (i and
+    i+10 map to the same probe card) must collapse under the md5-of-
+    encoded-bytes dedup, garbage cards must surface as invalid, and
+    kept byte totals must be real encoded sizes."""
+    from ai_knowledge_etl_spark.registry import REGISTRY
+
+    rows = {
+        r["bucket"]: (r["n"], r["total_bytes"])
+        for r in REGISTRY["pipeline-image-curate-real"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    # cards 4 and 9 are garbage, twice each in the 20-id population
+    assert rows["rejected:invalid"] == (4, 0)
+    # every non-error output has at least its planted twin duplicated
+    n_dup, dup_bytes = rows["rejected:duplicate"]
+    assert n_dup >= 8 and dup_bytes > 0  # dup rows carry real byte sizes
+    kept_n = sum(n for b, (n, _tb) in rows.items() if b.startswith("tier:"))
+    assert kept_n + n_dup == 16  # 20 ids - 4 invalid
+    assert all(
+        tb > 0 for b, (n, tb) in rows.items() if b.startswith("tier:")
+    )
