@@ -582,11 +582,17 @@ def q_pipeline_image_curate_real(
     # uncut, each consumer re-runs the whole render+ladder kernel
     res = IM.curate_cards_real(ids).localCheckpoint()
     ok = res.where(F.col("error").isNull())
-    keepers = ok.groupBy("out_md5").agg(F.min("img_id").alias("keep_id"))
+    # renamed keeper keys: a raw self-derived join on out_md5 == out_md5
+    # trips Spark's ambiguous-self-join resolution (it works, with a
+    # trivially-true-predicate warning) — explicit names are unambiguous
+    keepers = ok.groupBy(
+        F.col("out_md5").alias("keep_md5")
+    ).agg(F.min("img_id").alias("keep_id"))
     kept = ok.join(
         F.broadcast(keepers),
-        (ok.out_md5 == keepers.out_md5) & (ok.img_id == keepers.keep_id),
-    ).select(ok.tier, ok.out_bytes)
+        (F.col("out_md5") == F.col("keep_md5"))
+        & (F.col("img_id") == F.col("keep_id")),
+    ).select("tier", "out_bytes")
     tiers = kept.groupBy(
         F.concat(F.lit("tier:"), F.col("tier").cast("string")).alias(
             "bucket"
@@ -598,7 +604,8 @@ def q_pipeline_image_curate_real(
     dupes = (
         ok.join(
             F.broadcast(keepers),
-            (ok.out_md5 == keepers.out_md5) & (ok.img_id == keepers.keep_id),
+            (F.col("out_md5") == F.col("keep_md5"))
+            & (F.col("img_id") == F.col("keep_id")),
             "left_anti",
         )
         .agg(
@@ -1285,6 +1292,65 @@ def q_scan_av_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_knowledge_etl_spark.multimodal import av
 
     return av.scan_av_meta_real(av.synth_wav_corpus(_docs(spark, sf_dir)))
+
+
+@register(
+    "udf-audio-chunk-real",
+    """
+WITH wavs AS (
+  SELECT doc_id AS media_id,
+         CAST((100 + n_chars % 900) * 1000
+              // (CASE doc_id % 3 WHEN 0 THEN 8000
+                  WHEN 1 THEN 16000 ELSE 44100 END) AS BIGINT) AS dur_ms
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT media_id, CAST(c AS INTEGER) AS chunk_no,
+       CAST(c * 2000 AS BIGINT) AS start_ms,
+       CAST(least((c + 1) * 2000, dur_ms) AS BIGINT) AS end_ms
+FROM (
+  SELECT media_id, dur_ms,
+         unnest(generate_series(
+           0, CAST(greatest(ceil(dur_ms / 2000.0), 1) AS INTEGER) - 1)) AS c
+  FROM wavs
+)
+""".strip(),
+    doc="Audio chunk spans driven by REAL container durations: the 2 s "
+    "chunk generator (sequence + posexplode, narrow, no shuffle) runs "
+    "over dur_ms values that the RIFF chunk walker read from actual "
+    "WAVE data-chunk sizes (scan-av-meta-real's parse), not the fake "
+    "fixed-bitrate model — the composition a real audio pipeline runs "
+    "before per-chunk feature extraction. Non-WAV blobs (the ftyp "
+    "class) carry NULL durations and are excluded from chunking "
+    "identically in both engines. The oracle predicts durations "
+    "arithmetically from (doc_id, n_chars); the Spark side gets them "
+    "from bytes.",
+)
+def q_udf_audio_chunk_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.multimodal import av
+
+    meta = av.scan_av_meta_real(
+        av.synth_wav_corpus(_docs(spark, sf_dir))
+    ).where(F.col("fmt") == "wav")
+    n = F.greatest(
+        F.ceil(F.col("dur_ms") / 2000.0), F.lit(1)
+    ).cast("int")
+    return (
+        meta.select(
+            "media_id",
+            F.col("dur_ms"),
+            F.posexplode(F.sequence(F.lit(0), n - 1)).alias(
+                "chunk_no", "_i"
+            ),
+        )
+        .select(
+            "media_id",
+            F.col("chunk_no").cast("int").alias("chunk_no"),
+            (F.col("chunk_no") * 2000).cast("long").alias("start_ms"),
+            F.least((F.col("chunk_no") + 1) * 2000, F.col("dur_ms"))
+            .cast("long")
+            .alias("end_ms"),
+        )
+    )
 
 
 @register(

@@ -25,9 +25,17 @@ stdout line stays small enough for the driver's tail-capture to parse.
   oracle SQLs, sequential, 32 threads).
 - BENCH_DETAIL.json additionally carries `isolated`: one-at-a-time
   sequential timings for EVERY registered query (same warmed session,
-  per-sweep seeded shuffled order), each as {"spark": warm sec, "spark_cold": first-run
-  sec, "duck": sec} with the DuckDB per-query wall (min of 2 runs)
-  beside it. Each query runs in TWO SEPARATED FULL SWEEPS and `spark`
+  per-sweep seeded shuffled order), each as {"spark": warm sec,
+  "spark_cold": first-run sec, "duck": sec, "duck_post": sec,
+  "fresh_jvm": sec (heavy queries only)}. "duck" is measured
+  INTERLEAVED with the Spark sweep — each query's oracle runs right
+  after its Spark run, inside the same VM-weather window (round-8
+  verdict #1: separate-phase duck walls swung 15-30% with the window,
+  so per-query ratios wobbled on unchanged code); "duck_post" keeps the
+  old post-stop sequential value; "fresh_jvm" is a best-of-2 in a
+  subprocess JVM that ran nothing else (round-8 verdict #3: the
+  in-sweep warm number carries a pinned ~0.75 s non-collectible
+  JIT/code-cache tax for multi-second queries). Each query runs in TWO SEPARATED FULL SWEEPS and `spark`
   is the best-of-2 (round-5 verdict #2): the old single-shot numbers
   were cold-ordering noise — the same query read 1.74 s or 1.38 s
   depending on what ran before it, and two rounds in a row the "top
@@ -280,8 +288,40 @@ def main() -> None:
     isolated_spark: dict[str, tuple[float, float]] = {}
     sweep_best: dict[str, float] = {}
     solo_vals: dict[str, float] = {}
+    duck_inter: dict[str, float] = {}
+    fresh_jvm: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
         import random
+
+        # Interleaved DuckDB twin (round-8 verdict #1): the per-query
+        # ratio used to compare a Spark wall from the sweep against a
+        # duck wall measured MINUTES later in a separate phase — on this
+        # VM, multi-minute slow windows swung the duck side 15-30%, so
+        # the published ratio depended on which window the duck twin
+        # landed in (pipeline-warc-corpus read 1.89x/2.2x/2.74x across
+        # one day on unchanged code). Now each query's duck oracle runs
+        # IMMEDIATELY after its Spark run, inside the same weather
+        # window; min across the two sweeps, same protocol as Spark.
+        # The headline duckdb_oracle_sec keeps the original post-stop
+        # sequential-total methodology (BASELINE.md continuity).
+        import duckdb
+
+        icon = duckdb.connect()
+        icon.execute("SET threads TO 32")
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split():
+            icon.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            )
+        # resolve lazy oracle_fn oracles OUTSIDE any timed window (the
+        # codec-replay oracles cost seconds to build, process-cached)
+        inter_sqls = {
+            name: sql.replace("{SF_DIR}", SF_DIR)
+            for name in sorted(REGISTRY)
+            if (sql := oracle_of(REGISTRY[name])) is not None
+        }
 
         sweeps: list[dict[str, float]] = []
         for sweep_no in range(2):
@@ -303,6 +343,12 @@ def main() -> None:
                     release_persisted()
                     gc.collect()
                 walls[name] = run(name)[1]
+                sql = inter_sqls.get(name)
+                if sql is not None:
+                    q0 = time.time()
+                    icon.execute(sql).fetchall()
+                    d = round(time.time() - q0, 4)
+                    duck_inter[name] = min(duck_inter.get(name, d), d)
             sweeps.append(walls)
         sweep_best = {
             n: min(sweeps[0][n], sweeps[1][n]) for n in sweeps[0]
@@ -337,20 +383,87 @@ def main() -> None:
                     f"solo: {' '.join(flagged)}",
                     file=sys.stderr,
                 )
+        # Fresh-JVM floor for the heavy family (round-8 verdict #3): the
+        # in-sweep numbers for multi-second queries carry a pinned
+        # ~0.75 s non-collectible JIT/code-cache tax (survives explicit
+        # GC — tools/bench_mad_pollution.py), so gate arguments for the
+        # 2x check need a reproducible floor measured in a JVM that has
+        # run NOTHING else. One subprocess per query >= 1.5 s sweep-warm:
+        # same conf as this session, lineitem+Arrow warmup, best-of-2.
+        if os.environ.get("SPARK_GRAFT_BENCH_FRESH", "1") != "0":
+            import subprocess
+
+            heavy = sorted(
+                n for n, v in sweep_best.items() if v >= 1.5
+            )
+            for name in heavy:
+                code = (
+                    "import sys, time, json\n"
+                    f"sys.path.insert(0, {repr(os.path.dirname(os.path.abspath(__file__)))})\n"
+                    "from ai_knowledge_etl_spark.registry import REGISTRY\n"
+                    "from ai_knowledge_etl_spark.session import get_spark\n"
+                    f"spark = get_spark('bench-fresh', adaptive=False, shuffle_partitions={SHUFFLE})\n"
+                    f"spark.read.parquet('{SF_DIR}/lineitem.parquet').count()\n"
+                    "spark.range(64, numPartitions=8).mapInPandas(lambda it: it, 'id long')"
+                    ".write.format('noop').mode('overwrite').save()\n"
+                    "walls = []\n"
+                    "for _ in range(2):\n"
+                    "    t0 = time.time()\n"
+                    f"    REGISTRY[{name!r}].spark(spark, '{SF_DIR}')"
+                    ".write.format('noop').mode('overwrite').save()\n"
+                    "    walls.append(round(time.time() - t0, 3))\n"
+                    "print('FRESH_JVM_RESULT ' + json.dumps(min(walls)))\n"
+                )
+                try:
+                    out = subprocess.run(
+                        [sys.executable, "-c", code],
+                        capture_output=True,
+                        text=True,
+                        timeout=600,
+                    ).stdout
+                    for line in out.splitlines():
+                        if line.startswith("FRESH_JVM_RESULT "):
+                            fresh_jvm[name] = json.loads(line.split(" ", 1)[1])
+                except Exception as e:  # noqa: BLE001
+                    print(
+                        f"# fresh-jvm probe failed for {name}: {e}",
+                        file=sys.stderr,
+                    )
+            if heavy:
+                print(
+                    f"# fresh-jvm floors ({len(fresh_jvm)}/{len(heavy)}): "
+                    + " ".join(
+                        f"{n}={fresh_jvm[n]}" for n in sorted(fresh_jvm)
+                    ),
+                    file=sys.stderr,
+                )
+    if duck_inter:
+        icon.close()
     # stop the JVM before the DuckDB phase so the baseline measurement does
     # not compete with a resident 16 GB heap; best-of-2 damps VM noise
     # (same direction for both engines: min-of-passes each).
     spark.stop()
     duck_runs = [duckdb_oracle_wall() for _ in range(2)]
     duck_sec, duck_n, _ = min(duck_runs)
-    # per-query duck wall: min across the two runs (same protocol as Spark's
-    # min-of-passes — the warm number is the reproducible one)
+    # per-query duck wall: min across the two post-stop runs, kept as
+    # duck_post for continuity; the RATIO column is the interleaved
+    # same-window value (round-8 verdict #1 — see the sweep loop).
     duck_q: dict[str, float] = {}
     for _, _, pq in duck_runs:
         for k, v in pq.items():
             duck_q[k] = min(duck_q.get(k, v), v)
     isolated = {
-        name: {"spark": warm, "spark_cold": cold, "duck": duck_q.get(name)}
+        name: {
+            "spark": warm,
+            "spark_cold": cold,
+            "duck": duck_inter.get(name, duck_q.get(name)),
+            "duck_post": duck_q.get(name),
+            **(
+                {"fresh_jvm": fresh_jvm[name]}
+                if name in fresh_jvm
+                else {}
+            ),
+        }
         for name, (warm, cold) in isolated_spark.items()
     }
     headline = {
@@ -381,6 +494,11 @@ def main() -> None:
         # deltas are only warm-vs-warm comparable when BOTH snapshots
         # carry the same spark_method — the delta code below checks it.
         "spark_method": "best_of_2_separated_sweeps",
+        # duck per-query method (round-8 verdict #1): "duck" is measured
+        # interleaved with the Spark sweep (same VM-weather window, min
+        # of 2 sweeps); "duck_post" is the old post-stop sequential
+        # value; the headline total keeps the post-stop methodology.
+        "duck_method": "interleaved_same_window_min2",
     }
 
     # Round-over-round history (VERDICT r4 #3): BENCH_DETAIL.json used to
