@@ -365,3 +365,53 @@ def test_pipeline_image_curate_real_dedups_actual_bytes(spark):
     assert all(
         tb > 0 for b, (n, tb) in rows.items() if b.startswith("tier:")
     )
+
+
+def test_miniwav_roundtrip_property():
+    """Property: for any PCM parameter combination and any extra-chunk
+    layout, parse_wav_header(encode_wav(...)) recovers exactly the
+    encoded facts, and truncating anywhere inside the data chunk flips
+    only the `truncated` flag (declared size and duration survive)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ai_knowledge_etl_spark.multimodal import miniwav
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n_samples=st.integers(min_value=1, max_value=2000),
+        rate=st.sampled_from([8000, 11025, 16000, 22050, 44100, 48000]),
+        channels=st.integers(min_value=1, max_value=8),
+        extra=st.lists(
+            st.tuples(
+                st.sampled_from([b"LIST", b"fact", b"cue ", b"junk"]),
+                st.binary(min_size=0, max_size=33),
+            ),
+            max_size=3,
+        ),
+        cut=st.integers(min_value=1, max_value=50),
+    )
+    def check(n_samples, rate, channels, extra, cut):
+        samples = miniwav.pcm_ramp(n_samples, seed=7, channels=channels)
+        blob = miniwav.encode_wav(
+            samples, rate, channels=channels, extra_chunks=tuple(extra)
+        )
+        m = miniwav.parse_wav_header(blob)
+        block = channels * 2
+        assert m == {
+            "channels": channels,
+            "sample_rate": rate,
+            "bits": 16,
+            "byte_rate": rate * block,
+            "data_bytes": n_samples * block,
+            "dur_ms": n_samples * block * 1000 // (rate * block),
+            "truncated": False,
+        }
+        cut = min(cut, len(samples))
+        if cut > 0:
+            t = miniwav.parse_wav_header(blob[:-cut])
+            assert t is not None and t["truncated"]
+            assert t["data_bytes"] == m["data_bytes"]
+            assert t["dur_ms"] == m["dur_ms"]
+
+    check()
