@@ -110,6 +110,12 @@ PLAN_ALLOWLIST = {
     # Welch t reduces the corpus to six integer moments: partial agg per
     # partition, single-row final combine — inherent to a global stat
     "agg-welch-ttest": {"SinglePartition"},
+    # the duplicate/invalid rejection COUNTERS are global scalar aggs
+    # over the per-image codec-result frame (bounded by the probe
+    # population; at corpus scale still a partial-agg-per-partition +
+    # 1-row combine over already-reduced rows) — same class as the
+    # sibling pipeline-image-curate's counters below
+    "pipeline-image-curate-real": {"SinglePartition"},
     # the min-class threshold attaches via a window over the
     # PRE-AGGREGATED class-count frame — O(|classes|) rows, never the
     # corpus
