@@ -192,13 +192,16 @@ def synth_wav_corpus(docs: DataFrame) -> DataFrame:
     encoder; parameters are pure functions of (doc_id, n_chars) so a SQL
     oracle can predict the parsed metadata), with three deliberate
     hard-path classes mixed in:
-      doc_id % 5 == 0 → ISO-BMFF-style 'ftyp' bytes (magic-sniff path:
-                        classified mp4, never parsed as WAV)
+      doc_id % 5 == 0 → a REAL ISO-BMFF skeleton (ftyp + moov/mvhd +
+                        free padding, 14496-12 box grammar): classified
+                        mp4, duration read from the actual mvhd box
       doc_id % 4 == 1 → an extra LIST chunk before data (chunk-walk path)
       doc_id % 7 == 3 → data chunk truncated 10 bytes short of its
                         declared size (error-as-data path)
-    Parameters: channels = 1 + doc_id%2, rate ∈ {8000,16000,44100} by
-    doc_id%3, n_samples = 100 + n_chars%900, 16-bit PCM ramp samples."""
+    WAV parameters: channels = 1 + doc_id%2, rate ∈ {8000,16000,44100}
+    by doc_id%3, n_samples = 100 + n_chars%900, 16-bit PCM ramp samples.
+    MP4 parameters: timescale 600/1000 by doc_id%2, duration =
+    n_chars*25 + doc_id%97 ticks, free-box padding doc_id%30 bytes."""
     from ai_knowledge_etl_spark.sources.catalog import (
         ensure_package_on_workers,
     )
@@ -219,7 +222,11 @@ def synth_wav_corpus(docs: DataFrame) -> DataFrame:
             ):
                 did = int(doc_id)
                 if did % 5 == 0:
-                    blob = b"ftyp" + str(text).encode("utf-8")
+                    blob = miniwav.encode_mp4_skeleton(
+                        duration=int(n_chars) * 25 + did % 97,
+                        timescale=600 if did % 2 == 0 else 1000,
+                        pad_bytes=did % 30,
+                    )
                 else:
                     ch = 1 + did % 2
                     n_samp = 100 + int(n_chars) % 900
@@ -247,8 +254,10 @@ def scan_av_meta_real(media: DataFrame) -> DataFrame:
     """REAL container metadata scan: Arrow-batched mapInPandas walks each
     blob's RIFF chunks (multimodal/miniwav.parse_wav_header) — format from
     actual magic bytes, channels/rate/duration from the actual fmt/data
-    chunk fields, truncation detected by declared-vs-present size. Non-WAV
-    bytes classify (mp4/NULL) with NULL audio fields instead of erroring:
+    chunk fields, truncation detected by declared-vs-present size. Bytes
+    that fail the WAV sniff try the ISO-BMFF box walk (parse_mp4_header):
+    mp4 rows carry dur_ms from the real mvhd timescale/duration with NULL
+    audio-only fields. Unknown bytes classify NULL instead of erroring —
     a 100 TB media lake scan must never die on one odd file."""
     from ai_knowledge_etl_spark.sources.catalog import (
         ensure_package_on_workers,
@@ -283,8 +292,23 @@ def scan_av_meta_real(media: DataFrame) -> DataFrame:
                         )
                     )
                 else:
-                    fmt = "mp4" if raw[4:8] == b"ftyp" or raw[:4] == b"ftyp" else None
-                    rows.append((int(mid), fmt, None, None, None, None, None))
+                    m4 = miniwav.parse_mp4_header(raw)
+                    if m4 is not None:
+                        rows.append(
+                            (
+                                int(mid),
+                                "mp4",
+                                None,
+                                None,
+                                None,
+                                m4["dur_ms"],
+                                None,
+                            )
+                        )
+                    else:
+                        rows.append(
+                            (int(mid), None, None, None, None, None, None)
+                        )
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -108,3 +108,90 @@ def pcm_ramp(n_samples: int, seed: int, channels: int = 1) -> bytes:
         v = ((seed * 31 + i * 7) % 65536) - 32768
         frames += struct.pack("<h", v)
     return bytes(frames)
+
+
+# --- minimal ISO-BMFF (MP4) box walker — the video-container twin ----------
+# Public spec: ISO/IEC 14496-12 (box = uint32 size + 4-char type, boxes
+# nest; mvhd carries timescale + duration). Same scope philosophy as the
+# WAV side: header facts only, sample decode stays the gated kernel.
+
+MP4_BRAND = b"isom"
+
+
+def encode_mp4_skeleton(
+    duration: int, timescale: int = 1000, pad_bytes: int = 0
+) -> bytes:
+    """A minimal real ISO-BMFF file: ftyp + moov(mvhd v0) + free padding.
+    Every byte follows the 14496-12 box grammar, so a real demuxer's box
+    walk (and ours) parses it; there are no media tracks — this is the
+    metadata skeleton a scan sees first in any real file."""
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    # mvhd version 0: creation/modification (0), timescale, duration,
+    # rate 1.0, volume 1.0, reserved, identity matrix, next_track_id
+    mvhd = box(
+        b"mvhd",
+        struct.pack(
+            ">BxxxIIIIIHHxxxxxxxx36xI",
+            0,  # version (flags ride the pad bytes)
+            0,
+            0,
+            timescale,
+            duration,
+            0x00010000,
+            0x0100,
+            0,
+            1,
+        ),
+    )
+    out = box(b"ftyp", MP4_BRAND + struct.pack(">I", 0) + MP4_BRAND)
+    out += box(b"moov", mvhd)
+    if pad_bytes:
+        out += box(b"free", b"\x00" * pad_bytes)
+    return out
+
+
+def parse_mp4_header(raw: bytes) -> dict | None:
+    """ISO-BMFF bytes → {brand, timescale, duration, dur_ms} or None for
+    non-BMFF bytes (magic sniff: a valid file leads with an ftyp box).
+    Walks top-level boxes by declared size; descends ONLY into moov to
+    find mvhd (version 0 or 1 — v1 uses 64-bit times per the spec)."""
+    if len(raw) < 12 or raw[4:8] != b"ftyp":
+        return None
+    brand = raw[8:12].decode("ascii", "replace")
+    pos, n = 0, len(raw)
+    moov: tuple[int, int] | None = None
+    while pos + 8 <= n:
+        (size,) = struct.unpack(">I", raw[pos : pos + 4])
+        if size < 8:
+            return None  # size 0/1 (to-EOF / 64-bit) out of scope
+        if raw[pos + 4 : pos + 8] == b"moov":
+            moov = (pos + 8, min(pos + size, n))
+            break
+        pos += size
+    if moov is None:
+        return None
+    pos, end = moov
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", raw[pos : pos + 4])
+        if size < 8:
+            return None
+        if raw[pos + 4 : pos + 8] == b"mvhd":
+            body = raw[pos + 8 : pos + size]
+            version = body[0]
+            if version == 1:
+                timescale, duration = struct.unpack(">I Q", body[20:32])
+            else:
+                timescale, duration = struct.unpack(">II", body[12:20])
+            if not timescale:
+                return None
+            return {
+                "brand": brand,
+                "timescale": timescale,
+                "duration": duration,
+                "dur_ms": duration * 1000 // timescale,
+            }
+        pos += size
+    return None

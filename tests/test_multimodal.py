@@ -334,7 +334,9 @@ def test_scan_av_meta_real_classes(spark, sf_dir):
     by_id = {r["media_id"]: r for r in out}
     for mid, r in by_id.items():
         if mid % 5 == 0:
+            # real ISO-BMFF skeleton: duration comes from the mvhd box
             assert r["fmt"] == "mp4" and r["channels"] is None
+            assert r["dur_ms"] is not None and r["dur_ms"] > 0
         else:
             assert r["fmt"] == "wav"
             assert r["channels"] == 1 + mid % 2
@@ -415,3 +417,24 @@ def test_miniwav_roundtrip_property():
             assert t["dur_ms"] == m["dur_ms"]
 
     check()
+
+
+def test_minimp4_box_walk_and_sniff():
+    """ISO-BMFF skeleton codec: encode → parse recovers mvhd facts; the
+    walker skips free padding by declared box size; non-BMFF bytes and
+    moov-less files return None (sniff, not crash)."""
+    from ai_knowledge_etl_spark.multimodal import miniwav
+
+    b = miniwav.encode_mp4_skeleton(90000, timescale=600, pad_bytes=7)
+    m = miniwav.parse_mp4_header(b)
+    assert m == {
+        "brand": "isom", "timescale": 600, "duration": 90000,
+        "dur_ms": 150000,
+    }
+    assert b[4:8] == b"ftyp"
+    # determinism
+    assert b == miniwav.encode_mp4_skeleton(90000, timescale=600, pad_bytes=7)
+    assert miniwav.parse_mp4_header(b"RIFF....WAVE....") is None
+    assert miniwav.parse_mp4_header(b"") is None
+    # ftyp-only file (no moov): classified unparseable, not an exception
+    assert miniwav.parse_mp4_header(b[:16]) is None
