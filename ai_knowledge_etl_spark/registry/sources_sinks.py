@@ -1388,6 +1388,55 @@ def q_udf_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udf-frame-sample-real",
+    """
+WITH vids AS (
+  SELECT doc_id AS media_id,
+         CAST((n_chars * 25 + doc_id % 97) * 1000
+              // (CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 1000 END)
+              AS BIGINT) AS dur_ms
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT media_id, CAST(c AS INTEGER) AS frame_no,
+       CAST(c * 2000 AS BIGINT) AS ts_ms
+FROM (
+  SELECT media_id,
+         unnest(generate_series(
+           0, CAST(greatest(ceil(dur_ms / 2000.0), 1) AS INTEGER) - 1)) AS c
+  FROM vids
+)
+""".strip(),
+    doc="Frame-sample scheduling driven by REAL container durations: the "
+    "2 s frame-timestamp generator runs over dur_ms that the ISO-BMFF "
+    "box walker read from actual mvhd timescale/duration fields "
+    "(scan-av-meta-real's mp4 class) — the video twin of "
+    "udf-audio-chunk-real. The explosion is pure metadata (narrow "
+    "sequence+posexplode, no shuffle); a PyAV decoder plugs into "
+    "multimodal/av.extract_frame per emitted (media_id, ts_ms) row.",
+)
+def q_udf_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.multimodal import av
+
+    meta = av.scan_av_meta_real(
+        av.synth_wav_corpus(_docs(spark, sf_dir))
+    ).where(F.col("fmt") == "mp4")
+    n = F.greatest(F.ceil(F.col("dur_ms") / 2000.0), F.lit(1)).cast("int")
+    return (
+        meta.select(
+            "media_id",
+            F.posexplode(F.sequence(F.lit(0), n - 1)).alias(
+                "frame_no", "_i"
+            ),
+        )
+        .select(
+            "media_id",
+            F.col("frame_no").cast("int").alias("frame_no"),
+            (F.col("frame_no") * 2000).cast("long").alias("ts_ms"),
+        )
+    )
+
+
+@register(
     "udf-frame-sample",
     f"""
 WITH {_AV_CTE},
