@@ -179,15 +179,17 @@ GRAPH_MAX_DEGREE = 1000
 #   cluster   : RocksDB provider + changelog checkpointing (incremental
 #               state uploads; restart cost ~ delta, not full snapshot).
 # Resolution order: explicit function arg > $SPARK_GRAFT_STATE_PROFILE >
-# "local-jvm". The legacy SPARK_GRAFT_SSJ_STATE_PROVIDER=rocksdb knob maps
-# onto profile "cluster".
+# legacy $SPARK_GRAFT_SSJ_STATE_PROVIDER=rocksdb (maps to "cluster") >
+# "local-jvm". The new env var outranks the legacy one so a stale
+# pre-r9 provider export cannot silently override an explicit profile.
+ROCKSDB_PROVIDER = (  # single source of truth; streaming/stateful re-exports
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
 STATE_STORE_PROFILES: dict[str, dict[str, str]] = {
     "local-jvm": {},
     "cluster": {
-        "spark.sql.streaming.stateStore.providerClass": (
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider"
-        ),
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
         "spark.sql.streaming.stateStore.rocksdb."
         "changelogCheckpointing.enabled": "true",
     },
@@ -201,12 +203,12 @@ def state_store_conf(profile: str | None = None) -> dict[str, str]:
     import os as _os
 
     if profile is None:
-        if _os.environ.get("SPARK_GRAFT_SSJ_STATE_PROVIDER") == "rocksdb":
-            profile = "cluster"  # legacy knob
-        else:
-            profile = _os.environ.get(
-                "SPARK_GRAFT_STATE_PROFILE", "local-jvm"
-            )
+        profile = _os.environ.get("SPARK_GRAFT_STATE_PROFILE")
+        if profile is None:
+            if _os.environ.get("SPARK_GRAFT_SSJ_STATE_PROVIDER") == "rocksdb":
+                profile = "cluster"  # legacy knob, lowest env precedence
+            else:
+                profile = "local-jvm"
     if profile not in STATE_STORE_PROFILES:
         raise ValueError(
             f"unknown state-store profile {profile!r}; "

@@ -217,9 +217,7 @@ def synth_wav_corpus(docs: DataFrame) -> DataFrame:
         rates = (8000, 16000, 44100)
         for pdf in batches:
             ids, blobs = [], []
-            for doc_id, text, n_chars in zip(
-                pdf["doc_id"], pdf["text"], pdf["n_chars"]
-            ):
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
                 did = int(doc_id)
                 if did % 5 == 0:
                     blob = miniwav.encode_mp4_skeleton(
@@ -247,7 +245,10 @@ def synth_wav_corpus(docs: DataFrame) -> DataFrame:
                 blobs.append(blob)
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
-    return docs.select("doc_id", "text", "n_chars").mapInPandas(gen, schema)
+    # only (doc_id, n_chars) cross the Arrow boundary: shipping the
+    # corpus's text column to synthesize from its LENGTH was the
+    # dominant transfer cost of all four AV-real queries (r9 review)
+    return docs.select("doc_id", "n_chars").mapInPandas(gen, schema)
 
 
 def scan_av_meta_real(media: DataFrame) -> DataFrame:

@@ -74,8 +74,11 @@ def parse_wav_header(raw: bytes) -> dict | None:
         (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
         body_start = pos + 8
         if tag == b"fmt " and size >= 16:
+            body = raw[body_start : body_start + 16]
+            if len(body) < 16:  # truncated mid-fmt: classify, never raise
+                return None
             a_fmt, ch, rate, brate, _align, bits = struct.unpack(
-                "<HHIIHH", raw[body_start : body_start + 16]
+                "<HHIIHH", body
             )
             if a_fmt != 1:  # non-PCM: out of scope, not a crash
                 return None
@@ -132,12 +135,21 @@ def encode_mp4_skeleton(
     def box(tag: bytes, body: bytes) -> bytes:
         return struct.pack(">I", 8 + len(body)) + tag + body
 
-    # mvhd version 0: creation/modification (0), timescale, duration,
-    # rate 1.0, volume 1.0, reserved, identity matrix, next_track_id
+    # mvhd version 0 (100-byte body per 14496-12 §8.2.2): version+flags,
+    # creation/modification (0), timescale, duration, rate 1.0, volume
+    # 1.0, 2+8 reserved, 36-byte identity matrix, 24-byte pre_defined,
+    # next_track_id — the pre_defined block matters: without it
+    # next_track_id sits 24 bytes early and a strict demuxer reads past
+    # the declared box end (r9 review finding).
+    identity = (
+        0x00010000, 0, 0,
+        0, 0x00010000, 0,
+        0, 0, 0x40000000,
+    )
     mvhd = box(
         b"mvhd",
         struct.pack(
-            ">BxxxIIIIIHHxxxxxxxx36xI",
+            ">BxxxIIIIIHHxxxxxxxx9I24xI",
             0,  # version (flags ride the pad bytes)
             0,
             0,
@@ -146,6 +158,7 @@ def encode_mp4_skeleton(
             0x00010000,
             0x0100,
             0,
+            *identity,
             1,
         ),
     )
@@ -183,8 +196,15 @@ def parse_mp4_header(raw: bytes) -> dict | None:
             return None
         if raw[pos + 4 : pos + 8] == b"mvhd":
             body = raw[pos + 8 : pos + size]
+            # truncated mvhd (declared size exceeds present bytes, or a
+            # degenerate 8-byte box): classify unparseable, never raise —
+            # the never-die scan contract
+            if len(body) < 20:
+                return None
             version = body[0]
             if version == 1:
+                if len(body) < 32:
+                    return None
                 timescale, duration = struct.unpack(">I Q", body[20:32])
             else:
                 timescale, duration = struct.unpack(">II", body[12:20])

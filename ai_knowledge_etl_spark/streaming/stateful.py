@@ -48,9 +48,9 @@ except ImportError:  # pragma: no cover - older Spark or no protobuf
 OUTPUT_SCHEMA = "user_id BIGINT, n_events BIGINT, total_cents BIGINT"
 _STATE_SCHEMA = "n BIGINT, cents BIGINT"
 
-ROCKSDB_PROVIDER = (
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-)
+# re-export: config owns the single source of truth (the "cluster"
+# state-store profile builds its conf from the same constant)
+from ai_knowledge_etl_spark.config import ROCKSDB_PROVIDER  # noqa: E402,F401
 
 
 class UserStatsProcessor(StatefulProcessor):

@@ -438,3 +438,28 @@ def test_minimp4_box_walk_and_sniff():
     assert miniwav.parse_mp4_header(b"") is None
     # ftyp-only file (no moov): classified unparseable, not an exception
     assert miniwav.parse_mp4_header(b[:16]) is None
+
+
+def test_container_parsers_survive_every_truncation():
+    """The never-die scan contract, exhaustively: EVERY byte prefix of a
+    valid WAV and a valid MP4 must classify (dict or None), never raise —
+    r9 review caught struct.error on mid-fmt and mid-mvhd truncations
+    that the tail-only truncation fixtures missed."""
+    from ai_knowledge_etl_spark.multimodal import miniwav as mw
+
+    w = mw.encode_wav(
+        mw.pcm_ramp(50, seed=3, channels=2), 16000, channels=2,
+        extra_chunks=((b"LIST", b"x"),),
+    )
+    for cut in range(len(w)):
+        r = mw.parse_wav_header(w[:cut])
+        assert r is None or isinstance(r, dict)
+    b = mw.encode_mp4_skeleton(90000, timescale=600, pad_bytes=7)
+    for cut in range(len(b)):
+        r = mw.parse_mp4_header(b[:cut])
+        assert r is None or isinstance(r, dict)
+    # spec-size pin: version-0 mvhd body is 100 bytes (14496-12 §8.2.2)
+    import struct
+
+    moov_off = b.find(b"moov")
+    assert struct.unpack(">I", b[moov_off + 4 : moov_off + 8])[0] == 108

@@ -608,3 +608,22 @@ def test_state_store_profile_rejects_unknown():
 
     with pytest.raises(ValueError, match="unknown state-store profile"):
         cfg.state_store_conf("no-such-profile")
+
+
+def test_state_store_profile_env_precedence(monkeypatch):
+    """The NEW env var must outrank the legacy provider knob (r9 review:
+    a stale pre-r9 SPARK_GRAFT_SSJ_STATE_PROVIDER export must not
+    silently override an explicit profile), and the RocksDB class string
+    has one source of truth."""
+    from ai_knowledge_etl_spark import config as cfg
+    from ai_knowledge_etl_spark.streaming import stateful
+
+    monkeypatch.setenv("SPARK_GRAFT_SSJ_STATE_PROVIDER", "rocksdb")
+    monkeypatch.setenv("SPARK_GRAFT_STATE_PROFILE", "local-jvm")
+    assert cfg.state_store_conf() == {}  # explicit profile wins
+    monkeypatch.delenv("SPARK_GRAFT_STATE_PROFILE")
+    conf = cfg.state_store_conf()  # legacy knob maps to cluster
+    assert "RocksDBStateStoreProvider" in conf[
+        "spark.sql.streaming.stateStore.providerClass"
+    ]
+    assert stateful.ROCKSDB_PROVIDER is cfg.ROCKSDB_PROVIDER
