@@ -404,10 +404,26 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_FRESH", "1") != "0":
         import subprocess
 
+        # slowest-first + a hard phase budget: the probes are additive
+        # diagnostics, and an unattended bench must never blow a caller's
+        # timeout because the heavy list grew — better 12 floors and a
+        # finished run than 18 floors and a killed one.
+        budget_s = float(
+            os.environ.get("SPARK_GRAFT_BENCH_FRESH_BUDGET_S", "480")
+        )
+        phase_t0 = time.time()
         heavy = sorted(
-            n for n, v in sweep_best.items() if v >= 1.5
+            (n for n, v in sweep_best.items() if v >= 1.5),
+            key=lambda n: -sweep_best[n],
         )
         for name in heavy:
+            if time.time() - phase_t0 > budget_s:
+                print(
+                    f"# fresh-jvm phase budget ({budget_s:.0f}s) reached: "
+                    f"probed {len(fresh_jvm)}/{len(heavy)}",
+                    file=sys.stderr,
+                )
+                break
             code = (
                 "import sys, time, json\n"
                 f"sys.path.insert(0, {repr(os.path.dirname(os.path.abspath(__file__)))})\n"
