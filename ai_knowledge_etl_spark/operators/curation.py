@@ -83,23 +83,39 @@ def gopher_metrics(df: DataFrame, ws_col: str = "ws") -> DataFrame:
 
 
 def split_paragraphs(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "ptext"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "ptext",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, idx, para) — 1-based idx, empty paragraphs dropped."""
+    """(id, idx, para, *keep) — 1-based idx, empty paragraphs dropped."""
     exploded = docs.select(
-        id_col, F.posexplode(F.split(F.col(text_col), PARA_SEP)).alias("pos", "para")
+        id_col,
+        *keep,
+        F.posexplode(F.split(F.col(text_col), PARA_SEP)).alias("pos", "para"),
     )
     return exploded.where(F.length(F.trim("para")) > 0).select(
-        id_col, (F.col("pos") + 1).alias("idx"), "para"
+        id_col, (F.col("pos") + 1).alias("idx"), "para", *keep
     )
 
 
 def paragraph_dedup(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "ptext"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "ptext",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Corpus-wide paragraph dedup: each distinct paragraph survives only at
     its first occurrence (lowest (id, idx)); docs are reassembled from their
-    surviving paragraphs. Returns (id, n_paras, n_kept, text_kept).
+    surviving paragraphs. Returns (id, n_paras, n_kept, text_kept, *keep).
+
+    `keep` columns (constant per doc) ride the paragraph explode and come
+    back via first() in the reassembly aggregate. At corpus scale this is
+    MUCH cheaper than joining them back by doc id afterwards: the keeps
+    widen the fp-keyed shuffle by a few tens of bytes per paragraph row,
+    where the join-back alternative is a second corpus-wide doc-keyed
+    sort-merge (both sides corpus-sized once nothing is broadcastable) —
+    the r9 warc-pipeline lesson.
 
     Keep-first is computed as min(struct(id, idx)) per md5(para) — a hash
     AGGREGATE, not a ranking window, deliberately: the window formulation
@@ -109,9 +125,12 @@ def paragraph_dedup(
     row per input partition before the shuffle) and the winner join-back
     is an equi-join AQE can skew-split. The 32-char fingerprint is the
     only shuffle key — constant width at any paragraph size."""
-    paras = split_paragraphs(docs, id_col, text_col)
+    paras = split_paragraphs(docs, id_col, text_col, keep=keep)
     fp = paras.withColumn("fp", F.md5("para"))
-    winners = fp.groupBy("fp").agg(
+    # winners projects away the keep cols: the fp-keyed aggregate's
+    # shuffle stays (fp, id, idx)-wide regardless of what rides the
+    # reassembly side
+    winners = fp.select(id_col, "idx", "fp").groupBy("fp").agg(
         F.min(F.struct(id_col, "idx")).alias("w")
     )
     kept = fp.join(winners, "fp").withColumn(
@@ -124,6 +143,7 @@ def paragraph_dedup(
         .agg(
             F.count("*").alias("n_paras"),
             F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            *[F.first(c).alias(c) for c in keep],
             F.array_join(
                 F.transform(
                     F.array_sort(

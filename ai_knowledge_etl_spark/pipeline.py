@@ -503,9 +503,23 @@ def curate_warc_corpus(
     qual = gated.join(lp, "doc_id").localCheckpoint()
     _mark("qual")
 
-    # corpus-wide paragraph dedup on the quality survivors
+    # corpus-wide paragraph dedup on the quality survivors. The per-doc
+    # constants (source for shingle blocking; lang/avg_logprob for the
+    # DSIR flag stage) ride the dedup's keep channel instead of joining
+    # back by doc id afterwards: at 100 TB those two join-backs are
+    # corpus-wide sort-merges (qual is not broadcastable at scale),
+    # where the keeps only widen the paragraph explode by ~30 bytes/row
+    # (r9; the winners aggregate's fp-keyed shuffle is unaffected —
+    # paragraph_dedup projects the keeps off that side).
     dd = CU.paragraph_dedup(
-        qual.select("doc_id", F.col("text").alias("ptext"))
+        qual.select(
+            "doc_id",
+            F.col("text").alias("ptext"),
+            "source",
+            "lang",
+            "avg_logprob",
+        ),
+        keep=("source", "lang", "avg_logprob"),
     ).localCheckpoint()
     _mark("dd")
 
@@ -515,7 +529,7 @@ def curate_warc_corpus(
     # aggregate would otherwise each replay the per-row shingle fold —
     # the LSH stage's dominant compute — from the dd checkpoint.
     sh = dedup.shingles(
-        dd.join(qual.select("doc_id", "source"), "doc_id"),
+        dd,
         "doc_id",
         "text_kept",
         n=3,
@@ -547,17 +561,15 @@ def curate_warc_corpus(
         )
     )
     normalized = kept.select(
-        "doc_id", "n_kept", norm.alias("norm")
+        "doc_id", "n_kept", "lang", "avg_logprob", norm.alias("norm")
     ).where(F.length("norm") >= min_norm_chars)
     # persisted: the DSIR stage tokenizes `flagged` three times (target
     # and corpus distributions + the scoring join) and the final project
     # joins it again — without the cut each pass re-runs the LSH anti-join
-    # and everything above it (measured 94 s → seconds at sf0.001)
+    # and everything above it (measured 94 s → seconds at sf0.001).
+    # lang/avg_logprob arrive on the dedup keep channel — no qual join.
     flagged = (
-        normalized.join(
-            qual.select("doc_id", "lang", "avg_logprob"), "doc_id"
-        )
-        .withColumn("is_target", F.expr(target_pred))
+        normalized.withColumn("is_target", F.expr(target_pred))
         .localCheckpoint()
     )
     _mark("flagged")
