@@ -146,6 +146,14 @@ def encode_mp4_skeleton(
         0, 0x00010000, 0,
         0, 0, 0x40000000,
     )
+    # mvhd v0 duration is uint32; clamp instead of letting struct.error
+    # kill the whole mapInPandas batch for one pathological row (r9
+    # ADVICE: synth duration is n_chars-derived, so a ~172 MB document
+    # would otherwise die mid-kernel). 0xFFFFFFFF is also the spec's
+    # "duration unknown" sentinel, which is the honest reading for a
+    # value the 32-bit field cannot carry; oracles mirror the same
+    # LEAST() cap.
+    duration = min(int(duration), 0xFFFFFFFF)
     mvhd = box(
         b"mvhd",
         struct.pack(

@@ -1266,7 +1266,7 @@ SELECT doc_id AS media_id,
             ELSE CAST((100 + n_chars % 900) * (1 + doc_id % 2) * 2
                       AS BIGINT) END AS data_bytes,
        CASE WHEN doc_id % 5 = 0
-            THEN CAST((n_chars * 25 + doc_id % 97) * 1000
+            THEN CAST(least(n_chars * 25 + doc_id % 97, 4294967295) * 1000
                       // (CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 1000 END)
                       AS BIGINT)
             ELSE CAST((100 + n_chars % 900) * 1000
@@ -1392,7 +1392,7 @@ def q_udf_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH vids AS (
   SELECT doc_id AS media_id,
-         CAST((n_chars * 25 + doc_id % 97) * 1000
+         CAST(least(n_chars * 25 + doc_id % 97, 4294967295) * 1000
               // (CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 1000 END)
               AS BIGINT) AS dur_ms
   FROM documents WHERE doc_id % 5 = 0

@@ -178,7 +178,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
-_VIEWS_REGISTERED: dict[tuple[str, str], dict[str, DataFrame]] = {}
+_VIEWS_REGISTERED: dict[tuple[SparkSession, str], dict[str, DataFrame]] = {}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -187,25 +187,40 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     ten parquet schemas costs ~1 s per call (measured round-8 — it was
     the larger half of every pure-SQL registry query's wall), and the
     views are deterministic functions of the fixture dir. The key is the
-    SESSION OBJECT's identity, not applicationId (r8 ADVICE: temp views
-    are per-SparkSession, and spark.newSession() shares the
-    applicationId — an id-keyed cache would short-circuit for a sibling
-    session that never registered anything). A DIFFERENT sf_dir in the
-    same session re-points the views (last writer wins, matching
-    createOrReplaceTempView semantics), and a dropped/overwritten
-    sentinel view defeats the short-circuit via the tableExists check
-    (~1 ms, vs ~1 s for the full re-resolve)."""
-    key = (id(spark), os.path.abspath(sf_dir))
-    last = getattr(register_views, "_last", None)
-    if (
-        key in _VIEWS_REGISTERED
-        and last == key
-        and spark.catalog.tableExists("lineitem")
+    SESSION OBJECT itself, not applicationId (r8 ADVICE: temp views are
+    per-SparkSession, and spark.newSession() shares the applicationId —
+    an app-keyed cache would short-circuit for a sibling session that
+    never registered anything) and not id(spark) (r9 ADVICE: CPython
+    reuses ids after GC, so an id key is only safe while the entry pins
+    the session — keying by the object gives identity semantics with no
+    reuse hazard, and the pinning becomes explicit). Entries whose
+    SparkContext has been stopped are swept on every call, so stopped
+    sessions don't accumulate (the id-keyed version could never evict).
+    A DIFFERENT sf_dir in the same session re-points the views (last
+    writer wins, matching createOrReplaceTempView semantics), and a
+    dropped/overwritten sentinel view defeats the short-circuit via the
+    tableExists check (~1 ms, vs ~1 s for the full re-resolve)."""
+    key = (spark, os.path.abspath(sf_dir))
+    with _lock_for(_VIEWS_REGISTERED):
+        for k in list(_VIEWS_REGISTERED):
+            try:
+                dead = k[0].sparkContext._jsc is None
+            except Exception:
+                dead = True
+            if dead:
+                _VIEWS_REGISTERED.pop(k, None)
+                if getattr(register_views, "_last", None) == k:
+                    register_views._last = None
+        last = getattr(register_views, "_last", None)
+        cached = _VIEWS_REGISTERED.get(key)
+    if cached is not None and last == key and spark.catalog.tableExists(
+        "lineitem"
     ):
-        return _VIEWS_REGISTERED[key]
+        return cached
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
-    _VIEWS_REGISTERED[key] = dfs
-    register_views._last = key  # the views currently pointed at
+    with _lock_for(_VIEWS_REGISTERED):
+        _VIEWS_REGISTERED[key] = dfs
+        register_views._last = key  # the views currently pointed at
     return dfs

@@ -444,12 +444,21 @@ def main() -> None:
                 "    walls.append(round(time.time() - t0, 3))\n"
                 "print('FRESH_JVM_RESULT ' + json.dumps(min(walls)))\n"
             )
+            # cap each probe's subprocess timeout at the REMAINING phase
+            # budget (r9 ADVICE: a fixed 600 s timeout let one hung probe
+            # overshoot the 480 s budget by up to 10 minutes — the
+            # unattended-bench wall the budget exists to protect). 60 s
+            # floor so a probe that starts near the budget edge still has
+            # time to produce a number instead of guaranteed-killing.
+            probe_timeout = max(
+                60.0, budget_s - (time.time() - phase_t0)
+            )
             try:
                 out = subprocess.run(
                     [sys.executable, "-c", code],
                     capture_output=True,
                     text=True,
-                    timeout=600,
+                    timeout=probe_timeout,
                 ).stdout
                 for line in out.splitlines():
                     if line.startswith("FRESH_JVM_RESULT "):
