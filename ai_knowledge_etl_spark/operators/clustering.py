@@ -64,15 +64,46 @@ def connected_components(
     """Label every node reachable through `edges` (undirected) with the
     min node id of its component. Returns (node, cluster_id).
 
-    Driver loop, distributed rounds: iterate until no label changes
-    (checked with a 1-row count action per round); `max_iter` is a
-    safety bound, hit only if diameter exceeds it.
+    Driver loop, distributed rounds, ONE Spark job per round (r9 verdict
+    #1 — the previous shape ran 2 joins + a checkpoint job + a separate
+    convergence-probe job per round, and at sf0.1 the per-job scheduling
+    floor, not data volume, dominated its 2.5× wall). Three fusions:
+
+    - SELF-LOOPS instead of a left-join-back: with (n, n) edges folded
+      into the symmetrized edge list, new_label(b) = min over
+      a ∈ N(b) ∪ {b} of label(a) — a single equi-join + groupBy-min
+      replaces the old join + agg + left-join + least/coalesce repair.
+    - Round 1 needs NO join at all: the initial labeling is
+      label(n) = n, so min-label-of-neighbors is just
+      e.groupBy(b).agg(min(a)) straight off the edge table.
+    - The convergence probe rides the materializing action: labels only
+      ever DECREASE, so the exact Σlabel (DECIMAL(38,0) — BIGINT would
+      overflow near 2^63 / max_id rows, inside the 100 TB envelope for
+      64-bit ids) strictly decreases until the fixpoint; comparing one
+      scalar per round replaces the old boolean __chg column + extra
+      probe job. The sum runs against a NON-eager localCheckpoint, so
+      the same job both materializes+truncates round N's lineage and
+      reads the scalar.
+
+    Per-round cost is one shuffle of |E| label offers; rounds = cluster
+    diameter + 1 (the +1 proves the fixpoint). Dup-pair graphs are
+    near-cliques (diameter ~2), so the whole closure is ~3 jobs after
+    edge prep. For adversarial long-chain graphs swap in large-star/
+    small-star (Kiveris et al.) — same join primitives, O(log n) rounds.
+    `max_iter` is a safety bound, hit only if diameter exceeds it.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    e = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sc = edges.sparkSession.sparkContext
+    # Checkpoint the RAW edge list BEFORE symmetrizing (measured at sf0.1,
+    # r10): the symmetrize-union references its input 2× (4× once
+    # self-loops join the union), and an un-checkpointed upstream (e.g.
+    # the shingle-Jaccard pair pipeline feeding dedup-cluster-cc) gets
+    # recomputed per reference — exchange reuse recovers the shuffles but
+    # not the post-shuffle work, and edge prep alone read 2.3-3.4 s vs
+    # ~1.1 s with the raw edges pinned first. Two small checkpoint jobs
+    # beat one job that recomputes the corpus pipeline four times.
+    raw = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
-        .distinct()
         # localCheckpoint, NOT persist: persist caches row data but the
         # logical plan of round N still nests rounds 0..N-1, so Catalyst
         # re-analyzes a quadratically growing plan every iteration (measured:
@@ -83,44 +114,55 @@ def connected_components(
         # tolerance; local mode has no executor loss to survive.
         .localCheckpoint()
     )
-    sc = edges.sparkSession.sparkContext
-    labels = (
-        e.select(F.col("a").alias("node"))
+    raw_ids = {_checkpointed_rdd_id(raw)}
+    e = (
+        # symmetrize + self-loops off BOTH endpoints: every node (degree
+        # ≥ 1 by construction) offers its own label to itself, making the
+        # per-round groupBy-min self-contained; one distinct shuffle
+        # covers dedup across all four branches
+        raw.unionByName(
+            raw.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .unionByName(raw.select("a", F.col("a").alias("b")))
+        .unionByName(
+            raw.select(F.col("b").alias("a"), F.col("b").alias("b"))
+        )
         .distinct()
-        .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    _release_rdds(sc, raw_ids)  # sym table materialized; raw copy is dead
+    # round 1, join-free; Σnode and Σlabel in the SAME materializing
+    # action: Σnode is exactly what Σlabel would read over the implicit
+    # label(n) = n init, so round 1's convergence check costs nothing.
+    labels = e.groupBy(F.col("b").alias("node")).agg(
+        F.min("a").alias("label")
+    ).localCheckpoint(eager=False)
     labels_ids = {_checkpointed_rdd_id(labels)}
-    for _ in range(max_iter):
-        # each node offers its label to every neighbor; take the min offer
-        offers = (
-            e.join(labels, e["a"] == labels["node"])
-            .groupBy(F.col("b").alias("node2"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
+    sums = labels.agg(
+        F.sum(F.col("node").cast("decimal(38,0)")).alias("s0"),
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s1"),
+    ).first()
+    prev_sum, cur_sum = sums[0], sums[1]
+    for _ in range(max_iter - 1):
+        if cur_sum == prev_sum:  # fixpoint (also the empty-edges case)
+            break
+        prev_sum = cur_sum
         new_labels = (
-            labels.join(offers, labels["node"] == offers["node2"], "left")
-            .select(
-                "node",
-                F.least(
-                    "label", F.coalesce("nbr_label", "label")
-                ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("__chg"),
-            )
-            # eager: materializes every partition exactly once AND truncates
-            # lineage, so the convergence probe below reads checkpointed rows
-            .localCheckpoint()
+            e.join(labels, e["a"] == labels["node"])
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
         )
         new_ids = {_checkpointed_rdd_id(new_labels)}
-        changed = new_labels.agg(
-            F.max(F.coalesce("__chg", F.lit(False)))
+        # the one job of the round: materializes + lineage-truncates the
+        # new label table AND reads the convergence scalar off it
+        cur_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
         ).first()[0]
-        labels = new_labels.drop("__chg")
+        labels = new_labels
         # round N is materialized; round N-1's checkpointed copy is dead
         _release_rdds(sc, labels_ids)
         labels_ids = new_ids
-        if not changed:
-            break
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
