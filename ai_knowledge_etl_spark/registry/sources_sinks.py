@@ -490,63 +490,91 @@ def q_udf_compress_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IM.compress_cards_real(ids)
 
 
-_PIPE_IMG_REAL_N = 20  # 2 ids per probe card: planted exact twins
+# One real image per 25 documents (r9 verdict #7): the population now
+# SCALES with the fixture instead of a fixed 20 — sf0.01 keeps exactly
+# the historical 20-image surface (500 docs // 25), sf0.1 walks 200 real
+# JPEG ladders, the 10× distinct sweep walks 2000 — so the scale gate
+# exercises real codec growth. img_id = doc_id // 25 stays DENSE, which
+# preserves the card cycling (img_id % N_COMPRESS_CARDS covers every
+# card) and the planted exact twins (same card every N_CARDS ids).
+# 25 is a cost choice: the pure-Python ladder costs ~0.55 s/image, so
+# denser sampling would put minutes of codec work inside the sf0.1
+# bench window.
+_PIPE_IMG_REAL_EVERY = 25
 
 
 def _image_curate_real_oracle() -> str:
-    """Expected rollup for pipeline-image-curate-real: sequential driver
-    replay of the SAME composition — per-card real-JPEG ladder walk
-    (walk_tiers over render_compress_card, each unique card walked once),
-    fan-out to the img_id population, exact dedup on encoded-output md5
-    (keep lowest img_id), bucket rollup — baked into a VALUES oracle.
-    Lazy (oracle_fn) because the replay runs the real codec (~seconds);
-    process-cached after first resolution."""
+    """Expected rollup for pipeline-image-curate-real, sf-aware (r9
+    verdict #7): the per-card facts (tier, encoded bytes, md5, error)
+    come from a sequential driver replay of the real JPEG ladder
+    (walk_tiers over render_compress_card, each unique card walked once,
+    baked into a VALUES table); the POPULATION fan-out, exact dedup on
+    encoded-output md5 (keep lowest img_id) and bucket rollup run in SQL
+    against the documents table — so the oracle follows the fixture's
+    size instead of hard-coding a population. The duplicate branch is an
+    ungrouped global aggregate on BOTH sides (r9 ADVICE), so each emits
+    exactly one rejected:duplicate row — n=0 included — even when no
+    twins exist. Lazy (oracle_fn) because the replay runs the real codec
+    (~seconds); process-cached after first resolution."""
     import hashlib
 
     from ai_knowledge_etl_spark.multimodal import images as IM
 
-    per_card = {
-        c: IM.walk_tiers(IM.render_compress_card(c))
-        for c in range(IM.N_COMPRESS_CARDS)
-    }
-    rows = []
-    for i in range(_PIPE_IMG_REAL_N):
-        tier, best, err = per_card[i % IM.N_COMPRESS_CARDS]
-        rows.append(
+    card_rows = []
+    for c in range(IM.N_COMPRESS_CARDS):
+        tier, best, err = IM.walk_tiers(IM.render_compress_card(c))
+        card_rows.append(
             (
-                i,
-                tier,
-                None if best is None else len(best),
-                None if best is None else hashlib.md5(best).hexdigest(),
-                err,
+                c,
+                "NULL" if tier is None else str(tier),
+                "NULL" if best is None else str(len(best)),
+                "NULL"
+                if best is None
+                else f"'{hashlib.md5(best).hexdigest()}'",
+                "NULL" if err is None else f"'{err}'",
             )
         )
-    keeper: dict[str, int] = {}
-    for i, _t, _nb, md5, _e in rows:
-        if md5 is not None and (md5 not in keeper or i < keeper[md5]):
-            keeper[md5] = i
-    buckets: dict[str, list[int]] = {}
-    for i, tier, nb, md5, err in rows:
-        if err is not None:
-            b = "rejected:invalid" if err.startswith("E003") else (
-                "rejected:oversize"
-            )
-            nb = 0
-        elif keeper[md5] != i:
-            b = "rejected:duplicate"
-        else:
-            b = f"tier:{tier}"
-        acc = buckets.setdefault(b, [0, 0])
-        acc[0] += 1
-        acc[1] += nb or 0
     values = ", ".join(
-        f"('{b}', {n}, {tb})" for b, (n, tb) in sorted(buckets.items())
+        f"({c}, {t}, {nb}, {md5}, {e})" for c, t, nb, md5, e in card_rows
     )
-    return (
-        "SELECT CAST(bucket AS VARCHAR) AS bucket, CAST(n AS BIGINT) AS n, "
-        "CAST(total_bytes AS BIGINT) AS total_bytes "
-        f"FROM (VALUES {values}) t(bucket, n, total_bytes)"
-    )
+    return f"""
+WITH cards(card, tier, out_bytes, out_md5, error) AS (VALUES {values}),
+pop AS (
+  SELECT doc_id // {_PIPE_IMG_REAL_EVERY} AS img_id,
+         (doc_id // {_PIPE_IMG_REAL_EVERY}) % {IM.N_COMPRESS_CARDS} AS card
+  FROM documents WHERE doc_id % {_PIPE_IMG_REAL_EVERY} = 0
+),
+walked AS (SELECT p.img_id, c.tier, c.out_bytes, c.out_md5, c.error
+           FROM pop p JOIN cards c USING (card)),
+ok AS (SELECT * FROM walked WHERE error IS NULL),
+keepers AS (SELECT out_md5 AS keep_md5, min(img_id) AS keep_id
+            FROM ok GROUP BY out_md5),
+kept AS (SELECT o.tier, o.out_bytes FROM ok o JOIN keepers k
+         ON o.out_md5 = k.keep_md5 AND o.img_id = k.keep_id),
+tiers AS (
+  SELECT 'tier:' || CAST(tier AS VARCHAR) AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(out_bytes) AS BIGINT) AS total_bytes
+  FROM kept GROUP BY tier
+),
+dupes AS (
+  SELECT 'rejected:duplicate' AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(out_bytes), 0) AS BIGINT) AS total_bytes
+  FROM ok o WHERE NOT EXISTS (
+    SELECT 1 FROM keepers k
+    WHERE o.out_md5 = k.keep_md5 AND o.img_id = k.keep_id)
+),
+invalid AS (
+  SELECT CASE WHEN error LIKE 'E003%' THEN 'rejected:invalid'
+              ELSE 'rejected:oversize' END AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(0 AS BIGINT) AS total_bytes
+  FROM walked WHERE error IS NOT NULL GROUP BY 1
+)
+SELECT * FROM tiers UNION ALL SELECT * FROM dupes
+UNION ALL SELECT * FROM invalid
+""".strip()
 
 
 @register(
@@ -554,8 +582,11 @@ def _image_curate_real_oracle() -> str:
     None,
     doc="Image curation with the REAL LOSSY TIER CHAIN composed in "
     "(round-8 verdict #4; reference: compress-image.mjs:49-97 + "
-    "commands/extract.md:519-554): the population maps 2 img_ids onto "
-    "each deterministic probe card (planted exact twins), every image "
+    "commands/extract.md:519-554): the population derives from the "
+    "documents table — one image per 25 docs, img_id = doc_id // 25 "
+    "(r9 verdict #7: 20 images at sf0.01, 200 at sf0.1, 2000 at the "
+    "10x sweep), each mapping onto probe card img_id % N_CARDS so "
+    "every card recurs (planted exact twins); every image "
     "renders and walks the genuine minijpeg 800→640→480→400 q80 ladder "
     "in an Arrow mapInPandas kernel (garbage cards → E003 error rows, "
     "error-as-data), EXACT dedup then runs over the md5 of the ACTUAL "
@@ -574,8 +605,20 @@ def _image_curate_real_oracle() -> str:
 def q_pipeline_image_curate_real(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    ids = spark.range(_PIPE_IMG_REAL_N).select(
-        F.col("id").cast("long").alias("img_id")
+    ids = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % _PIPE_IMG_REAL_EVERY == 0)
+        .select(
+            (F.col("doc_id") / _PIPE_IMG_REAL_EVERY)
+            .cast("long")
+            .alias("img_id")
+        )
+        # the ladder kernel is CODEC-bound (~0.55 s/image): the filtered
+        # documents scan collapses to one parquet split, which would
+        # serialize every walk on one core (measured: 109 s for 200
+        # images at sf0.1). Round-robin repartition spreads rows across
+        # the executor cores; the shuffle moves only 8-byte ids.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     # eager cut (the warc-corpus discipline): the codec walk feeds the
     # keeper aggregate, the kept join, and both rejection rollups —
@@ -1292,6 +1335,9 @@ FROM documents
     "proves the distributed real-byte parse path, not a size model. "
     "Scale: binary blobs ride mapInPandas in Arrow batches, O(batch) "
     "memory, zero shuffle, zero driver state.",
+    # the oracle PREDICTS metadata from (doc_id, n_chars); it never
+    # parses container bytes, so its wall is not an engine comparison
+    oracle_kind="replay",
 )
 def q_scan_av_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_knowledge_etl_spark.multimodal import av
@@ -1329,6 +1375,7 @@ FROM (
     "identically in both engines. The oracle predicts durations "
     "arithmetically from (doc_id, n_chars); the Spark side gets them "
     "from bytes.",
+    oracle_kind="replay",  # oracle predicts dur_ms; no container parse
 )
 def q_udf_audio_chunk_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_knowledge_etl_spark.multimodal import av
@@ -1388,6 +1435,64 @@ def q_udf_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udf-av-fingerprint-real",
+    """
+WITH wavs AS (
+  SELECT doc_id,
+         CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+         CASE WHEN doc_id % 7 = 3
+              THEN ((100 + n_chars % 900) * (1 + doc_id % 2) * 2 - 10)
+                   // (2 * (1 + doc_id % 2))
+              ELSE 100 + n_chars % 900 END AS frames
+  FROM documents WHERE doc_id % 5 <> 0
+),
+samp AS (
+  SELECT doc_id, ch, frames,
+         unnest(generate_series(0, CAST(frames * ch AS BIGINT) - 1)) AS i
+  FROM wavs
+),
+vals AS (
+  SELECT doc_id, ch, frames,
+         ((doc_id * 31 + i * 7) % 65536) - 32768 AS v
+  FROM samp
+)
+SELECT doc_id AS media_id,
+       CAST(ch AS INTEGER) AS channels,
+       CAST(frames AS BIGINT) AS n_frames,
+       CAST(sum(v) AS BIGINT) AS s_sum,
+       CAST(min(v) AS INTEGER) AS s_min,
+       CAST(max(v) AS INTEGER) AS s_max,
+       CAST(sum(v * v) AS BIGINT) AS s_sumsq
+FROM vals
+GROUP BY doc_id, ch, frames
+""".strip(),
+    doc="Audio energy/feature stats over REAL DECODED PCM SAMPLES (r9 "
+    "verdict #4 — closes the AV family's last closable realism gap): "
+    "miniwav.decode_pcm16 walks each blob's actual RIFF chunks to the "
+    "data payload and decodes interleaved little-endian int16 frames — "
+    "spec arithmetic, no audio library — then the kernel emits exact "
+    "integer stats (frame count, Σv, min/max, Σv², the loudness/VAD "
+    "energy integral). The oracle REGENERATES the synthetic signal "
+    "((doc_id*31 + i*7) mod 65536 - 32768 per pcm_ramp) with "
+    "generate_series and aggregates the same stats in DuckDB — real "
+    "engine work on both sides (sql-kind oracle, unlike the metadata "
+    "family's replay predictions), so a match proves the byte-level "
+    "decode path end to end: container walk, data offset, frame trim "
+    "on the truncated class (doc_id%7==3 loses its last 10 bytes; "
+    "both sides count only complete frames). Scale: single pass, "
+    "Arrow batches, vectorized numpy reductions, zero shuffle.",
+)
+def q_udf_av_fingerprint_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ai_knowledge_etl_spark.multimodal import av
+
+    return av.audio_fingerprint_real(
+        av.synth_wav_corpus(_docs(spark, sf_dir))
+    )
+
+
+@register(
     "udf-frame-sample-real",
     """
 WITH vids AS (
@@ -1413,6 +1518,7 @@ FROM (
     "udf-audio-chunk-real. The explosion is pure metadata (narrow "
     "sequence+posexplode, no shuffle); a PyAV decoder plugs into "
     "multimodal/av.extract_frame per emitted (media_id, ts_ms) row.",
+    oracle_kind="replay",  # oracle predicts dur_ms; no container parse
 )
 def q_udf_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_knowledge_etl_spark.multimodal import av

@@ -89,6 +89,7 @@ FROM crawl GROUP BY url
     "pure arithmetic in sum(ord(url)), the ENTIRE crawl — every wave, "
     "failure, login wall, scored link, and dedup — is replayed by one "
     "recursive CTE; min-depth per url must match exactly.",
+    oracle_kind="replay",  # CTE re-walks the fetcher's arithmetic trace
 )
 def q_pipeline_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_knowledge_etl_spark import pipeline as P

@@ -384,6 +384,9 @@ FROM links
     "the gate is a 5-sigma margin: a real accuracy property, "
     "seed-robust. tests/test_functions.py keeps the direct tolerance "
     "assertion.",
+    # the oracle checks the exact count + a bound assertion; it never
+    # builds an HLL sketch, so its wall is not an engine comparison
+    oracle_kind="replay",
 )
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_knowledge_etl_spark.functions import urls as U

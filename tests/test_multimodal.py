@@ -177,12 +177,24 @@ def test_av_chunks_cover_duration_exactly(spark, sf_dir):
 
 
 def test_av_decode_stubs_are_gated(spark):
+    """Canonical PCM-16 WAV decodes NATIVELY (miniwav spec arithmetic,
+    r9 verdict #4); only non-PCM bytes still hit the import gate."""
+    import numpy as np
     import pytest as _pytest
 
-    from ai_knowledge_etl_spark.multimodal import av
+    from ai_knowledge_etl_spark.multimodal import av, miniwav
 
+    samples, rate = av.decode_audio(
+        miniwav.encode_wav(miniwav.pcm_ramp(50, seed=3, channels=2), 8000,
+                           channels=2)
+    )
+    assert rate == 8000 and samples.shape == (50, 2)
+    expect = np.frombuffer(
+        miniwav.pcm_ramp(50, seed=3, channels=2), dtype="<i2"
+    ).reshape(50, 2)
+    assert (samples == expect).all()
     with _pytest.raises(NotImplementedError):
-        av.decode_audio(b"RIFFxxxx")
+        av.decode_audio(b"RIFFxxxx")  # not a parseable PCM WAV
     with _pytest.raises(NotImplementedError):
         av.extract_frame(b"ftypxxxx", 0)
 
@@ -415,6 +427,22 @@ def test_miniwav_roundtrip_property():
             assert t is not None and t["truncated"]
             assert t["data_bytes"] == m["data_bytes"]
             assert t["dur_ms"] == m["dur_ms"]
+        # decode round-trip (r9 verdict #4): full file recovers every
+        # sample bit-exactly; a truncated file decodes exactly the
+        # complete frames its remaining bytes carry (error-as-data)
+        import numpy as np
+
+        expect = np.frombuffer(samples, dtype="<i2").reshape(
+            n_samples, channels
+        )
+        meta, dec = miniwav.decode_pcm16(blob)
+        assert not meta["truncated"] and (dec == expect).all()
+        if cut > 0:
+            meta_t, dec_t = miniwav.decode_pcm16(blob[:-cut])
+            keep = (len(samples) - cut) // block
+            assert meta_t["truncated"]
+            assert dec_t.shape == (keep, channels)
+            assert (dec_t == expect[:keep]).all()
 
     check()
 

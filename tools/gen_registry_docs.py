@@ -63,7 +63,15 @@ def render() -> str:
         lines.append("| id | oracle | source | doc |")
         lines.append("|---|---|---|---|")
         for q, site in entries:
+            # oracle_kind (round-9 verdict #6): "replay" marks oracles
+            # that predict the output (VALUES/arithmetic/trace-walk)
+            # instead of recomputing it — equality proof, not an engine
+            # ratio. BENCH_DETAIL carries the same tag per query.
+            from ai_knowledge_etl_spark.registry import oracle_kind_of
+
             kind = ("sql" if q.oracle else "sql (lazy)" if q.oracle_fn else "rows-only")
+            if oracle_kind_of(q) == "replay":
+                kind += " · replay"
             doc = _first_line(q.doc).replace("|", "\\|")
             lines.append(f"| `{q.name}` | {kind} | {site} | {doc} |")
         lines.append("")

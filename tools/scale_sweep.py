@@ -128,6 +128,15 @@ HEAVY_QUERIES = [
     "agg-incremental-refresh",    # partial-merge cost vs 100x base scan
     "stream-incremental-mv",      # real foreachBatch MV at 100x events
     "join-waiting-supplier",      # fused collect_set plan on 100x lineitem
+    # round-10 additions (r9 verdict #5): the r9-new real-codec entries,
+    # formalized out of the manual 10x/100x runs of PERF.md:1431-1435 —
+    # documents scales ×mult, so every one of these re-encodes/walks
+    # ×mult real containers / JPEG ladders per sweep
+    "pipeline-image-curate-real",  # real JPEG ladder + byte-md5 dedup
+    "scan-av-meta-real",           # WAV/BMFF synth + chunk-walk parse
+    "udf-audio-chunk-real",        # chunking over real parsed durations
+    "udf-frame-sample-real",       # frame scheduling over real mvhd
+    "udf-av-fingerprint-real",     # full PCM sample decode + int stats
 ]
 
 
