@@ -182,7 +182,7 @@ HEAVY_FIRST = {
     "dedup-substring-span": 3,
     "scan-warc": 5,
     "pipeline-image-curate": 6,
-    "pipeline-image-curate-real": 8,  # real JPEG ladder x20 cards
+    "pipeline-image-curate-real": 12,  # real JPEG ladder, 200 images at sf0.1
     "scan-av-meta-real": 5,  # WAV encode kernel over documents
     "udf-av-fingerprint-real": 5,  # WAV encode + PCM decode kernel
     "dedup-image-phash": 4,
