@@ -411,3 +411,87 @@ def audio_fingerprint_real(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(gen, schema)
+
+
+# floor(32768^2 / 3): the mean square of a full-range uniform +-2^15
+# signal — the natural scale-free energy threshold for a VAD-style gate,
+# and integer-exact in both engines (no float in the comparison)
+VAD_MS_THRESHOLD = 357913941
+
+
+def audio_vad_real(media: DataFrame, frames_per_chunk: int = 256) -> DataFrame:
+    """Per-CHUNK energy gate over REAL DECODED PCM frames — the
+    voice-activity-style curation step an audio pipeline runs after
+    chunking: decode once, fold each 256-frame hop to its energy
+    integral (Σv² across channels), and gate on mean-square vs the
+    full-range-uniform threshold. Emits (media_id, chunk_no, n_frames,
+    energy, active); a curation pipeline keeps active chunks and drops
+    silence. Complements udf-av-fingerprint-real (per-FILE stats over
+    the same decode) and udf-audio-chunk-real (time-based spans over
+    parsed headers, no decode).
+
+    All integer-exact: energy ≤ frames_per_chunk · ch · 2³⁰ (≈2⁴⁰ at
+    stereo/256) so BIGINT never strains, and the active gate is an
+    integer cross-multiplication (energy > T · n_samples), never a
+    float mean. Truncated files contribute the complete frames they
+    carry; the final partial chunk carries its true n_frames.
+
+    Scale: one decode pass per file, per-chunk fold is a vectorized
+    np.add.reduceat — O(samples) per file, O(batch) memory, zero
+    shuffle."""
+    from ai_knowledge_etl_spark.sources.catalog import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers(media.sparkSession)
+    schema = (
+        "media_id long, chunk_no int, n_frames int, "
+        "energy long, active boolean"
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from ai_knowledge_etl_spark.multimodal import miniwav
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                dec = miniwav.decode_pcm16(
+                    bytes(blob) if blob is not None else b""
+                )
+                if dec is None:
+                    continue
+                meta, samples = dec
+                nf = samples.shape[0]
+                if nf == 0:
+                    continue
+                per_frame = (samples * samples).sum(axis=1)
+                starts = np.arange(0, nf, frames_per_chunk)
+                energies = np.add.reduceat(per_frame, starts)
+                ch = meta["channels"]
+                for c, st in enumerate(starts):
+                    n_fr = int(min(frames_per_chunk, nf - st))
+                    en = int(energies[c])
+                    rows.append(
+                        (
+                            int(mid),
+                            c,
+                            n_fr,
+                            en,
+                            en > VAD_MS_THRESHOLD * n_fr * ch,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "chunk_no",
+                    "n_frames",
+                    "energy",
+                    "active",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(gen, schema)

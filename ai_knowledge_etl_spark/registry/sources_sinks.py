@@ -1493,6 +1493,62 @@ def q_udf_av_fingerprint_real(
 
 
 @register(
+    "udf-audio-vad-real",
+    """
+WITH wavs AS (
+  SELECT doc_id,
+         CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+         CASE WHEN doc_id % 7 = 3
+              THEN ((100 + n_chars % 900) * (1 + doc_id % 2) * 2 - 10)
+                   // (2 * (1 + doc_id % 2))
+              ELSE 100 + n_chars % 900 END AS frames
+  FROM documents WHERE doc_id % 5 <> 0
+),
+samp AS (
+  SELECT doc_id, ch, frames,
+         unnest(generate_series(0, CAST(frames * ch AS BIGINT) - 1)) AS i
+  FROM wavs
+),
+vals AS (
+  SELECT doc_id, ch, (i // ch) // 256 AS chunk_no,
+         ((doc_id * 31 + i * 7) % 65536) - 32768 AS v
+  FROM samp
+)
+SELECT doc_id AS media_id,
+       CAST(chunk_no AS INTEGER) AS chunk_no,
+       CAST(count(*) // ch AS INTEGER) AS n_frames,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       sum(v * v) > 357913941 * count(*) AS active
+FROM vals
+GROUP BY doc_id, ch, chunk_no
+""".strip(),
+    doc="Per-CHUNK energy gate over REAL DECODED PCM frames — the "
+    "VAD-style curation step after chunking (keep active audio, drop "
+    "silence), closing the loop the AV family's three layers set up: "
+    "header parse (scan-av-meta-real) → chunk spans "
+    "(udf-audio-chunk-real) → per-chunk DECODED features (this). One "
+    "decode per file (miniwav.decode_pcm16), 256-frame hops folded by "
+    "vectorized np.add.reduceat, energy = exact integer Σv² across "
+    "channels, active = integer cross-multiplication against "
+    "floor(32768²/3) per sample — the full-range-uniform mean square, "
+    "which the ramp corpus straddles ~58/42 (each chunk's 7-step band "
+    "sits at a doc-dependent offset, so the gate exercises BOTH "
+    "branches). The oracle regenerates the signal with generate_series "
+    "and aggregates per (doc, chunk) — real engine work on both sides "
+    "(sql-kind); matching proves decode + hop segmentation + "
+    "partial-final-chunk handling, including the truncated class's "
+    "shortened frame counts. Scale: O(samples)/file Arrow kernel, "
+    "zero shuffle; BIGINT energy headroom ≈ 2⁴⁰ per stereo chunk.",
+)
+def q_udf_audio_vad_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_etl_spark.multimodal import av
+
+    return av.audio_vad_real(
+        av.synth_wav_corpus(_docs(spark, sf_dir)), frames_per_chunk=256
+    )
+
+
+@register(
     "udf-frame-sample-real",
     """
 WITH vids AS (

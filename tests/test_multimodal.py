@@ -491,3 +491,51 @@ def test_container_parsers_survive_every_truncation():
 
     moov_off = b.find(b"moov")
     assert struct.unpack(">I", b[moov_off + 4 : moov_off + 8])[0] == 108
+
+
+def test_audio_vad_real_chunks_and_gate(spark, sf_dir):
+    """Per-chunk decoded energy gate (round 10): chunk boundaries every
+    256 frames with a true-sized final partial chunk, energies exactly
+    Σv² over the decoded frames (slow-reference checked), and the
+    integer active gate exercises both branches across the corpus."""
+    import numpy as np
+
+    from ai_knowledge_etl_spark.multimodal import av, miniwav
+    from ai_knowledge_etl_spark.sources.catalog import load_table
+
+    # FULL documents table: the gate's ramp-band centers are
+    # (31·doc_id + 7·i) mod 65536, so a low-doc_id slice clusters near
+    # the ring edge and reads all-active — discrimination needs the
+    # corpus's full id range
+    docs = load_table(spark, sf_dir, "documents")
+    out = av.audio_vad_real(av.synth_wav_corpus(docs)).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert by_media, "no wav rows decoded"
+    some_partial = False
+    for mid, rows in list(by_media.items())[:10]:
+        doc = docs.where(F.col("doc_id") == mid).first()
+        ch = 1 + mid % 2
+        n = 100 + doc.n_chars % 900
+        blob = miniwav.encode_wav(
+            miniwav.pcm_ramp(n, seed=mid, channels=ch),
+            (8000, 16000, 44100)[mid % 3],
+            channels=ch,
+        )
+        if mid % 7 == 3:
+            blob = blob[:-10]
+        _meta, s = miniwav.decode_pcm16(blob)
+        rows.sort(key=lambda r: r.chunk_no)
+        assert sum(r.n_frames for r in rows) == s.shape[0]
+        for r in rows:
+            seg = s[r.chunk_no * 256 : r.chunk_no * 256 + r.n_frames]
+            # slow reference: python-int Σv² over the decoded segment
+            assert r.energy == int((seg.astype(object) ** 2).sum())
+            assert r.active == (
+                r.energy > av.VAD_MS_THRESHOLD * r.n_frames * ch
+            )
+            some_partial |= r.n_frames < 256
+    assert some_partial  # final partial chunks carry their true size
+    actives = {r.active for r in out}
+    assert actives == {True, False}  # the gate discriminates

@@ -137,6 +137,7 @@ HEAVY_QUERIES = [
     "udf-audio-chunk-real",        # chunking over real parsed durations
     "udf-frame-sample-real",       # frame scheduling over real mvhd
     "udf-av-fingerprint-real",     # full PCM sample decode + int stats
+    "udf-audio-vad-real",          # per-chunk decoded energy gate
 ]
 
 
