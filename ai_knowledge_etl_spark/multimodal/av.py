@@ -235,6 +235,13 @@ def synth_wav_corpus(docs: DataFrame) -> DataFrame:
                         duration=int(n_chars) * 25 + did % 97,
                         timescale=600 if did % 2 == 0 else 1000,
                         pad_bytes=did % 30,
+                        # REAL time-to-sample runs (round 10): two stts
+                        # entries derived from (doc_id, n_chars) so the
+                        # frame-times oracle can predict the schedule
+                        stts=(
+                            (1 + int(n_chars) % 7, 400 + (did % 7) * 40),
+                            (1 + did % 9, 520 + (int(n_chars) % 11) * 25),
+                        ),
                     )
                 else:
                     ch = 1 + did % 2
@@ -492,6 +499,57 @@ def audio_vad_real(media: DataFrame, frames_per_chunk: int = 256) -> DataFrame:
                     "energy",
                     "active",
                 ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(gen, schema)
+
+
+def frame_times_real(media: DataFrame) -> DataFrame:
+    """Per-frame decode timestamps from REAL sample tables (round 10):
+    the kernel walks each ISO-BMFF blob to its trak ▸ mdia ▸ minf ▸
+    stbl ▸ stts box (miniwav.parse_mp4_stts) and expands the
+    (sample_count, sample_delta) runs into one row per video frame —
+    exactly the walk a real demuxer does to schedule decode, replacing
+    udf-frame-sample-real's fixed-interval approximation with the
+    container's own timing. ts_ms = (Σ deltas before the frame) · 1000
+    // mvhd timescale, exact integer arithmetic. Blobs without a sample
+    table (plain skeletons, WAVs, junk) drop out — classify, never die.
+
+    Scale: per-file box walk + run expansion, O(frames) per file in an
+    Arrow batch, zero shuffle."""
+    from ai_knowledge_etl_spark.sources.catalog import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers(media.sparkSession)
+    schema = "media_id long, frame_no int, ts_ms long"
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ai_knowledge_etl_spark.multimodal import miniwav
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(blob) if blob is not None else b""
+                runs = miniwav.parse_mp4_stts(raw)
+                if not runs:
+                    continue
+                hdr = miniwav.parse_mp4_header(raw)
+                if hdr is None or not hdr["timescale"]:
+                    continue
+                ts = hdr["timescale"]
+                frame_no, ticks = 0, 0
+                for count, delta in runs:
+                    for _ in range(count):
+                        rows.append(
+                            (int(mid), frame_no, ticks * 1000 // ts)
+                        )
+                        frame_no += 1
+                        ticks += delta
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_no", "ts_ms"]
             )
 
     return media.select("media_id", "content").mapInPandas(gen, schema)

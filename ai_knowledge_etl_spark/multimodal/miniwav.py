@@ -165,12 +165,24 @@ MP4_BRAND = b"isom"
 
 
 def encode_mp4_skeleton(
-    duration: int, timescale: int = 1000, pad_bytes: int = 0
+    duration: int,
+    timescale: int = 1000,
+    pad_bytes: int = 0,
+    stts: tuple[tuple[int, int], ...] | None = None,
 ) -> bytes:
-    """A minimal real ISO-BMFF file: ftyp + moov(mvhd v0) + free padding.
-    Every byte follows the 14496-12 box grammar, so a real demuxer's box
-    walk (and ours) parses it; there are no media tracks — this is the
-    metadata skeleton a scan sees first in any real file."""
+    """A minimal real ISO-BMFF file: ftyp + moov(mvhd v0) + free padding,
+    optionally with a video track whose SAMPLE TABLE is real. Every byte
+    follows the 14496-12 box grammar, so a real demuxer's box walk (and
+    ours) parses it.
+
+    `stts` — (sample_count, sample_delta) runs per §8.6.1.2 — writes a
+    full trak ▸ mdia ▸ minf ▸ stbl nesting around a spec-exact stts box
+    (plus tkhd/mdhd/hdlr/vmhd and empty-but-well-formed stsd/stsc/stco
+    and a zero-size stsz whose sample_count matches the stts total):
+    frame TIMING then comes from a genuine time-to-sample table, the
+    structure a real demuxer walks to schedule decode. There is still no
+    mdat/codec config — timing metadata is real, pixels stay out of
+    scope (no pure-Python video codec exists)."""
 
     def box(tag: bytes, body: bytes) -> bytes:
         return struct.pack(">I", 8 + len(body)) + tag + body
@@ -210,8 +222,62 @@ def encode_mp4_skeleton(
             1,
         ),
     )
+    moov_body = mvhd
+    if stts:
+        n_samples = sum(c for c, _ in stts)
+        trk_dur = sum(c * d for c, d in stts)
+        stts_box = box(
+            b"stts",
+            struct.pack(">BxxxI", 0, len(stts))
+            + b"".join(struct.pack(">II", c, d) for c, d in stts),
+        )
+        # stbl per §8.5: stsd (entry_count 0 — no codec config, honest
+        # for a file with no mdat), stts (the real table), stsc/stco
+        # (0 entries), stsz (default size 0, count = stts total — the
+        # cross-box consistency a validator checks)
+        stbl = box(
+            b"stbl",
+            box(b"stsd", struct.pack(">BxxxI", 0, 0))
+            + stts_box
+            + box(b"stsc", struct.pack(">BxxxI", 0, 0))
+            + box(b"stsz", struct.pack(">BxxxII", 0, 0, n_samples))
+            + box(b"stco", struct.pack(">BxxxI", 0, 0)),
+        )
+        minf = box(
+            b"minf",
+            # vmhd v0 flags=1 (spec: always 1), graphicsmode/opcolor 0
+            box(b"vmhd", struct.pack(">B3BHHHH", 0, 0, 0, 1, 0, 0, 0, 0))
+            + stbl,
+        )
+        mdhd = box(
+            b"mdhd",
+            # v0: times 0, track timescale = movie timescale, duration =
+            # Σ count·delta, language 'und' (0x55C4), pre_defined 0
+            struct.pack(
+                ">BxxxIIII HH", 0, 0, 0, timescale,
+                min(trk_dur, 0xFFFFFFFF), 0x55C4, 0,
+            ),
+        )
+        hdlr = box(
+            b"hdlr",
+            struct.pack(">Bxxx I 4s 12x", 0, 0, b"vide") + b"mini\x00",
+        )
+        tkhd = box(
+            b"tkhd",
+            # v0, flags enabled(1): times 0, track_ID 1, duration in
+            # MOVIE timescale (same here), layer/group/volume 0,
+            # identity matrix, width/height 0 (no pixels)
+            struct.pack(
+                ">BxxxIIIxxxxI xxxxxxxx HHHxx 9I II",
+                0, 0, 0, 1, min(trk_dur, 0xFFFFFFFF),
+                0, 0, 0, *identity, 0, 0,
+            ),
+        )
+        moov_body += box(
+            b"trak", tkhd + box(b"mdia", mdhd + hdlr + minf)
+        )
     out = box(b"ftyp", MP4_BRAND + struct.pack(">I", 0) + MP4_BRAND)
-    out += box(b"moov", mvhd)
+    out += box(b"moov", moov_body)
     if pad_bytes:
         out += box(b"free", b"\x00" * pad_bytes)
     return out
@@ -266,3 +332,43 @@ def parse_mp4_header(raw: bytes) -> dict | None:
             }
         pos += size
     return None
+
+
+def parse_mp4_stts(raw: bytes) -> list[tuple[int, int]] | None:
+    """ISO-BMFF bytes → the first video track's time-to-sample runs
+    [(sample_count, sample_delta), ...] (§8.6.1.2), or None when the
+    bytes are not BMFF / carry no sample table. A real demuxer schedules
+    frame decode from exactly this walk: moov ▸ trak ▸ mdia ▸ minf ▸
+    stbl ▸ stts; each box skipped by its declared size, truncation
+    classified as absent rather than raised (never-die scan contract)."""
+    if len(raw) < 12 or raw[4:8] != b"ftyp":
+        return None
+
+    def find(tag: bytes, start: int, end: int) -> tuple[int, int] | None:
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", raw[pos : pos + 4])
+            if size < 8:
+                return None
+            if raw[pos + 4 : pos + 8] == tag:
+                return pos + 8, min(pos + size, end)
+            pos += size
+        return None
+
+    span = find(b"moov", 0, len(raw))
+    for tag in (b"trak", b"mdia", b"minf", b"stbl", b"stts"):
+        if span is None:
+            return None
+        span = find(tag, *span)
+    if span is None:
+        return None
+    s, e = span
+    if e - s < 8:
+        return None
+    (n,) = struct.unpack(">I", raw[s + 4 : s + 8])
+    body = raw[s + 8 : e]
+    if len(body) < 8 * n:
+        return None  # declared more runs than the box carries
+    return [
+        struct.unpack(">II", body[i * 8 : i * 8 + 8]) for i in range(n)
+    ]

@@ -523,6 +523,13 @@ def main() -> None:
         for n in sweep_best
         if n in duck_inter and oracle_kind_of(REGISTRY[n]) == "sql"
     ]
+    # The all-query sums carry one ~0.1-0.3 s Spark scheduling floor PER
+    # QUERY that DuckDB (in-process) never pays, so their ratio reads a
+    # structural ~4-5× regardless of engine quality — track its
+    # MOVEMENT, not its level. The `heavy` twin restricts to pairs where
+    # duck does ≥ 0.5 s of real work: floors are minor there, so its
+    # level is comparable to the 2× gate.
+    sw_heavy = [(s, d) for s, d in sw_pairs if d >= 0.5]
     samewindow = (
         {
             "samewindow_spark_sec": round(sum(s for s, _ in sw_pairs), 3),
@@ -532,6 +539,24 @@ def main() -> None:
                 sum(s for s, _ in sw_pairs)
                 / max(sum(d for _, d in sw_pairs), 1e-9),
                 3,
+            ),
+            **(
+                {
+                    "samewindow_heavy_spark_sec": round(
+                        sum(s for s, _ in sw_heavy), 3
+                    ),
+                    "samewindow_heavy_duck_sec": round(
+                        sum(d for _, d in sw_heavy), 3
+                    ),
+                    "samewindow_heavy_n": len(sw_heavy),
+                    "samewindow_heavy_ratio": round(
+                        sum(s for s, _ in sw_heavy)
+                        / max(sum(d for _, d in sw_heavy), 1e-9),
+                        3,
+                    ),
+                }
+                if sw_heavy
+                else {}
             ),
         }
         if sw_pairs

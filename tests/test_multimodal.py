@@ -539,3 +539,25 @@ def test_audio_vad_real_chunks_and_gate(spark, sf_dir):
     assert some_partial  # final partial chunks carry their true size
     actives = {r.active for r in out}
     assert actives == {True, False}  # the gate discriminates
+
+
+def test_minimp4_stts_roundtrip_and_walk():
+    """Sample-table codec (round 10): encode → parse_mp4_stts recovers
+    the exact (count, delta) runs through the trak▸mdia▸minf▸stbl walk;
+    mvhd parsing is unaffected by the track's presence; files without a
+    track, non-BMFF bytes, and every truncation prefix classify as
+    absent (None), never raise."""
+    from ai_knowledge_etl_spark.multimodal import miniwav
+
+    runs = ((3, 400), (2, 700))
+    b = miniwav.encode_mp4_skeleton(
+        90000, timescale=600, pad_bytes=7, stts=runs
+    )
+    assert miniwav.parse_mp4_stts(b) == [(3, 400), (2, 700)]
+    m = miniwav.parse_mp4_header(b)
+    assert m is not None and (m["timescale"], m["duration"]) == (600, 90000)
+    assert miniwav.parse_mp4_stts(miniwav.encode_mp4_skeleton(100)) is None
+    assert miniwav.parse_mp4_stts(b"junk bytes") is None
+    for cut in range(1, len(b)):
+        out = miniwav.parse_mp4_stts(b[:cut])
+        assert out is None or out == [(3, 400), (2, 700)]

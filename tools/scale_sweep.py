@@ -138,6 +138,7 @@ HEAVY_QUERIES = [
     "udf-frame-sample-real",       # frame scheduling over real mvhd
     "udf-av-fingerprint-real",     # full PCM sample decode + int stats
     "udf-audio-vad-real",          # per-chunk decoded energy gate
+    "udf-frame-times-real",        # stts sample-table walk + expansion
 ]
 
 
