@@ -1549,6 +1549,75 @@ def q_udf_audio_vad_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline-av-curate-real",
+    """
+WITH wavs AS (
+  SELECT doc_id,
+         CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+         CASE WHEN doc_id % 7 = 3
+              THEN ((100 + n_chars % 900) * (1 + doc_id % 2) * 2 - 10)
+                   // (2 * (1 + doc_id % 2))
+              ELSE 100 + n_chars % 900 END AS frames
+  FROM documents WHERE doc_id % 5 <> 0
+),
+samp AS (
+  SELECT doc_id, ch, frames,
+         unnest(generate_series(0, CAST(frames * ch AS BIGINT) - 1)) AS i
+  FROM wavs
+),
+vals AS (
+  SELECT doc_id, ch, (i // ch) // 256 AS chunk_no,
+         ((doc_id * 31 + i * 7) % 65536) - 32768 AS v
+  FROM samp
+),
+chunks AS (
+  SELECT doc_id, ch, chunk_no,
+         sum(v * v) AS energy,
+         sum(v * v) > 357913941 * count(*) AS active
+  FROM vals GROUP BY doc_id, ch, chunk_no
+)
+SELECT doc_id AS media_id,
+       CAST(count(*) AS INTEGER) AS n_chunks,
+       CAST(count(*) FILTER (WHERE active) AS INTEGER) AS n_active,
+       CAST(coalesce(sum(energy) FILTER (WHERE active), 0) AS BIGINT)
+         AS kept_energy,
+       count(*) FILTER (WHERE active) * 3 >= count(*) AS keep
+FROM chunks GROUP BY doc_id
+""".strip(),
+    doc="The audio curation pipeline END-TO-END on real bytes (round "
+    "10): one decode pass per file (miniwav.decode_pcm16) feeds the "
+    "per-chunk energy gate (udf-audio-vad-real's 256-frame hops), and "
+    "a per-file rollup makes the KEEP decision a media curation "
+    "pipeline actually ships — n_chunks / n_active / Σ active energy / "
+    "keep iff ≥ 1/3 of chunks are active (integer cross-multiplied, "
+    "no float ratio). The composed twin of pipeline-image-curate-real "
+    "for the audio family: container walk → sample decode → chunk "
+    "gate → file decision, all differential-proven in one plan. "
+    "Oracle composes the same CTE chain (signal regeneration → chunk "
+    "aggregate → file rollup) — real engine work on both sides "
+    "(sql-kind). Scale: the decode+gate is one Arrow pass with zero "
+    "shuffle; the rollup is a single hash aggregate on media_id.",
+)
+def q_pipeline_av_curate_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ai_knowledge_etl_spark.multimodal import av
+
+    chunks = av.audio_vad_real(
+        av.synth_wav_corpus(_docs(spark, sf_dir)), frames_per_chunk=256
+    )
+    act = F.col("active").cast("int")
+    return chunks.groupBy("media_id").agg(
+        F.count("*").cast("int").alias("n_chunks"),
+        F.sum(act).cast("int").alias("n_active"),
+        F.coalesce(
+            F.sum(F.when(F.col("active"), F.col("energy"))), F.lit(0)
+        ).cast("long").alias("kept_energy"),
+        (F.sum(act) * 3 >= F.count("*")).alias("keep"),
+    )
+
+
+@register(
     "udf-frame-times-real",
     """
 WITH vids AS (

@@ -139,6 +139,7 @@ HEAVY_QUERIES = [
     "udf-av-fingerprint-real",     # full PCM sample decode + int stats
     "udf-audio-vad-real",          # per-chunk decoded energy gate
     "udf-frame-times-real",        # stts sample-table walk + expansion
+    "pipeline-av-curate-real",     # composed decode+gate+keep rollup
 ]
 
 
