@@ -185,6 +185,9 @@ HEAVY_FIRST = {
     "pipeline-image-curate-real": 12,  # real JPEG ladder, 200 images at sf0.1
     "scan-av-meta-real": 5,  # WAV encode kernel over documents
     "udf-av-fingerprint-real": 5,  # WAV encode + PCM decode kernel
+    "pipeline-av-curate-real": 5,  # decode + VAD gate + keep rollup
+    "udf-audio-vad-real": 4,
+    "udf-frame-times-real": 3,
     "dedup-image-phash": 4,
     "dedup-cluster-cc": 13,
     "scan-custom-datasource": 12,
