@@ -374,7 +374,10 @@ def _encode_scan(comps: list[np.ndarray]) -> bytes:
     bits = np.empty(total + npad, dtype=np.uint8)
     if total:
         pos = np.arange(total, dtype=np.int64)
-        si = np.searchsorted(ends, pos, side="right")
+        # symbol index per bit: symbol i owns L[i] consecutive positions,
+        # so repeat(arange, L) IS searchsorted(ends, pos, 'right') — same
+        # indices, ~5× cheaper than a log-n probe per bit
+        si = np.repeat(np.arange(L.size, dtype=np.int64), L)
         bits[:total] = ((V[si] >> (ends[si] - 1 - pos)) & 1).astype(
             np.uint8
         )
