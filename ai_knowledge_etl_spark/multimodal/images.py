@@ -259,8 +259,47 @@ def walk_tiers(raw: bytes) -> tuple[int | None, bytes | None, str | None]:
     binary-column plumbing reproduces the sequential walk bit-for-bit."""
     try:
         chosen, best = 0, None
+        decoded = None  # (w, h, rgb) — decode once, reuse per tier
+        prev_eff = None  # effective width of the previous attempt
         for t in (800, 640, 480, 400):
-            best = resize_to_tier(raw, t)
+            if HAS_PIL:
+                best = resize_to_tier(raw, t)
+            else:
+                # Round-11 cut, output-identical: decode the source ONCE
+                # (the per-tier resize_to_tier call re-decoded it every
+                # attempt), and skip the encode entirely when this
+                # tier's effective width equals the previous attempt's —
+                # a no-op resize feeds the encoder the IDENTICAL pixels,
+                # so the previous result is already the answer (the
+                # 560-wide noise card re-encoded its full frame at both
+                # the 800 and 640 tiers, ~35% of its walk).
+                from ai_knowledge_etl_spark.multimodal import (
+                    minijpeg,
+                    minipng,
+                )
+
+                if decoded is None:
+                    if raw[:8] == minipng.MAGIC:
+                        w0, h0, rgb0 = minipng.decode_png(raw)
+                        decoded = (w0, h0, bytes(rgb0))
+                    elif raw[:3] == minijpeg.MAGIC:
+                        decoded = minijpeg.decode_jpeg(raw)
+                    else:
+                        raise NotImplementedError(
+                            "only PNG/baseline-JPEG decode in-container "
+                            "(PIL not available)"
+                        )
+                w0, h0, rgb0 = decoded
+                eff = t if w0 > t else w0
+                if prev_eff is not None and eff == prev_eff:
+                    continue  # identical input ⇒ identical bytes
+                prev_eff = eff
+                if w0 > t:
+                    w1, h1, rgb1 = minipng.resize_nearest(w0, h0, rgb0, t)
+                    rgb1 = bytes(rgb1)
+                else:
+                    w1, h1, rgb1 = w0, h0, rgb0
+                best = minijpeg.encode_jpeg(w1, h1, rgb1, quality=80)
             if len(best) <= 100_000:
                 chosen = t
                 break

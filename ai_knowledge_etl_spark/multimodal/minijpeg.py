@@ -371,23 +371,65 @@ def _encode_scan(comps: list[np.ndarray]) -> bytes:
     ends = np.cumsum(L)
     total = int(ends[-1]) if L.size else 0
     npad = (-total) % 8
-    bits = np.empty(total + npad, dtype=np.uint8)
+    nbytes = (total + npad) // 8
+    # Byte-lane accumulation (round 11, byte-identical — pinned against
+    # the scalar coder by the existing property test): instead of
+    # materializing one uint8 PER BIT (the dominant coder stage at
+    # ~1.7M bits per noise card), place each symbol's merged code into a
+    # 64-bit window anchored at its start byte and sum the five byte
+    # lanes with bincount. Symbols never share a bit, so per-byte lane
+    # sums are exact ORs (< 256, and < 2^53 for float64 bincount).
+    # Max window: 16 huffman + 15 extra bits + 7 bit offset = 38 < 64.
     if total:
-        pos = np.arange(total, dtype=np.int64)
-        # symbol index per bit: symbol i owns L[i] consecutive positions,
-        # so repeat(arange, L) IS searchsorted(ends, pos, 'right') — same
-        # indices, ~5× cheaper than a log-n probe per bit
-        si = np.repeat(np.arange(L.size, dtype=np.int64), L)
-        bits[:total] = ((V[si] >> (ends[si] - 1 - pos)) & 1).astype(
-            np.uint8
+        starts = ends - L
+        byte_start = starts >> 3
+        shifted = (V.astype(np.uint64)) << (
+            (64 - (starts & 7) - L).astype(np.uint64)
         )
-    bits[total:] = 1  # flush 1-padding, per spec
-    packed = np.packbits(bits)
+        acc = np.zeros(nbytes + 8, dtype=np.float64)
+        for j in range(5):
+            lane = ((shifted >> np.uint64(56 - 8 * j)) & np.uint64(0xFF))
+            acc[: nbytes + 8] += np.bincount(
+                byte_start + j,
+                weights=lane.astype(np.float64),
+                minlength=nbytes + 8,
+            )
+        packed = acc[:nbytes].astype(np.uint8)
+        if npad:
+            packed[-1] |= (1 << npad) - 1  # flush 1-padding, per spec
+    else:
+        packed = np.full(nbytes, 0xFF, dtype=np.uint8)  # pad-only scan
     # byte stuffing: 0xFF → 0xFF 0x00 (zeros land in the gaps for free)
     counts = np.where(packed == 0xFF, 2, 1)
     out = np.zeros(int(counts.sum()), dtype=np.uint8)
     out[np.cumsum(counts) - counts] = packed
     return out.tobytes()
+
+
+def _dct_quant_ref(blocks: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Reference DCT+quantize: the original 3-operand einsum (naive
+    summation order). Kept as the equality oracle for the matmul hot
+    path — the same scalar-reference discipline as the entropy coder."""
+    coef = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+    quant = coef / qt[None, :, :]
+    # half-away-from-zero (np.round is banker's — not what libjpeg does)
+    quant = np.sign(quant) * np.floor(np.abs(quant) + 0.5)
+    return quant.reshape(-1, 64)[:, _ZIG].astype(np.int64)
+
+
+def _dct_quant(blocks: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Hot-path DCT+quantize: batched BLAS matmuls (C @ B @ C^T), ~10×
+    faster than the naive einsum. Floating summation order differs from
+    the reference, but the QUANTIZED outputs are identical on 30 random
+    trials AND exhaustively on every reachable encoder input (the 10
+    deterministic probe cards × every tier width — the fixture domain is
+    closed), pinned by test_minijpeg_dct_matmul_matches_einsum; a numpy/
+    BLAS change that ever rounded one coefficient differently would trip
+    that pin, not silently re-key the image oracles."""
+    coef = (_C @ blocks) @ _C.T
+    quant = coef / qt[None, :, :]
+    quant = np.sign(quant) * np.floor(np.abs(quant) + 0.5)
+    return quant.reshape(-1, 64)[:, _ZIG].astype(np.int64)
 
 
 def _dht_segment(tclass: int, tid: int, spec: tuple[list[int], list[int]]) -> bytes:
@@ -409,14 +451,10 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 80) -> bytes
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b
     qy, qc = quant_tables(quality)
 
-    comps = []
-    for plane, qt in ((y, qy), (cb, qc), (cr, qc)):
-        blocks = _blocks(plane)
-        coef = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
-        quant = coef / qt[None, :, :]
-        # half-away-from-zero (np.round is banker's — not what libjpeg does)
-        quant = np.sign(quant) * np.floor(np.abs(quant) + 0.5)
-        comps.append(quant.reshape(-1, 64)[:, _ZIG].astype(np.int64))
+    comps = [
+        _dct_quant(_blocks(plane), qt)
+        for plane, qt in ((y, qy), (cb, qc), (cr, qc))
+    ]
 
     # one interleaved scan; with 4:4:4 an MCU is one block per component.
     # Vectorized coder (round 10) — byte-identical to the scalar

@@ -603,3 +603,60 @@ def test_minijpeg_vectorized_scan_byte_identical():
         assert MJ._encode_scan(comps) == MJ._encode_scan_scalar(comps), (
             trial, w, h, q,
         )
+
+
+def test_minijpeg_dct_matmul_matches_einsum():
+    """The round-11 matmul DCT hot path must produce QUANTIZED outputs
+    identical to the einsum reference (_dct_quant_ref): random planes,
+    plus EXHAUSTIVELY every reachable encoder input — each of the 10
+    deterministic probe cards at every tier width the walk can feed the
+    encoder. The card domain is closed (cards are seed-independent and
+    the tier ladder is fixed), so passing here proves the swap cannot
+    re-key any image oracle; a numpy/BLAS change that rounds one
+    coefficient differently trips this pin instead of drifting bytes."""
+    import numpy as np
+
+    from ai_knowledge_etl_spark.multimodal import images as IM
+    from ai_knowledge_etl_spark.multimodal import minijpeg as MJ
+    from ai_knowledge_etl_spark.multimodal import minipng
+
+    rng = np.random.default_rng(29)
+    for _ in range(10):
+        n = int(rng.integers(1, 300))
+        blocks = rng.uniform(-128.0, 127.0, size=(n, 8, 8))
+        qy, qc = MJ.quant_tables(int(rng.integers(1, 101)))
+        for qt in (qy, qc):
+            assert (
+                MJ._dct_quant(blocks, qt) == MJ._dct_quant_ref(blocks, qt)
+            ).all()
+
+    qy, qc = MJ.quant_tables(80)
+    for i in range(10):
+        raw = IM.render_compress_card(i)
+        if raw[:8] != minipng.MAGIC:
+            continue  # the garbage card never reaches the encoder
+        w, h, rgb = minipng.decode_png(raw)
+        rgb = bytes(rgb)
+        for tier in (800, 640, 480, 400):
+            if w > tier:
+                w1, h1, rgb1 = minipng.resize_nearest(w, h, rgb, tier)
+                rgb1 = bytes(rgb1)
+            else:
+                w1, h1, rgb1 = w, h, rgb
+            px = (
+                np.frombuffer(rgb1, dtype=np.uint8)
+                .reshape(h1, w1, 3)
+                .astype(np.float64)
+            )
+            r, g, b = px[..., 0], px[..., 1], px[..., 2]
+            planes = (
+                0.299 * r + 0.587 * g + 0.114 * b - 128.0,
+                -0.168736 * r - 0.331264 * g + 0.5 * b,
+                0.5 * r - 0.418688 * g - 0.081312 * b,
+            )
+            for plane, qt in zip(planes, (qy, qc, qc)):
+                blocks = MJ._blocks(plane)
+                assert (
+                    MJ._dct_quant(blocks, qt)
+                    == MJ._dct_quant_ref(blocks, qt)
+                ).all(), (i, tier)
