@@ -351,24 +351,29 @@ def importance_scores(
     estimation (target distribution carried as a flag column) and the
     scoring join; the weight table is N_FEATURE_BUCKETS rows — always
     broadcast."""
-    # deliberately NOT persisted: the weight estimation and the scoring
-    # join each recompute the explode (one cheap codegen pass) — a per-call
-    # persist would pin a corpus-sized token stream on every invocation
-    # (the leak shape ADVICE r1 flagged); callers wanting reuse can persist
-    # upstream themselves. The measured alternative — collapsing to
-    # (id, is_target, bucket, count) rows once and persisting — LOSES
-    # (round-8 warc-cut A/B: tail stage 0.70 → 1.56 s): the (doc, bucket)
-    # key barely combines map-side (short docs touch most of their
-    # buckets once), so it trades two cheap codegen explodes feeding
-    # tiny combined shuffles for one corpus-scale shuffle plus a cache
-    # write. The two-explode shape IS the scale shape: per-token work is
-    # embarrassingly parallel; the only shuffles are 4096-row-bounded.
+    # ONE tokenize+hash pass, checkpointed (round 11): the weight
+    # estimation and the scoring join used to each recompute the
+    # explode — and, more to the point, the md5+conv per TOKEN
+    # OCCURRENCE, the dominant per-row cost. Materializing the hashed
+    # stream once (narrow rows: id, bool, int bucket — the token string
+    # is already dropped) and reusing it for both consumers measured
+    # 1.21 → 0.74 s isolated at sf0.1 (tools/bench_dsir_shapes.py,
+    # same-session min-of-3; a vocab-level rewrite that hashes once per
+    # DISTINCT token read 1.13 s — second place). This is guide-§8
+    # discipline: hash once, move/reuse the lightweight proxy. The r8
+    # A/B that rejected persisting still stands for the AGGREGATED
+    # (id, bucket, count) form — the (doc, bucket) key barely combines
+    # map-side on short docs, so that shape pays a corpus-scale shuffle;
+    # the checkpoint here materializes WITHOUT any shuffle. The
+    # localCheckpoint releases with the DataFrame (ContextCleaner / the
+    # bench's inter-pass gc), the same lifetime as the pipelines'
+    # existing corpus-sized cuts (pipeline.py `flagged`).
     flagged = hashed_unigram_buckets(
         docs.withColumn("is_target", F.expr(target_pred)),
         id_col,
         text_col,
         keep=("is_target",),
-    )
+    ).localCheckpoint()
     weights = importance_weights(flagged)
     return (
         flagged.join(F.broadcast(weights), "bucket")
