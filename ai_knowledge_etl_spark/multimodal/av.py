@@ -512,8 +512,10 @@ def frame_times_real(media: DataFrame) -> DataFrame:
     exactly the walk a real demuxer does to schedule decode, replacing
     udf-frame-sample-real's fixed-interval approximation with the
     container's own timing. ts_ms = (Σ deltas before the frame) · 1000
-    // mvhd timescale, exact integer arithmetic. Blobs without a sample
-    table (plain skeletons, WAVs, junk) drop out — classify, never die.
+    // the TRACK's mdhd timescale (ISO 14496-12 defines stts deltas in
+    the media timescale, not the movie mvhd one — ADVICE r10 #1), exact
+    integer arithmetic. Blobs without a sample table (plain skeletons,
+    WAVs, junk) drop out — classify, never die.
 
     Scale: per-file box walk + run expansion, O(frames) per file in an
     Arrow batch, zero shuffle."""
@@ -533,13 +535,10 @@ def frame_times_real(media: DataFrame) -> DataFrame:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(blob) if blob is not None else b""
-                runs = miniwav.parse_mp4_stts(raw)
-                if not runs:
+                timing = miniwav.parse_mp4_video_timing(raw)
+                if not timing or not timing[1]:
                     continue
-                hdr = miniwav.parse_mp4_header(raw)
-                if hdr is None or not hdr["timescale"]:
-                    continue
-                ts = hdr["timescale"]
+                ts, runs = timing
                 frame_no, ticks = 0, 0
                 for count, delta in runs:
                     for _ in range(count):

@@ -264,9 +264,12 @@ def encode_mp4_skeleton(
         )
         tkhd = box(
             b"tkhd",
-            # v0, flags enabled(1): times 0, track_ID 1, duration in
-            # MOVIE timescale (same here), layer/group/volume 0,
-            # identity matrix, width/height 0 (no pixels)
+            # v0, flags 0 (the >Bxxx pad zeroes all three flag bytes —
+            # a strict validator reads the track as not-enabled; kept
+            # as-is because downstream bytes are fingerprint-pinned):
+            # times 0, track_ID 1, duration in MOVIE timescale (same
+            # here), layer/group/volume 0, identity matrix,
+            # width/height 0 (no pixels)
             struct.pack(
                 ">BxxxIIIxxxxI xxxxxxxx HHHxx 9I II",
                 0, 0, 0, 1, min(trk_dur, 0xFFFFFFFF),
@@ -334,13 +337,17 @@ def parse_mp4_header(raw: bytes) -> dict | None:
     return None
 
 
-def parse_mp4_stts(raw: bytes) -> list[tuple[int, int]] | None:
-    """ISO-BMFF bytes → the first video track's time-to-sample runs
-    [(sample_count, sample_delta), ...] (§8.6.1.2), or None when the
-    bytes are not BMFF / carry no sample table. A real demuxer schedules
-    frame decode from exactly this walk: moov ▸ trak ▸ mdia ▸ minf ▸
-    stbl ▸ stts; each box skipped by its declared size, truncation
-    classified as absent rather than raised (never-die scan contract)."""
+def parse_mp4_video_timing(
+    raw: bytes,
+) -> tuple[int, list[tuple[int, int]]] | None:
+    """ISO-BMFF bytes → (media_timescale, stts runs) of the first VIDEO
+    track, or None when the bytes are not BMFF / carry no video sample
+    table. A real demuxer schedules frame decode from exactly this walk:
+    moov ▸ trak ▸ mdia ▸ (hdlr=='vide'? else next trak) ▸ minf ▸ stbl ▸
+    stts, with sample deltas in the TRACK's mdhd timescale (§8.6.1.2 —
+    not the movie mvhd timescale; ADVICE r10 #1/#3). Each box is skipped
+    by its declared size; truncation is classified as absent rather than
+    raised (never-die scan contract)."""
     if len(raw) < 12 or raw[4:8] != b"ftyp":
         return None
 
@@ -355,20 +362,65 @@ def parse_mp4_stts(raw: bytes) -> list[tuple[int, int]] | None:
             pos += size
         return None
 
-    span = find(b"moov", 0, len(raw))
-    for tag in (b"trak", b"mdia", b"minf", b"stbl", b"stts"):
-        if span is None:
+    moov = find(b"moov", 0, len(raw))
+    if moov is None:
+        return None
+    # walk EVERY trak: a file whose first track is audio must not donate
+    # its timing runs to the video walk
+    pos, moov_end = moov
+    while pos + 8 <= moov_end:
+        (size,) = struct.unpack(">I", raw[pos : pos + 4])
+        if size < 8:
             return None
-        span = find(tag, *span)
-    if span is None:
-        return None
-    s, e = span
-    if e - s < 8:
-        return None
-    (n,) = struct.unpack(">I", raw[s + 4 : s + 8])
-    body = raw[s + 8 : e]
-    if len(body) < 8 * n:
-        return None  # declared more runs than the box carries
-    return [
-        struct.unpack(">II", body[i * 8 : i * 8 + 8]) for i in range(n)
-    ]
+        if raw[pos + 4 : pos + 8] == b"trak":
+            trak = (pos + 8, min(pos + size, moov_end))
+            mdia = find(b"mdia", *trak)
+            if mdia is not None:
+                hdlr = find(b"hdlr", *mdia)
+                # hdlr body: version/flags(4) pre_defined(4) handler(4)
+                handler = (
+                    raw[hdlr[0] + 8 : hdlr[0] + 12]
+                    if hdlr is not None and hdlr[1] - hdlr[0] >= 12
+                    else b""
+                )
+                if handler == b"vide":
+                    # mdhd body: version/flags(4) creation(4)
+                    # modification(4) timescale(4) ...
+                    mdhd = find(b"mdhd", *mdia)
+                    ts = (
+                        struct.unpack(
+                            ">I", raw[mdhd[0] + 12 : mdhd[0] + 16]
+                        )[0]
+                        if mdhd is not None and mdhd[1] - mdhd[0] >= 16
+                        else 0
+                    )
+                    span = find(b"minf", *mdia)
+                    for tag in (b"stbl", b"stts"):
+                        if span is None:
+                            return None
+                        span = find(tag, *span)
+                    if span is None or not ts:
+                        return None
+                    s, e = span
+                    if e - s < 8:
+                        return None
+                    (n,) = struct.unpack(">I", raw[s + 4 : s + 8])
+                    body = raw[s + 8 : e]
+                    if len(body) < 8 * n:
+                        return None  # more runs declared than carried
+                    return ts, [
+                        struct.unpack(">II", body[i * 8 : i * 8 + 8])
+                        for i in range(n)
+                    ]
+        pos += size
+    return None
+
+
+def parse_mp4_stts(raw: bytes) -> list[tuple[int, int]] | None:
+    """ISO-BMFF bytes → the first VIDEO track's time-to-sample runs
+    [(sample_count, sample_delta), ...] (§8.6.1.2), or None when the
+    bytes are not BMFF / carry no video sample table. Compatibility
+    wrapper over parse_mp4_video_timing (which also carries the track's
+    mdhd timescale — the correct clock for those deltas)."""
+    timing = parse_mp4_video_timing(raw)
+    return None if timing is None else timing[1]

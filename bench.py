@@ -393,6 +393,59 @@ def main() -> None:
                     f"solo: {' '.join(flagged)}",
                     file=sys.stderr,
                 )
+    # Workload fingerprints (round-11, VERDICT r10 #3): the r10 delta
+    # flagger compared pipeline-image-curate-real across rounds while its
+    # population grew 10x BY DESIGN (r9 verdict #7) and reported the
+    # round's biggest improvement as its worst regression. Cross-round
+    # walls are only comparable when the query computed the SAME THING —
+    # and "same declared computation on the same inputs" is exactly
+    # "same result rows". Fingerprint = rowcount:md5 of the sorted
+    # canonicalized result (floats to 6 sig digits, like difftest),
+    # collected OUTSIDE every timed region after the sweeps; the delta
+    # verdict below marks fingerprint-changed queries "workload-changed"
+    # instead of "regression"/"noise". Results are oracle-bounded small
+    # (difftest collects them every round), so this pass is one cheap
+    # sequential walk; a phase budget keeps an unattended bench from
+    # blowing a caller's timeout on a sick VM (partial coverage is fine
+    # — a missing fingerprint just leaves the old verdict logic).
+    workload_fp: dict[str, str] = {}
+    if isolated_spark and os.environ.get("SPARK_GRAFT_BENCH_FP", "1") != "0":
+        import hashlib
+
+        def _canon(v) -> str:
+            if isinstance(v, float):
+                return f"{v:.6g}"
+            if isinstance(v, (list, tuple)):
+                return "[" + ",".join(_canon(x) for x in v) + "]"
+            return repr(v)
+
+        fp_budget = float(
+            os.environ.get("SPARK_GRAFT_BENCH_FP_BUDGET_S", "300")
+        )
+        fp_t0 = time.time()
+        for name in sorted(REGISTRY):
+            if time.time() - fp_t0 > fp_budget:
+                print(
+                    f"# workload-fp budget ({fp_budget:.0f}s) reached: "
+                    f"{len(workload_fp)}/{len(REGISTRY)} fingerprinted",
+                    file=sys.stderr,
+                )
+                break
+            try:
+                rows = REGISTRY[name].spark(spark, SF_DIR).collect()
+                h = hashlib.md5(
+                    "\n".join(
+                        sorted(
+                            "|".join(_canon(v) for v in r) for r in rows
+                        )
+                    ).encode()
+                ).hexdigest()[:12]
+                workload_fp[name] = f"{len(rows)}:{h}"
+            except Exception as e:  # noqa: BLE001
+                print(
+                    f"# workload-fp failed for {name}: {e}",
+                    file=sys.stderr,
+                )
     if duck_inter:
         icon.close()
     # stop the JVM before the DuckDB phase so the baseline measurement does
@@ -509,6 +562,11 @@ def main() -> None:
                 if name in fresh_jvm
                 else {}
             ),
+            **(
+                {"workload_fp": workload_fp[name]}
+                if name in workload_fp
+                else {}
+            ),
         }
         for name, (warm, cold) in isolated_spark.items()
     }
@@ -532,7 +590,32 @@ def main() -> None:
     # MOVEMENT, not its level. The `heavy` twin restricts to pairs where
     # duck does ≥ 0.5 s of real work: floors are minor there, so its
     # level is comparable to the 2× gate.
-    sw_heavy = [(s, d) for s, d in sw_pairs if d >= 0.5]
+    # Frozen heavy membership (round-11, VERDICT r10 #4): the duck>=0.5s
+    # cut drifted with VM weather (21 pairs in the r10 artifact, 17 on
+    # the r11 baseline — a slow duck window promotes pairs across the
+    # floor), so the quotable gate ratio changed basis between rounds.
+    # docs/samewindow_heavy_pairs.json commits the MEMBERSHIP; when it
+    # exists, samewindow_heavy_* is computed over exactly those queries
+    # (values still measured fresh each run). Falls back to the dynamic
+    # cut when the file is absent.
+    frozen_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "docs",
+        "samewindow_heavy_pairs.json",
+    )
+    heavy_frozen = os.path.exists(frozen_path)
+    if heavy_frozen:
+        with open(frozen_path) as f:
+            frozen_names = set(json.load(f)["queries"])
+        sw_heavy = [
+            (sweep_best[n], duck_inter[n])
+            for n in sorted(frozen_names)
+            if n in sweep_best
+            and n in duck_inter
+            and oracle_kind_of(REGISTRY[n]) == "sql"
+        ]
+    else:
+        sw_heavy = [(s, d) for s, d in sw_pairs if d >= 0.5]
     samewindow = (
         {
             "samewindow_spark_sec": round(sum(s for s, _ in sw_pairs), 3),
@@ -552,6 +635,7 @@ def main() -> None:
                         sum(d for _, d in sw_heavy), 3
                     ),
                     "samewindow_heavy_n": len(sw_heavy),
+                    "samewindow_heavy_frozen": heavy_frozen,
                     "samewindow_heavy_ratio": round(
                         sum(s for s, _ in sw_heavy)
                         / max(sum(d for _, d in sw_heavy), 1e-9),
@@ -667,6 +751,13 @@ def main() -> None:
         for name, cur in isolated.items():
             old = prev_iso.get(name, {}).get("spark")
             if old is not None and cur["spark"] is not None:
+                # Same-workload check (round-11, VERDICT r10 #3): a wall
+                # delta is only a perf signal when both rounds computed
+                # the same result; a fingerprint change means the
+                # workload changed by design and the delta adjudicates
+                # itself as "workload-changed" below.
+                old_fp = prev_iso.get(name, {}).get("workload_fp")
+                cur_fp = cur.get("workload_fp")
                 deltas.append(
                     {
                         "query": name,
@@ -675,6 +766,9 @@ def main() -> None:
                         "sweep_s": sweep_best.get(name),
                         "solo_s": solo_vals.get(name),
                         "delta_s": round(cur["spark"] - old, 3),
+                        "workload_changed": bool(
+                            old_fp and cur_fp and old_fp != cur_fp
+                        ),
                     }
                 )
         deltas.sort(key=lambda d: -d["delta_s"])
@@ -711,8 +805,11 @@ def main() -> None:
         # of the previous wall are real; below that, "top-10" is ranked
         # noise and two runs will legitimately disagree on it.
         for d in deltas:
-            d["significant"] = methods_match and (
-                d["delta_s"] >= 0.15 and d["delta_s"] >= 0.2 * d["prev_s"]
+            d["significant"] = (
+                methods_match
+                and not d["workload_changed"]
+                and d["delta_s"] >= 0.15
+                and d["delta_s"] >= 0.2 * d["prev_s"]
             )
         n_sig = sum(1 for d in deltas if d["significant"])
         caveat = (
@@ -745,7 +842,9 @@ def main() -> None:
         # (significant after the solo re-probe), "noise" (provisionally
         # flagged, solo-disproven), "ok" (never flagged).
         for d in deltas:
-            if d["significant"]:
+            if d["workload_changed"]:
+                d["verdict"] = "workload-changed"
+            elif d["significant"]:
                 d["verdict"] = "regression"
             elif d["solo_s"] is not None:
                 d["verdict"] = "noise"

@@ -563,6 +563,45 @@ def test_minimp4_stts_roundtrip_and_walk():
         assert out is None or out == [(3, 400), (2, 700)]
 
 
+def test_minimp4_video_timing_mdhd_and_hdlr():
+    """ADVICE r10 #1/#3: stts deltas are clocked by the TRACK's mdhd
+    timescale, and the walk must select the trak whose hdlr is 'vide'
+    rather than blindly taking the first trak. Build the adversarial
+    files by byte surgery on the encoder's output (the encoder itself
+    always writes movie==media timescale and video-first)."""
+    import struct
+
+    from ai_knowledge_etl_spark.multimodal import miniwav
+
+    runs = ((3, 400), (2, 700))
+    b = miniwav.encode_mp4_skeleton(90000, timescale=600, stts=runs)
+    # baseline: timing carries the (equal) media timescale + the runs,
+    # and the compat wrapper matches
+    ts, got = miniwav.parse_mp4_video_timing(b)
+    assert ts == 600 and got == [(3, 400), (2, 700)]
+    assert miniwav.parse_mp4_stts(b) == got
+
+    # surgery 1: rewrite the mdhd timescale to 1200 while mvhd stays 600
+    # — a real MP4 with differing clocks; timing must report the MEDIA
+    # clock. mdhd body: ver/flags(4) creation(4) modification(4)
+    # timescale(4).
+    i = b.index(b"mdhd")
+    patched = bytearray(b)
+    patched[i + 16 : i + 20] = struct.pack(">I", 1200)
+    ts2, got2 = miniwav.parse_mp4_video_timing(bytes(patched))
+    assert ts2 == 1200 and got2 == got
+    hdr = miniwav.parse_mp4_header(bytes(patched))
+    assert hdr["timescale"] == 600  # movie clock untouched
+
+    # surgery 2: flip the trak's hdlr to 'soun' — an audio-first file
+    # must NOT donate its runs to the video walk
+    j = b.index(b"hdlr")
+    patched2 = bytearray(b)
+    patched2[j + 12 : j + 16] = b"soun"
+    assert miniwav.parse_mp4_video_timing(bytes(patched2)) is None
+    assert miniwav.parse_mp4_stts(bytes(patched2)) is None
+
+
 def test_minijpeg_vectorized_scan_byte_identical():
     """The vectorized entropy coder (round 10 — the scalar loop was 86 %
     of every encode) must reproduce the reference scalar coder's scan
