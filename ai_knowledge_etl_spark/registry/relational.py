@@ -4894,9 +4894,15 @@ GROUP BY h.segment
     "engines) joined to ship-date facts by interval containment. "
     "Revenue in integer cents. Scale: the join is equi on custkey with "
     "the range predicates post-filtering per-customer version lists — "
-    "fan-out is versions-per-customer, not |facts| x |dim|; at deep "
-    "histories switch to the union-and-LOCF as-of form "
-    "(operators/asof.py), which this query cross-checks shape-wise.",
+    "fan-out is versions-per-customer, not |facts| x |dim|. Round-11 "
+    "three-shape A/B at sf0.1 AND on the 10x-distinct corpus: this "
+    "shape WINS — the union-and-LOCF as-of form (operators/asof.py) "
+    "lost 2x at 10x (the full-union per-customer sort costs more than "
+    "the bounded fan-out), and a collect_list+sorted-array per-row "
+    "lookup lost 2x at sf0.1 (higher-order array lambdas run "
+    "interpreted). The residual >1 ratio vs DuckDB "
+    "(docs/scale_crossover.json) is its specialized IEJoin interval "
+    "operator, an engine primitive Spark lacks — not a plan defect.",
 )
 def q_join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
