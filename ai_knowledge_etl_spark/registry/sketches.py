@@ -222,8 +222,15 @@ def q_agg_kmv_distinct_setops(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    h = SK.kmv_hashes(ev, "event_type", "user_id")
-    sk = SK.kmv_sketch(h, k=_KMV_K)
+    # eager cuts (the warc-corpus discipline): the distinct hash table h
+    # feeds SEVEN subtrees (sketch counts + survivors, per-set counts,
+    # both exact-union sides, both exact-intersection sides) and the
+    # bottom-k sketch feeds five more (estimates, merge sides, member
+    # flags) — uncut, each consumer re-ran the md5+distinct shuffle over
+    # the full events table (65 Exchanges in the plan; 7 full scans at
+    # any scale). h is narrow (set_id + 8-byte hash); sk is ~k rows/set.
+    h = SK.kmv_hashes(ev, "event_type", "user_id").localCheckpoint()
+    sk = SK.kmv_sketch(h, k=_KMV_K).localCheckpoint()
     estv = SK.kmv_estimate(sk, k=_KMV_K).select("set_id", "est_distinct")
     cnts = h.groupBy("set_id").agg(
         F.count("*").cast("long").alias("n_h")

@@ -2270,11 +2270,20 @@ _PHASH_HS_CTE = _phash_hs_sql(_PHASH_PIDS_SQL)
 
 def _phash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    return docs.select(F.col("doc_id").alias("img_id")).unionByName(
+    ids = docs.select(F.col("doc_id").alias("img_id")).unionByName(
         docs.where("doc_id % 10 = 0").select(
             (F.col("doc_id") + 10**12).alias("img_id")
         )
     )
+    # the downstream render/decode/hash kernels are codec-bound Python
+    # (~64 md5 + a PNG round trip per row), while this id frame inherits
+    # the documents scan's 1-2 parquet splits — which would serialize
+    # the whole kernel on 2 of the executor cores (measured at sf0.1:
+    # udf-image-phash 1.71 -> 0.79 s, dedup-image-phash 2.23 -> 1.75 s
+    # same-session min-of-5). Round-robin repartition spreads the rows;
+    # the shuffle moves only 8-byte ids (guide section 8: decide with
+    # small rows, move nothing heavy).
+    return ids.repartition(spark.sparkContext.defaultParallelism)
 
 
 @register(
@@ -2294,7 +2303,9 @@ SELECT img_id, h0, h1, h2, h3 FROM hs
     "16-bit bands that double as Hamming-LSH keys. Planted "
     "near-duplicates (+10^12 ids — above any corpus id, +16 on every 9th red channel) flip "
     "only bits near the mean — the dedup-image-phash fixture. "
-    "Arrow-batched mapInPandas, no shuffle; a PIL/ffmpeg decoder drops "
+    "Arrow-batched mapInPandas; the only shuffle is the round-robin "
+    "spread of the 8-byte id frame across cores (the codec kernel is "
+    "the cost, not the bytes); a PIL/ffmpeg decoder drops "
     "into the same seam for JPEG/video frames.",
 )
 def q_udf_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
