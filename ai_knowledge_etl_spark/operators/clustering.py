@@ -93,17 +93,34 @@ def connected_components(
     `max_iter` is a safety bound, hit only if diameter exceeds it.
     """
     sc = edges.sparkSession.sparkContext
-    # Checkpoint the RAW edge list BEFORE symmetrizing (measured at sf0.1,
-    # r10): the symmetrize-union references its input 2× (4× once
-    # self-loops join the union), and an un-checkpointed upstream (e.g.
-    # the shingle-Jaccard pair pipeline feeding dedup-cluster-cc) gets
-    # recomputed per reference — exchange reuse recovers the shuffles but
-    # not the post-shuffle work, and edge prep alone read 2.3-3.4 s vs
-    # ~1.1 s with the raw edges pinned first. Two small checkpoint jobs
-    # beat one job that recomputes the corpus pipeline four times.
-    raw = (
+    # Symmetrize + self-loops off BOTH endpoints in ONE pass: each raw
+    # (a, b) edge explodes to {(a,b), (b,a), (a,a), (b,b)} — every node
+    # (degree ≥ 1 by construction) offers its own label to itself, making
+    # the per-round groupBy-min self-contained. The explode references the
+    # upstream edge pipeline exactly ONCE, so the whole prep is a single
+    # checkpoint job; the 4-branch union this replaced needed the raw
+    # edges checkpointed FIRST (un-checkpointed, the corpus pair pipeline
+    # re-ran per branch: 2.3-3.4 s vs ~1.1 s at sf0.1, r10), i.e. two
+    # materializations and two jobs for the same distinct edge table
+    # (r11 A/B: dedup-cluster-cc 1.94 → 1.75 s median, same rows).
+    # One distinct shuffle covers dedup across all four orientations —
+    # duplicate offers wouldn't change any groupBy-min, but they would
+    # inflate |E| for every round's join.
+    e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                    F.struct(F.col("a"), F.col("a").alias("b")),
+                    F.struct(F.col("b").alias("a"), F.col("b").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .distinct()
         # localCheckpoint, NOT persist: persist caches row data but the
         # logical plan of round N still nests rounds 0..N-1, so Catalyst
         # re-analyzes a quadratically growing plan every iteration (measured:
@@ -114,23 +131,6 @@ def connected_components(
         # tolerance; local mode has no executor loss to survive.
         .localCheckpoint()
     )
-    raw_ids = {_checkpointed_rdd_id(raw)}
-    e = (
-        # symmetrize + self-loops off BOTH endpoints: every node (degree
-        # ≥ 1 by construction) offers its own label to itself, making the
-        # per-round groupBy-min self-contained; one distinct shuffle
-        # covers dedup across all four branches
-        raw.unionByName(
-            raw.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        .unionByName(raw.select("a", F.col("a").alias("b")))
-        .unionByName(
-            raw.select(F.col("b").alias("a"), F.col("b").alias("b"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
-    _release_rdds(sc, raw_ids)  # sym table materialized; raw copy is dead
     # round 1, join-free; Σnode and Σlabel in the SAME materializing
     # action: Σnode is exactly what Σlabel would read over the implicit
     # label(n) = n init, so round 1's convergence check costs nothing.
