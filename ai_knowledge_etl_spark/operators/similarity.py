@@ -198,6 +198,13 @@ def pq_topk(
     query by ASYMMETRIC distance — a per-(sub-space, code) lookup table of
     exact query-to-codebook-entry L2 distances, summed over sub-spaces in
     integer e-4 space. Returns (vec_id, adist_e4, codes_fp) top-k."""
+    # eager cuts (the warc-corpus discipline): `subs` feeds FOUR subtrees
+    # (seed codebook, Lloyd assignment, the final encode, the query row)
+    # and the refined codebook `cb` two (encode + query table) — uncut,
+    # the corpus sub-vector explode re-ran per consumer and the Lloyd
+    # round re-ran under both cb readers (r11 A/B at sf0.1: 2.68 ->
+    # 2.32 s min-of-5). subs is n_sub narrow rows per vector; cb is
+    # n_sub x n_cents rows.
     subs = corpus.select(
         id_col,
         vec_col,
@@ -206,7 +213,7 @@ def pq_topk(
         id_col,
         "m",
         F.expr(f"slice({vec_col}, m * {sub_dim} + 1, {sub_dim})").alias("sv"),
-    )
+    ).localCheckpoint()
     c0 = subs.where(f"{id_col} < {n_cents}").select(
         "m", F.col(id_col).alias("cent"), F.col("sv").alias("csv")
     )
@@ -225,6 +232,7 @@ def pq_topk(
         .groupBy("m", "cent")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
         .select("m", "cent", F.expr("transform(pm, x -> x.mu)").alias("csv"))
+        .localCheckpoint()
     )
     enc = (
         subs.join(F.broadcast(cb), "m")
