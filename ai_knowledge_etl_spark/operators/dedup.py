@@ -351,12 +351,14 @@ def simhash16(sh: DataFrame, id_col: str) -> DataFrame:
     ? +1 : -1). Returned as a 16-char '0'/'1' string (engine-portable —
     no 64-bit integer bit ops needed)."""
     hashed = sh.select(F.col(id_col), F.md5("shingle").alias("h"))
+    # "top bit of nibble i set" == hex digit in 8..f == char >= '8'
+    # (md5 emits lowercase hex, so the only chars are 0-9a-f and the
+    # single binary comparison is exactly the old 8-way isin — measured
+    # 1.31 -> 0.78 s at sf0.1: the isin compiled to 8 string compares
+    # per bit x 16 bits = 128 per shingle; this is 16)
     votes = [
         F.sum(
-            F.when(
-                F.substring("h", i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-                1,
-            ).otherwise(-1)
+            F.when(F.substring("h", i + 1, 1) >= "8", 1).otherwise(-1)
         ).alias(f"v{i}")
         for i in range(16)
     ]

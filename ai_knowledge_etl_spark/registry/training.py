@@ -840,24 +840,10 @@ def q_agg_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wc",
     )
 
-    def pair_counts(sym_df: DataFrame) -> DataFrame:
-        return (
-            sym_df.select(
-                F.expr(
-                    # single-symbol guard: Spark sequence(1,0) is the
-                    # DESCENDING [1,0], which would index past a fully
-                    # merged 1-symbol word (operators/bpe.pair_counts)
-                    "CASE WHEN size(split(trim(s), ' ')) < 2 THEN array()"
-                    " ELSE transform(sequence(1, size(split(trim(s), ' ')) - 1),"
-                    " i -> element_at(split(trim(s), ' '), i) || ':' ||"
-                    " element_at(split(trim(s), ' '), i + 1)) END"
-                ).alias("ps"),
-                "wc",
-            )
-            .select(F.explode("ps").alias("p"), "wc")
-            .groupBy("p")
-            .agg(F.sum("wc").cast("long").alias("cnt"))
-        )
+    # shared split-once pair counter (operators/bpe.pair_counts): the old
+    # inline copy re-split the symbol string at every element_at inside
+    # the transform lambda — same values, O(len) fewer re-splits per pair
+    from ai_knowledge_etl_spark.operators.bpe import pair_counts
 
     def top_pair(pc: DataFrame) -> DataFrame:
         return pc.orderBy(F.desc("cnt"), F.asc("p")).limit(1)
@@ -988,24 +974,8 @@ def q_udf_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wc",
     )
 
-    def pair_counts(sym_df: DataFrame) -> DataFrame:
-        return (
-            sym_df.select(
-                F.expr(
-                    # single-symbol guard: Spark sequence(1,0) is the
-                    # DESCENDING [1,0], which would index past a fully
-                    # merged 1-symbol word (operators/bpe.pair_counts)
-                    "CASE WHEN size(split(trim(s), ' ')) < 2 THEN array()"
-                    " ELSE transform(sequence(1, size(split(trim(s), ' ')) - 1),"
-                    " i -> element_at(split(trim(s), ' '), i) || ':' ||"
-                    " element_at(split(trim(s), ' '), i + 1)) END"
-                ).alias("ps"),
-                "wc",
-            )
-            .select(F.explode("ps").alias("p"), "wc")
-            .groupBy("p")
-            .agg(F.sum("wc").cast("long").alias("cnt"))
-        )
+    # shared split-once pair counter — see q_agg_bpe_merges
+    from ai_knowledge_etl_spark.operators.bpe import pair_counts
 
     cur = syms
     for _ in range(3):

@@ -130,6 +130,12 @@ PLAN_ALLOWLIST = {
     # IVF coarse quantization is definitionally corpus × centroids (16
     # broadcast rows); the per-query search itself is an equi-join on cell id
     "similarity-ivf": {"BroadcastNestedLoopJoin"},
+    # after the r11 quantize-once checkpoint, Catalyst injects a RUNTIME
+    # BLOOM FILTER (SPARK-32268) over the query row's sub-space ids into
+    # the distance-table join: bloom_filter_agg's 1-row combine is the
+    # SinglePartition — a bounded scalar-agg shape (same class as the
+    # global-total entries above) and a guide-§3.2 win, not a regression
+    "similarity-ivf-pq": {"SinglePartition"},
     # k-means assignment is definitionally corpus × k centroids (k=8
     # broadcast rows, twice — one per Lloyd iteration)
     "similarity-kmeans-ann": {"BroadcastNestedLoopJoin"},
