@@ -4010,9 +4010,19 @@ WHERE d.day >= bounds.d0 + 6 AND d.day <= bounds.d1
 )
 def q_agg_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.expr("ts div 1000000000 div 86400").alias("day")
-    ).distinct()
+    # eager cut: the distinct (user, day) frame feeds THREE consumers
+    # (dau, the 7-day spread -> wau, and the calendar bounds) — uncut,
+    # each replays the events scan + distinct exchange. The checkpointed
+    # frame is active-pairs-sized (users x days, far below event volume
+    # at any scale). r11 A/B at sf0.1: 0.795 -> 0.693 s min,
+    # 1.022 -> 0.835 med (min-of-5, same rows).
+    ud = (
+        ev.select(
+            "user_id", F.expr("ts div 1000000000 div 86400").alias("day")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
     spread = ud.select(
         "user_id",
