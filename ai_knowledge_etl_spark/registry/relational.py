@@ -3282,9 +3282,33 @@ def q_agg_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
-    bounds = orders.agg(
-        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
-        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    # one orders scan, not two (r11): the calendar bounds used to be a
+    # separate min/max pass over orders; the 3 dim joins are
+    # key-preserving (every order has exactly one customer -> nation ->
+    # region), so min/max(day) over the checkpointed region x day
+    # aggregate equals min/max(o_orderdate) over orders. A/B at sf0.1
+    # (clean window, min-of-5): 1.104 -> 1.011 min, 1.199 -> 1.142 med,
+    # result-identical.
+    actual = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("a_rname"),
+            F.col("o_orderdate").cast("date").alias("a_day"),
+        )
+        .agg(
+            F.sum(_dec("o_totalprice"))
+            .cast("decimal(18,2)")
+            .alias("revenue")
+        )
+        .localCheckpoint()
+    )
+    bounds = actual.agg(
+        F.min("a_day").alias("d0"), F.max("a_day").alias("d1")
     )
     spine = (
         region.crossJoin(F.broadcast(bounds))
@@ -3295,40 +3319,27 @@ def q_agg_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("day"),
         )
     )
-    actual = (
-        orders.join(
-            customer.select("c_custkey", "c_nationkey"),
-            orders["o_custkey"] == F.col("c_custkey"),
-        )
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("r_name", F.col("o_orderdate").cast("date").alias("day"))
-        .agg(
-            F.sum(_dec("o_totalprice"))
-            .cast("decimal(18,2)")
-            .alias("revenue")
-        )
-    )
     w = (
-        Window.partitionBy(spine["r_name"])
-        .orderBy(spine["day"])
+        Window.partitionBy(F.col("r_name"))
+        .orderBy(F.col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     joined = spine.join(
         actual,
-        (spine["r_name"] == actual["r_name"]) & (spine["day"] == actual["day"]),
+        (spine["r_name"] == actual["a_rname"])
+        & (spine["day"] == actual["a_day"]),
         "left",
     )
     return joined.select(
-        spine["r_name"],
-        spine["day"],
+        "r_name",
+        "day",
         F.coalesce(
-            F.last(actual["revenue"], ignorenulls=True).over(w),
+            F.last(F.col("revenue"), ignorenulls=True).over(w),
             F.lit(0).cast("decimal(18,2)"),
         )
         .cast("decimal(18,2)")
         .alias("revenue_filled"),
-        actual["revenue"].isNull().alias("is_gap"),
+        F.col("revenue").isNull().alias("is_gap"),
     )
 
 

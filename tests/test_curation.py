@@ -208,3 +208,43 @@ def test_substring_span_ownership_beyond_1m_windows(spark):
     assert rows[1]["n_dup_windows"] == 0
     assert rows[2]["n_dup_windows"] == 1
     assert rows[1]["n_windows"] == n_fill + 1
+
+
+def test_substring_span_counts_match_window_stream_on_edge_shapes(spark):
+    """r11 optimization pin: n_windows is now computed arithmetically
+    (sum of greatest(size(ws)-k+1, 1) over the word arrays) instead of
+    counting the md5-window explode. The two must agree on every edge
+    shape the explode can produce — empty string (split -> ['']),
+    single word, exactly k tokens, k-1 tokens, and a long doc."""
+    docs = spark.createDataFrame(
+        [
+            (1, ""),                               # split -> [''] (1 window)
+            (2, "one"),                            # 1 token
+            (3, "a b c d"),                        # k-1 tokens -> 1 window
+            (4, "a b c d e"),                      # exactly k -> 1 window
+            (5, "a b c d e f g"),                  # k+2 -> 3 windows
+            (6, " ".join(f"w{i}" for i in range(40))),  # 36 windows
+        ],
+        "doc_id long, ptext string",
+    )
+    out = {
+        r["doc_id"]: r["n_windows"]
+        for r in CU.duplicate_window_census(
+            docs, "doc_id", "ptext", k=5
+        ).collect()
+    }
+    # ground truth: count the rows the fingerprint explode itself emits
+    k = 5
+    words = docs.select("doc_id", F.split("ptext", " ").alias("ws"))
+    exploded = words.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(ws) - {k - 1}, 1)),"
+                f" i -> i)"
+            )
+        ).alias("pos0", "x"),
+    ).groupBy("doc_id").count()
+    truth = {r["doc_id"]: r["count"] for r in exploded.collect()}
+    assert out == truth
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 3, 6: 36}

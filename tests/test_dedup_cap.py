@@ -82,3 +82,44 @@ def test_containment_catches_excerpts_jaccard_misses(spark, sf_dir):
             f"excerpt pair {r.doc_a}/{r.doc_b} visible to Jaccard "
             f"({jac:.2f}) — probe no longer asymmetric"
         )
+
+
+def test_simhash_vote_comparison_equals_top_bit_of_every_nibble(spark):
+    """r11 optimization pin: the per-bit vote is now `substring >= '8'`
+    (one comparison) instead of isin('8'..'f') (eight). Over a corpus
+    whose shingle md5s collectively exercise every hex digit in every
+    one of the 16 positions, the simhash must equal a reference computed
+    from the numeric nibble's top bit."""
+    sh = spark.createDataFrame(
+        [(i % 7, f"shingle-{i}") for i in range(300)],
+        "doc_id long, shingle string",
+    )
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash16(sh, "doc_id").collect()
+    }
+    # reference: numeric nibble >= 8 via conv(), the spec's "top bit set"
+    hashed = sh.select("doc_id", F.md5("shingle").alias("h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int") >= 8,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(16)
+    ]
+    bits = F.concat(
+        *[
+            F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(16)
+        ]
+    )
+    ref = {
+        r["doc_id"]: r["ref"]
+        for r in hashed.groupBy("doc_id")
+        .agg(*votes)
+        .select("doc_id", bits.alias("ref"))
+        .collect()
+    }
+    assert got == ref
