@@ -240,19 +240,33 @@ def semantic_dedup(
             .select("cluster")
         )
         eligible = assigned.join(F.broadcast(over_cap), "cluster", "left_anti")
+    # Pre-normalize per VECTOR, not per pair (r11, guide §4.1): the
+    # inline cosine ran three interpreted array folds per candidate pair
+    # (dot + both squared norms); computing sqrt(sq_norm) once per
+    # eligible row leaves only the dot fold per pair. Bit-identical —
+    # cosine is dot / (sqrt(ssa) * sqrt(ssb)) and the same sqrt of the
+    # same fold is just evaluated on the other side of the join
+    # (A/B at sf0.1 over the cached assignment: 2.51 -> 1.33 s min,
+    # 2.94 -> 1.77 med, same rows).
+    norm = F.sqrt(S._sq_norm(F.col(vec_col)))
     a = eligible.select(
         F.col(id_col).alias("id_a"),
         F.col("cluster"),
         F.col(vec_col).alias("va"),
+        norm.alias("__na"),
     )
     b = eligible.select(
         F.col(id_col).alias("id_b"),
         F.col("cluster"),
         F.col(vec_col).alias("vb"),
+        norm.alias("__nb"),
     )
     pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))
+    pair_cos = S._dot(F.col("va"), F.col("vb")) / (
+        F.col("__na") * F.col("__nb")
+    )
     dropped = (
-        pairs.where(S.cosine(F.col("va"), F.col("vb")) >= threshold)
+        pairs.where(pair_cos >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

@@ -1061,12 +1061,19 @@ FROM pairs WHERE cos >= 0.95
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _emb_dup_corpus(spark, sf_dir)
+    # per-VECTOR norm, not per pair (r11, the semantic_dedup cut):
+    # cosine = dot / (sqrt(ssq_a) * sqrt(ssq_b)) — precomputing each
+    # side's sqrt(sq_norm) once leaves one interpreted array fold per
+    # candidate pair instead of three; the float result is bit-identical
+    # (same ops, same order, just evaluated before the join)
     bucketed = corpus.withColumn(
         "bucket", similarity.sign_bucket(F.col("embedding"), 8)
-    )
+    ).withColumn("__n", F.sqrt(similarity._sq_norm(F.col("embedding"))))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    cos = similarity.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cos = similarity._dot(
+        F.col("a.embedding"), F.col("b.embedding")
+    ) / (F.col("a.__n") * F.col("b.__n"))
     pairs = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
