@@ -78,6 +78,13 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     n_wedges = sum_v C(deg_v, 2); global_clustering = 3*T / wedges (one
     IEEE division — deterministic across engines).
     """
+    # Eager cuts (r11, the warc-corpus discipline): lazily, `oriented`
+    # fed THREE consumers (o2, paths, closing) and `und`/`deg` several
+    # more — the executed plan rebuilt the distinct-edge canonicalization
+    # and the degree join once per consumer (35 Exchanges at sf0.1).
+    # Checkpointing the three bounded frames (und/oriented edge-sized,
+    # deg node-sized) computes each once: med wall 2.02 -> 1.57 s at 32
+    # cores, 2.47 -> 1.93 at 8 (min 1.84 -> 1.65), same row.
     und = (
         edges.where(F.col("src") != F.col("dst"))
         .select(
@@ -85,12 +92,14 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("d"))
+        .localCheckpoint()
     )
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
@@ -104,6 +113,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
         )
+        .localCheckpoint()
     )
     o2 = oriented.select(F.col("u").alias("u2"), F.col("w").alias("w2"))
     paths = oriented.join(
