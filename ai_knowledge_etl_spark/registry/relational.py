@@ -4242,9 +4242,10 @@ WHERE p.p_size % 5 = 0 AND p.p_type = 'ECONOMY'
     "(ps_suppkey < n_supp by construction), so the key stays injective "
     "at every SF — a fixed 10000 would silently mis-tiebreak past SF 1 "
     "(ADVICE r1). Scale: the region-filtered supplier dim is broadcast; "
-    "the per-part min is a map-side-combining hash agg joined back (no "
-    "window sort); the part filter commutes with the per-part min, so "
-    "Spark applies it BEFORE the agg.",
+    "the per-part argmin is ONE map-side-combining hash agg "
+    "(min over struct(k, payload) — injective k makes it exactly the "
+    "old min-then-join-back row, r11); the part filter commutes with "
+    "the per-part min, so Spark applies it BEFORE the agg.",
 )
 def q_join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = _partsupp(spark, sf_dir)
@@ -4266,6 +4267,12 @@ def q_join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     n_supp = _t(spark, sf_dir, "supplier").agg(F.count("*").alias("n_supp"))
+    # argmin as ONE aggregate (r11): k is injective per part (ps_suppkey
+    # < n_supp by construction), so min(struct(k, payload)) IS the row
+    # the old min-k-then-join-back selected — and the lazy `cand` subtree
+    # (partsupp synth x part filter x broadcast eu) no longer runs twice
+    # (once under `best`, once under the join). A/B at sf0.1:
+    # 2.63 -> 2.27 s min, 3.03 -> 2.51 med, same 390 rows.
     cand = (
         ps.join(
             good_parts, ps["ps_partkey"] == good_parts["p_partkey"]
@@ -4274,30 +4281,23 @@ def q_join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_supp))  # 1-row scalar: the fold width
         .select(
             "ps_partkey",
-            "ps_suppkey",
-            "ps_cost_c",
-            "s_name",
-            "s_acctbal",
-            "n_name",
-            (F.col("ps_cost_c") * F.col("n_supp") + F.col("ps_suppkey"))
-            .alias("k"),
+            F.struct(
+                (F.col("ps_cost_c") * F.col("n_supp") + F.col("ps_suppkey"))
+                .alias("k"),
+                "s_name",
+                "s_acctbal",
+                "n_name",
+                "ps_cost_c",
+            ).alias("sc"),
         )
     )
-    best = cand.groupBy(F.col("ps_partkey").alias("bp")).agg(
-        F.min("k").alias("bk")
-    )
-    return (
-        cand.join(
-            best,
-            (cand["ps_partkey"] == best["bp"]) & (cand["k"] == best["bk"]),
-        )
-        .select(
-            F.col("ps_partkey").alias("p_partkey"),
-            "s_name",
-            F.col("s_acctbal").cast("decimal(18,2)").alias("s_acctbal"),
-            "n_name",
-            F.col("ps_cost_c").cast("long").alias("cost_c"),
-        )
+    best = cand.groupBy("ps_partkey").agg(F.min("sc").alias("m"))
+    return best.select(
+        F.col("ps_partkey").alias("p_partkey"),
+        F.col("m.s_name").alias("s_name"),
+        F.col("m.s_acctbal").cast("decimal(18,2)").alias("s_acctbal"),
+        F.col("m.n_name").alias("n_name"),
+        F.col("m.ps_cost_c").cast("long").alias("cost_c"),
     )
 
 
