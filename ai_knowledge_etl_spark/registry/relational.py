@@ -3289,6 +3289,14 @@ def q_agg_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate equals min/max(o_orderdate) over orders. A/B at sf0.1
     # (clean window, min-of-5): 1.104 -> 1.011 min, 1.199 -> 1.142 med,
     # result-identical.
+    # REFERENTIAL-INTEGRITY ASSUMPTION (r11 ADVICE #2): this equivalence
+    # holds only while every o_custkey resolves through customer ->
+    # nation -> region (true for the TPC-H-style synthesized data, and
+    # what the oracle parity proves). A data source with dangling
+    # o_custkey rows would silently SHRINK the spine's date range versus
+    # the documented SQL (the old shape would instead just leave a gap
+    # row) — re-derive bounds from a direct orders scan if RI is ever
+    # not guaranteed.
     actual = (
         orders.join(
             customer.select("c_custkey", "c_nationkey"),
