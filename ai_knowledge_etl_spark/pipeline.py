@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ai_knowledge_etl_spark import config
 from ai_knowledge_etl_spark.functions import scoring, text as TX, urls as U
 from ai_knowledge_etl_spark.operators import chunking, dedup, lm, sinks, topk
+from ai_knowledge_etl_spark.session import track_persist
 from ai_knowledge_etl_spark.sources import web
 
 
@@ -286,6 +287,17 @@ def prepare_training_set(
     )
     # 2. redact PII before anything persists derived text
     clean = clean.withColumn(text_col, TX.redact_pii(text_col))
+    # `clean` feeds THREE subplans (the fingerprint pass, the shingle
+    # stage via the reps semi-join, and the final keep/split/pack chain)
+    # — lazily each one replays the corpus scan + the 3-regex redaction
+    # chain. persist(), not localCheckpoint(): the CC stage's eager edge
+    # checkpoint already acts as the construction barrier, and an extra
+    # eager materialization of the text-heavy frame measured WORSE at
+    # sf0.1 (A/B r12: eager-chkpt min 5.83 s vs current 3.56 s in the
+    # same window) while the lazy persist wins (interleaved min-of-6:
+    # 6.78 -> 5.23 s min, 7.83 -> 6.18 s med, rows identical; tracked so
+    # batch drivers release it at pass boundaries).
+    clean = track_persist(clean)
 
     # 3. transitive near-dup clustering. Exact-first sequencing (the
     # round-3 100x sweep lesson): byte-identical copies would put their
