@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ai_knowledge_etl_spark.session import eager_cut
+
 WORD_RE = "[^a-z]+"
 
 
@@ -35,14 +37,13 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus → vocabulary-sized (w, wc) table, eagerly checkpointed (every
     merge round and the tokenize join reuse it; without the cut each lazy
     consumer would re-run the corpus explode)."""
-    return (
+    return eager_cut(
         docs.select(
             F.explode(F.split(F.lower(text_col), WORD_RE)).alias("w")
         )
         .where(F.length("w") > 1)
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("wc"))
-        .localCheckpoint()
     )
 
 

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ai_knowledge_etl_spark.session import eager_cut
+
 
 def _checkpointed_rdd_id(df: DataFrame) -> int | None:
     """Id of the RDD an EAGER localCheckpoint pinned for `df`.
@@ -121,16 +123,18 @@ def connected_components(
         )
         .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
         .distinct()
-        # localCheckpoint, NOT persist: persist caches row data but the
-        # logical plan of round N still nests rounds 0..N-1, so Catalyst
-        # re-analyzes a quadratically growing plan every iteration (measured:
-        # a 10-round chain graph goes from minutes-to-hung to sub-second per
-        # round). Checkpointing truncates lineage so every round plans
-        # against a flat scan. On a multi-executor cluster prefer
-        # spark.sparkContext.setCheckpointDir + .checkpoint() for fault
-        # tolerance; local mode has no executor loss to survive.
-        .localCheckpoint()
     )
+    # eager_cut (default localCheckpoint), NOT bare persist: persist
+    # caches row data but the logical plan of round N still nests rounds
+    # 0..N-1, so Catalyst re-analyzes a quadratically growing plan every
+    # iteration (measured: a 10-round chain graph goes from
+    # minutes-to-hung to sub-second per round). Checkpointing truncates
+    # lineage so every round plans against a flat scan. On a
+    # multi-executor cluster set SPARK_GRAFT_EAGER_CUT=reliable (+
+    # setCheckpointDir) for fault tolerance; the loop's own label
+    # checkpoints below stay localCheckpoint(eager=False) — they are the
+    # per-round truncation machinery with explicit RDD release.
+    e = eager_cut(e)
     # round 1, join-free; Σnode and Σlabel in the SAME materializing
     # action: Σnode is exactly what Σlabel would read over the implicit
     # label(n) = n init, so round 1's convergence check costs nothing.

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ai_knowledge_etl_spark.session import eager_cut
+
 PARA_SEP = "\n\n"
 
 # Max multiplicity of any element in a string array, as ONE per-row fold:
@@ -382,12 +384,12 @@ def importance_scores(
     # localCheckpoint releases with the DataFrame (ContextCleaner / the
     # bench's inter-pass gc), the same lifetime as the pipelines'
     # existing corpus-sized cuts (pipeline.py `flagged`).
-    flagged = hashed_unigram_buckets(
+    flagged = eager_cut(hashed_unigram_buckets(
         docs.withColumn("is_target", F.expr(target_pred)),
         id_col,
         text_col,
         keep=("is_target",),
-    ).localCheckpoint()
+    ))
     weights = importance_weights(flagged)
     return (
         flagged.join(F.broadcast(weights), "bucket")

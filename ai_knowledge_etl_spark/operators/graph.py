@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ai_knowledge_etl_spark.session import eager_cut
+
 TELEPORT = 0.15
 DAMPING = 0.85
 
@@ -85,35 +87,32 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     # Checkpointing the three bounded frames (und/oriented edge-sized,
     # deg node-sized) computes each once: med wall 2.02 -> 1.57 s at 32
     # cores, 2.47 -> 1.93 at 8 (min 1.84 -> 1.65), same row.
-    und = (
+    und = eager_cut(
         edges.where(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("a"),
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
-        .localCheckpoint()
     )
-    deg = (
+    deg = eager_cut(
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("d"))
-        .localCheckpoint()
     )
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
     lower_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = (
+    oriented = eager_cut(
         und.join(da, "a")
         .join(db, "b")
         .select(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
         )
-        .localCheckpoint()
     )
     o2 = oriented.select(F.col("u").alias("u2"), F.col("w").alias("w2"))
     paths = oriented.join(

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ai_knowledge_etl_spark.session import eager_cut
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -205,7 +207,7 @@ def pq_topk(
     # round re-ran under both cb readers (r11 A/B at sf0.1: 2.68 ->
     # 2.32 s min-of-5). subs is n_sub narrow rows per vector; cb is
     # n_sub x n_cents rows.
-    subs = corpus.select(
+    subs = eager_cut(corpus.select(
         id_col,
         vec_col,
         F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
@@ -213,7 +215,7 @@ def pq_topk(
         id_col,
         "m",
         F.expr(f"slice({vec_col}, m * {sub_dim} + 1, {sub_dim})").alias("sv"),
-    ).localCheckpoint()
+    ))
     c0 = subs.where(f"{id_col} < {n_cents}").select(
         "m", F.col(id_col).alias("cent"), F.col("sv").alias("csv")
     )
@@ -225,14 +227,13 @@ def pq_topk(
         .where("rn = 1")
         .select(id_col, "m", "sv", "cent")
     )
-    cb = (
+    cb = eager_cut(
         a1.select("m", "cent", F.posexplode("sv").alias("pos", "val"))
         .groupBy("m", "cent", "pos")
         .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mu"))
         .groupBy("m", "cent")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
         .select("m", "cent", F.expr("transform(pm, x -> x.mu)").alias("csv"))
-        .localCheckpoint()
     )
     enc = (
         subs.join(F.broadcast(cb), "m")

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ai_knowledge_etl_spark import config
 from ai_knowledge_etl_spark.functions import scoring, text as TX, urls as U
 from ai_knowledge_etl_spark.operators import chunking, dedup, lm, sinks, topk
-from ai_knowledge_etl_spark.session import track_persist
+from ai_knowledge_etl_spark.session import eager_cut, track_persist
 from ai_knowledge_etl_spark.sources import web
 
 
@@ -407,10 +407,9 @@ def curate_corpus(
     # chain — the pipeline's dominant stage) from the source. One
     # dedup-output-sized cut replaces three replays (round-8 A/B at
     # sf0.1: 1.53 → 0.95 s warm).
-    flagged = (
+    flagged = eager_cut(
         normalized.join(lang_lookup, id_col)
         .withColumn("is_target", F.expr(target_pred))
-        .localCheckpoint()
     )
     scored = CU.importance_scores(
         flagged.select(id_col, "n_kept", "is_target", "norm"),
@@ -476,14 +475,13 @@ def curate_warc_corpus(
     # fold outside the cut would instead replay it in every consumer's
     # lineage (measured: +1.5 s at sf0.1).
     _mark("start")
-    parsed = (
+    parsed = eager_cut(
         CU.gopher_metrics(
             warc.scan_warc_text(warc_files)
             .join(uri_lookup, "uri")
             .withColumn("ws", F.split("text", " "))
         )
         .drop("ws")  # the array would bloat the checkpoint; split is cheap
-        .localCheckpoint()
     )
     _mark("parsed")
 
@@ -512,7 +510,7 @@ def curate_warc_corpus(
     # the WARC parse + both quality gates (the jaccard_pairs persist
     # rationale, measured: the composed plan goes from minutes-hung to
     # seconds with these three cuts).
-    qual = gated.join(lp, "doc_id").localCheckpoint()
+    qual = eager_cut(gated.join(lp, "doc_id"))
     _mark("qual")
 
     # corpus-wide paragraph dedup on the quality survivors. The per-doc
@@ -523,7 +521,7 @@ def curate_warc_corpus(
     # where the keeps only widen the paragraph explode by ~30 bytes/row
     # (r9; the winners aggregate's fp-keyed shuffle is unaffected —
     # paragraph_dedup projects the keeps off that side).
-    dd = CU.paragraph_dedup(
+    dd = eager_cut(CU.paragraph_dedup(
         qual.select(
             "doc_id",
             F.col("text").alias("ptext"),
@@ -532,7 +530,7 @@ def curate_warc_corpus(
             "avg_logprob",
         ),
         keep=("source", "lang", "avg_logprob"),
-    ).localCheckpoint()
+    ))
     _mark("dd")
 
     # MinHash-LSH near-dup removal over the deduped text. The shingle
@@ -580,9 +578,8 @@ def curate_warc_corpus(
     # joins it again — without the cut each pass re-runs the LSH anti-join
     # and everything above it (measured 94 s → seconds at sf0.001).
     # lang/avg_logprob arrive on the dedup keep channel — no qual join.
-    flagged = (
+    flagged = eager_cut(
         normalized.withColumn("is_target", F.expr(target_pred))
-        .localCheckpoint()
     )
     _mark("flagged")
     scored = CU.importance_scores(

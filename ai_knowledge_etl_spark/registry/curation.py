@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ai_knowledge_etl_spark.operators import curation as CU
 from ai_knowledge_etl_spark.operators import lm as _lm
 from ai_knowledge_etl_spark.registry import register
+from ai_knowledge_etl_spark.session import eager_cut
 from ai_knowledge_etl_spark.sources import synthetic as syn
 from ai_knowledge_etl_spark.sources.catalog import load_table
 
@@ -489,12 +490,10 @@ def _warc_corpus_fixture(
             F.expr(syn.PWC_CLONE_TEXT_EXPR).alias("text"),
         )
         corpus = base.unionByName(clones)
-        files = warc_pack_files(corpus, syn.url_col()).localCheckpoint(
-            eager=True
-        )
-        lookup = corpus.select(
+        files = eager_cut(warc_pack_files(corpus, syn.url_col()))
+        lookup = eager_cut(corpus.select(
             syn.url_col().alias("uri"), "doc_id", "lang", "source"
-        ).localCheckpoint(eager=True)
+        ))
         return files, lookup
 
     return cache_get_or_fill(

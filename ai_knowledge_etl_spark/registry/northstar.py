@@ -15,6 +15,7 @@ from ai_knowledge_etl_spark import config
 from ai_knowledge_etl_spark.functions import text as TX
 from ai_knowledge_etl_spark.operators import dedup, similarity
 from ai_knowledge_etl_spark.registry import register
+from ai_knowledge_etl_spark.session import eager_cut
 from ai_knowledge_etl_spark.sources.catalog import cache_get_or_fill, load_table
 
 # Cross-engine exact rounding (functions/parity.py): _rr_spark/_rr_duck
@@ -454,7 +455,7 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uncut, the coarse-quantizer subtree (16x broadcast cross + per-vec
     # ranking window over the full corpus) ran once per consumer
     # (r11 A/B at sf0.1: 2.26 -> 1.98 s min-of-5, same rows)
-    cells = similarity.ivf_assign(emb, cents).localCheckpoint()
+    cells = eager_cut(similarity.ivf_assign(emb, cents))
     q = cells.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qvec"),

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from ai_knowledge_etl_spark import config
 from ai_knowledge_etl_spark.operators import lm
 from ai_knowledge_etl_spark.registry import register
+from ai_knowledge_etl_spark.session import eager_cut
 from ai_knowledge_etl_spark.sources import synthetic as syn
 from ai_knowledge_etl_spark.sources.catalog import load_table
 
@@ -447,11 +448,10 @@ def q_sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate + broadcast + per-doc score) re-ran once per subtree
     # (34 Exchanges). The checkpointed frame is one narrow row per doc
     # (measured at 8 cores, sf0.1: 1.67 -> 1.34 s min-of-5).
-    lp = (
+    lp = eager_cut(
         lm.avg_logprob(toks)
         .select("doc_id", F.col("avg_logprob").alias("lp"))
         .join(docs.select("doc_id", "lang"), "doc_id")
-        .localCheckpoint()
     )
     hist = lp.groupBy("lang", "lp").agg(F.count("*").cast("long").alias("c"))
     wcum = (

@@ -22,6 +22,7 @@ from ai_knowledge_etl_spark.functions import parity
 from ai_knowledge_etl_spark.operators import batching, ids, topk
 from ai_knowledge_etl_spark.registry import register
 from ai_knowledge_etl_spark.registry.crawl import LINK_SCORE_SQL, PAGE_SCORE_SQL
+from ai_knowledge_etl_spark.session import eager_cut
 from ai_knowledge_etl_spark.sources import synthetic as syn
 from ai_knowledge_etl_spark.sources.catalog import load_table
 
@@ -3313,8 +3314,8 @@ def q_agg_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(18,2)")
             .alias("revenue")
         )
-        .localCheckpoint()
     )
+    actual = eager_cut(actual)
     bounds = actual.agg(
         F.min("a_day").alias("d0"), F.max("a_day").alias("d1")
     )
@@ -3485,12 +3486,11 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window chain downstream still runs over a hash aggregate (dhist),
     # so the windows-run-over-histograms plan audit still sees the
     # histogram discipline (tests/test_plans.py).
-    cum = (
+    cum = eager_cut(
         hist.select(
             "grp", "v", "c", F.sum("c").over(wv).cast("long").alias("cm")
         )
         .withColumn("cnt", F.max("cm").over(wall))
-        .localCheckpoint()
     )
     lo = F.expr("(cnt + 1) div 2")
     hi = F.expr("(cnt + 2) div 2")
@@ -4035,12 +4035,11 @@ def q_agg_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame is active-pairs-sized (users x days, far below event volume
     # at any scale). r11 A/B at sf0.1: 0.795 -> 0.693 s min,
     # 1.022 -> 0.835 med (min-of-5, same rows).
-    ud = (
+    ud = eager_cut(
         ev.select(
             "user_id", F.expr("ts div 1000000000 div 86400").alias("day")
         )
         .distinct()
-        .localCheckpoint()
     )
     dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
     spread = ud.select(

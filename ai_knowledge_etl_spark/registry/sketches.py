@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ai_knowledge_etl_spark.operators import sketches as SK
 from ai_knowledge_etl_spark.registry import register
+from ai_knowledge_etl_spark.session import eager_cut
 from ai_knowledge_etl_spark.sources.catalog import load_table
 
 # --- count-min heavy hitters ----------------------------------------------------
@@ -229,8 +230,8 @@ def q_agg_kmv_distinct_setops(
     # flags) — uncut, each consumer re-ran the md5+distinct shuffle over
     # the full events table (65 Exchanges in the plan; 7 full scans at
     # any scale). h is narrow (set_id + 8-byte hash); sk is ~k rows/set.
-    h = SK.kmv_hashes(ev, "event_type", "user_id").localCheckpoint()
-    sk = SK.kmv_sketch(h, k=_KMV_K).localCheckpoint()
+    h = eager_cut(SK.kmv_hashes(ev, "event_type", "user_id"))
+    sk = eager_cut(SK.kmv_sketch(h, k=_KMV_K))
     estv = SK.kmv_estimate(sk, k=_KMV_K).select("set_id", "est_distinct")
     cnts = h.groupBy("set_id").agg(
         F.count("*").cast("long").alias("n_h")

@@ -11,6 +11,7 @@ from ai_knowledge_etl_spark import config
 from ai_knowledge_etl_spark.multimodal import images as IM
 from ai_knowledge_etl_spark.operators import incremental, sinks, similarity
 from ai_knowledge_etl_spark.registry import register
+from ai_knowledge_etl_spark.session import eager_cut
 from ai_knowledge_etl_spark.sources import detect
 from ai_knowledge_etl_spark.sources import pdf as PDF
 from ai_knowledge_etl_spark.sources import synthetic as syn
@@ -623,7 +624,7 @@ def q_pipeline_image_curate_real(
     # eager cut (the warc-corpus discipline): the codec walk feeds the
     # keeper aggregate, the kept join, and both rejection rollups —
     # uncut, each consumer re-runs the whole render+ladder kernel
-    res = IM.curate_cards_real(ids).localCheckpoint()
+    res = eager_cut(IM.curate_cards_real(ids))
     ok = res.where(F.col("error").isNull())
     # renamed keeper keys: a raw self-derived join on out_md5 == out_md5
     # trips Spark's ambiguous-self-join resolution (it works, with a
@@ -2372,7 +2373,7 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides), and mapInPandas is not an exchange the runtime can reuse —
     # uncut, the Python render+codec kernel re-ran per subtree
     # (round-8 A/B at sf0.1: 2.72 → 0.41 s warm)
-    hs = IM.phash_images(_phash_ids(spark, sf_dir)).localCheckpoint()
+    hs = eager_cut(IM.phash_images(_phash_ids(spark, sf_dir)))
     return IM.phash_pairs(hs, max_hamming=8)
 
 
@@ -2443,14 +2444,14 @@ def q_pipeline_image_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the valid AND invalid branches, hs feeds the band self-join (x2)
     # AND the keep-canonical anti-join — without the cut each consumer
     # re-runs the render/decode kernels
-    imgs = IM2.render_cards(
+    imgs = eager_cut(IM2.render_cards(
         _phash_ids(spark, sf_dir), garbage_mod=13
-    ).localCheckpoint()
+    ))
     valid = imgs.where(IM2.is_valid_image("content"))
     invalid_n = imgs.where(~IM2.is_valid_image("content")).agg(
         F.count("*").cast("long").alias("n")
     )
-    hs = IM2.phash_bytes(valid).localCheckpoint()
+    hs = eager_cut(IM2.phash_bytes(valid))
     dups = IM2.phash_pairs(hs, max_hamming=8).select("img_b").distinct()
     kept = hs.join(dups, hs.img_id == dups.img_b, "left_anti")
     cat = F.element_at(

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_knowledge_etl_spark.registry import register
+from ai_knowledge_etl_spark.session import eager_cut
 from ai_knowledge_etl_spark.sources import synthetic as syn
 from ai_knowledge_etl_spark.sources.catalog import cache_get_or_fill, load_table
 from ai_knowledge_etl_spark.streaming import events as EV
@@ -471,7 +472,7 @@ def _run_warc_ingest(spark: SparkSession, sf_dir: str) -> str:
     ckpt = os.path.join(workdir, "ckpt")
 
     docs = syn.uni_docs(_docs(spark, sf_dir))
-    files = warc_pack_files(docs, syn.url_col()).localCheckpoint()
+    files = eager_cut(warc_pack_files(docs, syn.url_col()))
 
     files.where("file_id % 2 = 0").write.mode("append").parquet(staging)
     ingest.warc_ingest_availablenow(spark, staging, table, ckpt)

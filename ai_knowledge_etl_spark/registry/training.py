@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ai_knowledge_etl_spark.operators import packing, sampling
 from ai_knowledge_etl_spark.registry import register
+from ai_knowledge_etl_spark.session import eager_cut
 from ai_knowledge_etl_spark.sources.catalog import load_table
 
 
@@ -817,14 +818,13 @@ def q_agg_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one lazy plan, so without the cut every round re-runs the
     # corpus-sized tokenize explode (measured 595 s at the 100x sweep).
     # The checkpointed frame is VOCABULARY-sized — tiny at any corpus.
-    words = (
+    words = eager_cut(
         docs.select(
             F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
         )
         .where(F.length("w") > 1)
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("wc"))
-        .localCheckpoint()
     )
     syms = words.select(
         F.concat(
@@ -950,14 +950,13 @@ GROUP BY d.doc_id
 def q_udf_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # vocabulary-sized checkpoint — see q_agg_bpe_merges
-    words = (
+    words = eager_cut(
         docs.select(
             F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
         )
         .where(F.length("w") > 1)
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("wc"))
-        .localCheckpoint()
     )
     syms = words.select(
         "w",

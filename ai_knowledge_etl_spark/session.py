@@ -97,3 +97,47 @@ def release_persisted() -> int:
             pass  # session already stopped — nothing left to release
     _TRACKED_PERSISTS.clear()
     return n
+
+
+def eager_cut(df):
+    """Materialize an intermediate and truncate/park its lineage — the
+    framework seam for every one-shot "compute once, reuse under N
+    consumers" cut (r11 ADVICE #1).
+
+    Default is eager ``localCheckpoint()``: cheapest on a single node and
+    what the bench measures — but its blocks live only in executor
+    storage WITHOUT lineage, so on a real cluster an executor loss (or
+    dynamic-allocation scale-in) makes them unrecoverable and fails the
+    job instead of recomputing. ``SPARK_GRAFT_EAGER_CUT`` selects the
+    cluster-safe fallbacks:
+
+      local     (default) eager localCheckpoint — fastest, not
+                fault-tolerant
+      persist   persist(MEMORY_AND_DISK) + count() — blocks are
+                recomputable from lineage on executor loss; lineage is
+                NOT truncated (fine for one-shot cuts; plan size grows
+                with the upstream, so pathological upstreams plan slower)
+      reliable  checkpoint(eager=True) to the configured
+                spark.sparkContext.setCheckpointDir — fault-tolerant AND
+                truncated, at the cost of a distributed write
+      off       identity — NO materialization; measurement-only (A/B
+                probes of what a cut is worth: every lazy consumer then
+                replays the upstream per subtree). Never use in
+                production.
+
+    Iterative-loop state sites (the CC label loop, BFS frontiers, the
+    BPE merge loop, the sequential-id partition pin) deliberately do NOT
+    route through this seam: their correctness-at-scale depends on
+    per-round lineage truncation (persist would re-plan a quadratically
+    growing tree) and on localCheckpoint's RDD-id release discipline.
+    """
+    mode = os.environ.get("SPARK_GRAFT_EAGER_CUT", "local")
+    if mode == "persist":
+        df = df.persist()
+        df.count()
+        return df
+    if mode == "reliable":
+        return df.checkpoint(eager=True)
+    if mode == "off":
+        return df
+    return df.localCheckpoint()

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ai_knowledge_etl_spark import config
+from ai_knowledge_etl_spark.session import eager_cut
 
 
 def bfs_frontier(
@@ -89,7 +90,7 @@ def streaming_bfs_frontier(
         F.col("doc_id").cast("long"), F.lit(0).cast("int").alias("depth")
     ).write.mode("overwrite").parquet(queue_dir)
 
-    edges = edges.localCheckpoint()
+    edges = eager_cut(edges)
 
     def process(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
