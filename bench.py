@@ -387,12 +387,13 @@ def main() -> None:
         if prev and prev.get("spark_method") in {
             "best_of_2_separated_sweeps",
             "best_of_2_separated_sweeps_duck_interleaved",
-        } and prev.get("cpus") in (None, CPUS):
+        } and (prev.get("cpus") or 32) == CPUS:
             # (cpus guard, round-12: re-probing "regressions" against a
             # snapshot measured at a different core count wastes the solo
             # budget on core-count confounds — the delta below suppresses
-            # their significance anyway. None = pre-r12 snapshot, all of
-            # which were 32-core official runs.)
+            # their significance anyway. None = pre-r12 snapshot, ALL of
+            # which were 32-core official runs — so None means 32, and an
+            # 8-core run against an unstamped snapshot is a mismatch too.)
             prev_iso = prev.get("isolated", {})
             flagged = [
                 n
@@ -811,9 +812,11 @@ def main() -> None:
         # that were core-count confounds (a query slowing at 8 cores is
         # evidence it PARALLELIZES). cpus is now stamped into every
         # snapshot; a mismatch suppresses significance and labels the
-        # report. None = pre-r12 snapshot (all 32-core official runs).
+        # report. None = pre-r12 snapshot, ALL of which were 32-core
+        # official runs — treated as 32 so that an 8-core run against an
+        # unstamped snapshot is also caught, not just stamped-vs-stamped.
         prev_cpus = prev_detail.get("cpus")
-        cpus_match = prev_cpus is None or prev_cpus == CPUS
+        cpus_match = (prev_cpus or 32) == CPUS
         methods_match = (
             prev_detail.get("spark_method") == detail["spark_method"]
             and prev_detail.get("sf") == headline["sf"]
@@ -887,7 +890,8 @@ def main() -> None:
             caveat = ""
         elif not cpus_match:
             caveat = (
-                f" [CPUS MISMATCH: prev snapshot ran at {prev_cpus} cores,"
+                f" [CPUS MISMATCH: prev snapshot ran at"
+                f" {prev_cpus or '32 (unstamped)'} cores,"
                 f" this run at {CPUS} — deltas are core-count confounds,"
                 " significance suppressed]"
             )
